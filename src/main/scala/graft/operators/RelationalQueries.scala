@@ -1,0 +1,349 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational/OLAP query surface (SURVEY §2.E): scans, filters,
+  * projections, broadcast + shuffle joins, aggregation, windows, rollup,
+  * set ops, CASE classification — each with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout (and worth keeping for
+  * any new query):
+  *  - Double sums are NOT reproducible across engines/partitionings;
+  *    every SUM over a double goes through an exact DECIMAL cast, then
+  *    back to double ([[RelationalQueries.dsum]]). Deterministic at any
+  *    parallelism — including 1000 executors.
+  *  - Every result has a total ORDER BY (keys, then tiebreak columns).
+  *  - Timestamps leave the engine as epoch seconds/micros (BIGINT), never
+  *    as raw timestamp values.
+  *  - Computed integer aggregates are cast to BIGINT on both sides.
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a double column: cast each value to
+    * DECIMAL, sum exactly, emit double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-shaped pricing summary: scan → filter → hash aggregate.
+    * Filter + 7-column projection are pushed to the parquet scan; the
+    * aggregation is partial (map-side combine) before the 4-group
+    * shuffle, so data volume entering the exchange is O(groups), not
+    * O(rows) — the shape that survives 100 TB. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3-shaped shipping priority: selective dim filter joined into
+    * two fact tables, then top-10 by revenue. customer is broadcast
+    * (small side); orders⋈lineitem is the shuffle join on l_orderkey.
+    * Final top-k is TakeOrderedAndProject — no global sort. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1997-01-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = t(s, dir, "orders").filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val l = t(s, dir, "lineitem").filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+      .select($"l_orderkey", unix_timestamp($"o_orderdate").as("o_orderdate_epoch"), $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND l_shipdate > TIMESTAMP '1997-01-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  // ---------------------------------------------------------------- q5
+  /** TPC-H Q5-shaped local supplier volume: 6-way join. region/nation/
+    * supplier/customer are all broadcast-size; only orders⋈lineitem
+    * shuffles. The c_nationkey = s_nationkey condition is the "local"
+    * co-location predicate. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val sp = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(c),
+        $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  // ---------------------------------------------------------- q6 filter
+  /** TPC-H Q6-shaped: pure scan+filter+single-row aggregate. All three
+    * predicates push to parquet (row-group pruning at scale). */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.02 && $"l_discount" <= 0.05 && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount", 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.02 AND l_discount <= 0.05 AND l_quantity < 24"""
+
+  // ------------------------------------------------------------ rollup
+  /** Hierarchical totals over region→nation via ROLLUP (grouping sets).
+    * Null grouping labels are coalesced to 'ALL' on both engines so the
+    * hash compare never sees engine-specific null encodings. */
+  def qRollupRegionNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+      .select(coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n_customers", $"sum_acctbal")
+      .orderBy($"region", $"nation")
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)
+       ORDER BY region, nation"""
+
+  // ---------------------------------------------------------- window/topk
+  /** Top-3 events per user by value — the batched per-key top-k shape
+    * (Window + row_number + filter). At scale this shuffles once on
+    * user_id and never materializes a global sort. */
+  def qTopkEventsPerUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter($"rn" <= 3)
+      .select($"user_id", $"rn", $"event_id", $"value")
+      .orderBy($"user_id", $"rn")
+  }
+
+  val qTopkSql: String =
+    """SELECT user_id, rn, event_id, value FROM (
+         SELECT user_id, event_id, value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn
+         FROM events) t
+       WHERE rn <= 3 ORDER BY user_id, rn"""
+
+  // ---------------------------------------------------------- sessionize
+  /** Gap-based sessionization (30-min inactivity): lag window + running
+    * flag. Time math in integral epoch-nanoseconds (`ts` is read as raw
+    * INT64 nanos; DuckDB side uses epoch_ns) so both engines compare
+    * exact integers, never fractional seconds. */
+  def qSessionizeEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ns", lag($"ts", 1).over(w))
+      .withColumn("is_new",
+        when($"prev_ns".isNull || $"ts" - $"prev_ns" > 1800L * 1000000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"is_new").as("n_sessions"))
+      .orderBy($"user_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH x AS (
+         SELECT user_id, epoch_ns(ts) AS ns,
+           lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+         FROM events)
+       SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN prev_ns IS NULL OR ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+       FROM x GROUP BY user_id ORDER BY user_id"""
+
+  // ---------------------------------------------------------- hourly agg
+  /** Tumbling-window (hourly) event rollup — the batch twin of the
+    * Structured Streaming slice. Exact count distinct here; the approx
+    * variant (HLL) lives in qApproxDistinct (rows-only check). */
+  def qHourlyEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // hour bucket from integral nanos: floor-div to hours, re-scale to
+    // epoch seconds (ts > 0, so truncation == floor on both engines).
+    // `div` keeps the math in 64-bit integers — nanos overflow the
+    // 2^53 exact range of doubles, so `/` would silently lose precision.
+    t(s, dir, "events")
+      .groupBy(expr("(ts div 3600000000000) * 3600").as("hour_epoch"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum($"value").as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"hour_epoch")
+  }
+
+  val qHourlySql: String =
+    """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1 ORDER BY hour_epoch"""
+
+  // ---------------------------------------------------------- set ops
+  /** X3 set intersection (reference `analyze-plan-diff.js:135`) lifted to
+    * a relational INTERSECT: customers active in both order statuses. */
+  def qSetIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    o.filter($"o_orderstatus" === "F").select($"o_custkey")
+      .intersect(o.filter($"o_orderstatus" === "O").select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
+  val qSetIntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_custkey"""
+
+  /** X4 set difference (reference `analyze-plan-diff.js:141-144`) as a
+    * left-anti join: customers with no orders. Anti join broadcasts
+    * neither side blindly — at scale the orders side is pre-projected to
+    * the single join key. */
+  def qAntiNoOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recent = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    t(s, dir, "customer")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val qAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '2001-01-01')
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------- CASE class
+  /** R9-style ordered CASE classification lifted to relational data:
+    * urgency tiers over orders (rule order is semantics, first match
+    * wins — same contract as determine_branch,
+    * reference `fallbacks.py:180-198`). */
+  def qPriorityCase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("tier",
+        when($"o_orderstatus" === "P", "PENDING")
+          .when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), "EXPEDITE")
+          .when($"o_totalprice" > 200000.0, "BIG_TICKET")
+          .otherwise("STANDARD"))
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"tier")
+  }
+
+  val qPriorityCaseSql: String =
+    """SELECT CASE WHEN o_orderstatus = 'P' THEN 'PENDING'
+                   WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'EXPEDITE'
+                   WHEN o_totalprice > 200000.0 THEN 'BIG_TICKET'
+                   ELSE 'STANDARD' END AS tier,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders GROUP BY 1 ORDER BY tier"""
+
+  // ---------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q_rollup_region_nation" -> (qRollupRegionNation _),
+    "q_topk_events_per_user" -> (qTopkEventsPerUser _),
+    "q_sessionize_events" -> (qSessionizeEvents _),
+    "q_hourly_events" -> (qHourlyEvents _),
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_anti_no_orders" -> (qAntiNoOrders _),
+    "q_priority_case" -> (qPriorityCase _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q_rollup_region_nation" -> qRollupSql,
+    "q_topk_events_per_user" -> qTopkSql,
+    "q_sessionize_events" -> qSessionizeSql,
+    "q_hourly_events" -> qHourlySql,
+    "q_set_intersect" -> qSetIntersectSql,
+    "q_anti_no_orders" -> qAntiSql,
+    "q_priority_case" -> qPriorityCaseSql)
+}

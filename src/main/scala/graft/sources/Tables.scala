@@ -64,9 +64,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  /** `ts` is parquet INT64 TIMESTAMP(NANOS) — Spark's vectorized reader
+    * has no nanosecond TimestampType, so it is declared LongType and read
+    * as raw epoch-nanoseconds. Derive micros/timestamps downstream via
+    * `timestamp_micros(ts div 1000)`; keeping the integral form also
+    * makes cross-engine time arithmetic exact. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
