@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (north-star mandate,
+  * SURVEY §2.D): exact (content-hash groupBy), word-shingle Jaccard
+  * near-dup, MinHash+LSH banding, and SimHash clustering.
+  *
+  * Cross-engine determinism: every hash in the oracle-checked paths is
+  * md5 (byte-identical hex in Spark and DuckDB; string `min` compares
+  * ASCII hex lexicographically, identical in both). The Spark production
+  * path would swap md5 for `xxhash64` (one 64-bit op instead of a hex
+  * string) — the plan shape is unchanged, so the oracle still validates
+  * the algorithm.
+  *
+  * Scale notes (100 TB posture):
+  *  - Exact dedup: hash-groupBy shuffles only (fingerprint, doc_id) —
+  *    never the text — then joins survivors back if payload is needed.
+  *  - Jaccard: candidate pairs come from an inverted shingle index
+  *    (join on shingle). Stop-shingles (appearing in > [[ShingleDocCap]]
+  *    docs) are dropped on BOTH engines — the standard guard that keeps
+  *    the self-join from going quadratic on common phrases.
+  *  - MinHash: 12 hash functions / 4 bands × 3 rows ⇒ catches
+  *    Jaccard ≳ 0.5 with high probability; candidates verified against
+  *    true Jaccard ≥ 0.5. Signatures are 12 `min` aggregates in ONE scan
+  *    (no row explosion); banding joins on (band, key) so only
+  *    same-bucket docs ever meet — that is what makes it linear-ish.
+  */
+object Dedup {
+
+  val ShingleDocCap = 100
+  val JaccardThreshold = 0.8
+  val MinHashFns = 12
+  val MinHashBandRows = 3
+
+  private def d(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // --------------------------------------------------------- exact dedup
+  /** Exact dedup accounting over the normalized-content fingerprint:
+    * corpus size, distinct contents, duplicate clusters, rows removable. */
+  def dExactStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = d(s, dir)
+      .select($"doc_id", md5(TextAnalysis.normText($"text")).as("fp"))
+    val clusters = fp.groupBy($"fp").agg(count(lit(1)).as("n"))
+    clusters.agg(
+      sum($"n").as("n_docs"),
+      count(lit(1)).as("n_distinct"),
+      sum(when($"n" > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+      sum($"n" - 1).as("n_removable"))
+  }
+
+  val dExactStatsSql: String =
+    """WITH c AS (
+         SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                COUNT(*) AS n
+         FROM documents GROUP BY 1)
+       SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+              COUNT(*) AS n_distinct,
+              CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+              CAST(SUM(n - 1) AS BIGINT) AS n_removable
+       FROM c"""
+
+  // ----------------------------------------------------- shingle helpers
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle), with
+    * stop-shingles removed by a windowless two-pass (count per shingle,
+    * filter, semi-join back). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = d(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .filter(size($"w") >= 3)
+    toks.select($"doc_id",
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("sh"))
+      .distinct()
+  }
+
+  private val shinglesSqlCte: String =
+    """toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+         FROM documents),
+       shd AS (
+         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+         WHERE len(w) >= 3)"""
+
+  // ------------------------------------------------------- n-gram jaccard
+  /** Near-duplicate pairs by word-3-gram Jaccard ≥ 0.8 via inverted-index
+    * self-join with stop-shingle capping. */
+  def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= ShingleDocCap)
+      .select($"sh")
+    val shr = sh.join(rare, "sh")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = shr.select($"doc_id".as("i"), $"sh")
+    val b = shr.select($"doc_id".as("j"), $"sh")
+    val common = a.join(b, Seq("sh")).filter($"i" < $"j")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select($"doc_id".as("i"), $"n".as("ni")), "i")
+      .join(sizes.select($"doc_id".as("j"), $"n".as("nj")), "j")
+      .withColumn("jaccard",
+        $"common".cast("double") / ($"ni" + $"nj" - $"common"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .select($"i", $"j", $"common", $"ni", $"nj", $"jaccard")
+      .orderBy($"i", $"j")
+  }
+
+  val dNgramJaccardSql: String =
+    s"""WITH $shinglesSqlCte,
+       rare AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) <= $ShingleDocCap),
+       shr AS (SELECT doc_id, shd.sh FROM shd JOIN rare ON shd.sh = rare.sh),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+         FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT i, j, common, sa.n AS ni, sb.n AS nj,
+         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       ORDER BY i, j"""
+
+  // ---------------------------------------------------------- minhash lsh
+  /** MinHash signature (12 md5-keyed min-hashes over distinct word
+    * 3-gram SHINGLES) → 4-band LSH bucketing → candidate pairs →
+    * true-Jaccard verification at ≥ 0.5. One shingle scan builds all 12
+    * signature columns as plain `min` aggregates.
+    *
+    * Shingles, not unigrams: over a small shared vocabulary unigram sets
+    * are near-identical across unrelated docs, so every pair lands in
+    * every bucket and LSH degenerates to the quadratic join it exists to
+    * avoid. 3-gram shingles keep bucket populations proportional to real
+    * near-duplication. */
+  def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = shingles(s, dir)
+      .select($"doc_id", $"sh".as("tok"))
+      .cache()
+    val mhCols = (0 until MinHashFns).map(h =>
+      min(md5(concat(lit(s"$h|"), $"tok"))).as(s"mh$h"))
+    val mh = toks.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val nBands = MinHashFns / MinHashBandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (0 until MinHashBandRows).map(r => col(s"mh${b * MinHashBandRows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    val bands = mh.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = toks.select($"doc_id".as("i"), $"tok")
+      .join(toks.select($"doc_id".as("j"), $"tok"), Seq("tok"))
+      .join(cand, Seq("i", "j"), "left_semi")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select($"doc_id".as("i"), $"n".as("ni")), "i")
+      .join(sizes.select($"doc_id".as("j"), $"n".as("nj")), "j")
+      .withColumn("jaccard",
+        $"common".cast("double") / ($"ni" + $"nj" - $"common"))
+      .filter($"jaccard" >= 0.5)
+      .select($"i", $"j", $"jaccard")
+      .orderBy($"i", $"j")
+  }
+
+  val dMinhashLshSql: String = {
+    val mhCols = (0 until MinHashFns)
+      .map(h => s"min(md5('$h|' || tok)) AS mh$h").mkString(", ")
+    val nBands = MinHashFns / MinHashBandRows
+    val bandSelects = (0 until nBands).map { b =>
+      val parts = (0 until MinHashBandRows)
+        .map(r => s"mh${b * MinHashBandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS key FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesSqlCte,
+       mtoks AS (SELECT doc_id, sh AS tok FROM shd),
+       mh AS (SELECT doc_id, $mhCols FROM mtoks GROUP BY doc_id),
+       bands AS ($bandSelects),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM mtoks GROUP BY doc_id),
+       common AS (
+         SELECT c.i, c.j, COUNT(*) AS common
+         FROM cand c
+         JOIN mtoks x ON x.doc_id = c.i
+         JOIN mtoks y ON y.doc_id = c.j AND y.tok = x.tok
+         GROUP BY 1, 2)
+       SELECT i, j, CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       FROM common JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+       ORDER BY i, j"""
+  }
+
+  // ------------------------------------------------------------- simhash
+  /** 16-bit SimHash from md5 nibbles of distinct tokens: bit j is the
+    * sign of Σ(±1) where +1 iff nibble j of md5(token) ≥ 8. Identical
+    * signatures form near-dup clusters. 16 bits is deliberately small so
+    * clustering is visible at test scale; production widens to 64 bits
+    * via xxhash64 without changing the plan. */
+  def dSimhashClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = d(s, dir)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .distinct()
+      .withColumn("h", md5($"tok"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring($"h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val sums = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bits = (0 until 16).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
+    sums.select($"doc_id", concat(bits: _*).as("simhash"))
+      .groupBy($"simhash")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"simhash")
+  }
+
+  val dSimhashClustersSql: String = {
+    val sums = (0 until 16).map { j =>
+      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""WITH toks AS (
+         SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS tok
+         FROM documents),
+       hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
+       sigs AS (SELECT doc_id, $bits AS simhash FROM sums)
+       SELECT simhash, COUNT(*) AS n_docs,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+       ORDER BY simhash"""
+  }
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_stats" -> (dExactStats _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash_clusters" -> (dSimhashClusters _))
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_stats" -> dExactStatsSql,
+    "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_minhash_lsh" -> dMinhashLshSql,
+    "d_simhash_clusters" -> dSimhashClustersSql)
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.model.Defaults
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The recall engine's data-flow operators (R4/R7/R9/R11) lifted to the
+  * relational surface over driver testdata, so the DuckDB oracle can
+  * hash-check the exact semantics the orchestrator runs (SURVEY §2.A).
+  *
+  * `documents` stands in as the memory store; a synthetic deterministic
+  * confidence `(doc_id·37 mod 100)/100` gives full coverage of both
+  * sides of the 0.6 threshold on both engines (exact integer math, then
+  * one double division).
+  */
+object RecallQueries {
+
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("confidence",
+        (($"doc_id" * 37) % 100).cast("double") / 100.0)
+  }
+
+  private val confSql = "CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0"
+
+  // --------------------------------------------------------------- R4
+  /** R4: guard-filter → sort desc → limit top_k → normalize projection
+    * (reference `services/memory.py:25-87`). `orderBy().limit()` compiles
+    * to TakeOrderedAndProject: per-partition top-k, k-row merge — the
+    * 100 TB-safe shape. Threshold deliberately NOT applied (anti-pushdown
+    * semantics, `memory.py:82`). */
+  def r4TopkMemory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    candidates(s, dir)
+      .filter(length(trim($"text")) > 0)
+      .orderBy($"confidence".desc, $"doc_id")
+      .limit(Defaults.TopK)
+      .select($"doc_id".as("id"), substring($"text", 1, 40).as("content"),
+        $"source", $"confidence")
+  }
+
+  val r4Sql: String =
+    s"""SELECT doc_id AS id, substr(text, 1, 40) AS content, source,
+         $confSql AS confidence
+       FROM documents WHERE len(trim(text)) > 0
+       ORDER BY confidence DESC, doc_id LIMIT ${Defaults.TopK}"""
+
+  // --------------------------------------------------------------- R7
+  /** R7: term-overlap rerank (reference `services/voyage.py:54-88`) —
+    * overlap of distinct query terms against the content token set,
+    * `conf' = min(1.0, conf + 0.05·overlap)`, top-10. */
+  val RerankQuery = "spark data window query join"
+
+  def r7RerankBoost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    candidates(s, dir)
+      .withColumn("adj_confidence",
+        Rerank.scoreColumn(RerankQuery, $"confidence", $"text"))
+      .select($"doc_id", $"confidence", $"adj_confidence")
+      .orderBy($"adj_confidence".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val r7Sql: String = {
+    val terms = RerankQuery.toLowerCase.split("\\s+").distinct
+    val toks = "string_split_regex(lower(text), '\\s+')"
+    val overlap = terms
+      .map(t => s"(CASE WHEN list_contains($toks, '$t') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, $confSql AS confidence,
+         least(1.0, $confSql + CAST($overlap AS DOUBLE) * 0.05) AS adj_confidence
+       FROM documents
+       ORDER BY adj_confidence DESC, doc_id LIMIT 10"""
+  }
+
+  // --------------------------------------------------------------- R9
+  /** R9+R11 per group: confidence aggregation + ordered CASE branch
+    * classification (reference `orchestration/fallbacks.py:162-199`),
+    * one row per source. Strict `<` keeps threshold-equal as met. */
+  def r9BranchPerSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    candidates(s, dir)
+      .groupBy($"source")
+      .agg(max($"confidence").as("top_confidence"),
+        count(lit(1)).as("candidate_count"))
+      .withColumn("branch",
+        when($"candidate_count" === 0, "EMPTY_SET")
+          .when($"top_confidence" < Defaults.Threshold, "LOW_CONFIDENCE")
+          .otherwise("SUCCESS"))
+      .withColumn("threshold_met", $"top_confidence" >= Defaults.Threshold)
+      .orderBy($"source")
+  }
+
+  val r9Sql: String =
+    s"""SELECT source, MAX($confSql) AS top_confidence,
+         COUNT(*) AS candidate_count,
+         CASE WHEN COUNT(*) = 0 THEN 'EMPTY_SET'
+              WHEN MAX($confSql) < ${Defaults.Threshold} THEN 'LOW_CONFIDENCE'
+              ELSE 'SUCCESS' END AS branch,
+         MAX($confSql) >= ${Defaults.Threshold} AS threshold_met
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- R11
+  /** R11: global confidence summary — the single aggregate row the
+    * envelope carries (reference `fallbacks.py:26-31`). */
+  def r11ConfidenceSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    candidates(s, dir)
+      .agg(max($"confidence").as("top_confidence"),
+        count(lit(1)).as("candidate_count"))
+      .withColumn("threshold_met", $"top_confidence" >= Defaults.Threshold)
+  }
+
+  val r11Sql: String =
+    s"""SELECT MAX($confSql) AS top_confidence, COUNT(*) AS candidate_count,
+         MAX($confSql) >= ${Defaults.Threshold} AS threshold_met
+       FROM documents"""
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r4_topk_memory" -> (r4TopkMemory _),
+    "r7_rerank_boost" -> (r7RerankBoost _),
+    "r9_branch_per_source" -> (r9BranchPerSource _),
+    "r11_confidence_summary" -> (r11ConfidenceSummary _))
+
+  val oracle: Map[String, String] = Map(
+    "r4_topk_memory" -> r4Sql,
+    "r7_rerank_boost" -> r7Sql,
+    "r9_branch_per_source" -> r9Sql,
+    "r11_confidence_summary" -> r11Sql)
+}

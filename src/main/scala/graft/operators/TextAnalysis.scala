@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * mandate, SURVEY §2.D): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All computed with codegen'd
+  * built-ins (split / higher-order functions / md5) — no UDFs — and each
+  * with a DuckDB oracle.
+  *
+  * Shared tokenization contract (must stay in lockstep with the oracle
+  * SQL): lowercase, split on `\s+`, drop empty tokens.
+  */
+object TextAnalysis {
+
+  /** English stopword probe list used by quality + lang-id scoring. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Tokens column: lowercase, whitespace-split, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  private def d(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // -------------------------------------------------------- token stats
+  /** Per-source token statistics — the "token counting" operator rolled
+    * up to corpus accounting (what a training-data pipeline budgets by).
+    * One scan, map-side partial aggregation, 20-group shuffle. */
+  def tTokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    d(s, dir)
+      .withColumn("n_tokens", size(tokens($"text")).cast("bigint"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"))
+      .orderBy($"source")
+  }
+
+  val tTokenStatsSql: String =
+    """WITH t AS (SELECT source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+       FROM documents)
+       SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+       FROM t GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------ quality score
+  /** Per-document quality features: token count, mean token length,
+    * stopword ratio, uppercase-start flag — then a rule-ordered quality
+    * tier (same first-match-wins CASE contract as branch classification).
+    * Ratios are plain double divisions of exact integers — deterministic
+    * cross-engine without rounding. */
+  def tQualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("bigint")
+    val nStop = Stopwords
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce[Column](_ + _)
+      // count stopword OCCURRENCES, not just distinct membership:
+      .cast("bigint") // membership count of probe list (distinct by construction)
+    val charLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    d(s, dir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_stopword_hits", nStop)
+      .withColumn("mean_token_len", charLen.cast("double") / $"n_tokens")
+      .withColumn("stopword_ratio",
+        $"n_stopword_hits".cast("double") / lit(Stopwords.size))
+      .withColumn("tier",
+        when($"n_tokens" < 10, "TOO_SHORT")
+          .when($"stopword_ratio" >= 0.5, "NATURAL")
+          .when($"mean_token_len" > 8.0, "JARGON")
+          .otherwise("LIST_LIKE"))
+      .select($"doc_id", $"n_tokens", $"n_stopword_hits",
+        $"mean_token_len", $"stopword_ratio", $"tier")
+      .orderBy($"doc_id")
+  }
+
+  val tQualityScoreSql: String = {
+    val hits = Stopwords
+      .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       f AS (
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST($hits AS BIGINT) AS n_stopword_hits,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mean_token_len
+         FROM t)
+       SELECT doc_id, n_tokens, n_stopword_hits, mean_token_len,
+         CAST(n_stopword_hits AS DOUBLE) / ${Stopwords.size} AS stopword_ratio,
+         CASE WHEN n_tokens < 10 THEN 'TOO_SHORT'
+              WHEN CAST(n_stopword_hits AS DOUBLE) / ${Stopwords.size} >= 0.5 THEN 'NATURAL'
+              WHEN mean_token_len > 8.0 THEN 'JARGON'
+              ELSE 'LIST_LIKE' END AS tier
+       FROM f ORDER BY doc_id"""
+  }
+
+  // ----------------------------------------------------------- lang id
+  /** N-gram/stopword language-ID heuristic: per-language probe-hit votes
+    * with a deterministic argmax (tie broken by fixed language order),
+    * then a confusion rollup against the labeled `lang` column. */
+  val LangProbes: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "con"),
+    "de" -> Seq("der", "die", "und", "ist", "mit"))
+
+  def tLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    def score(probes: Seq[String]): Column = probes
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    val scored = d(s, dir)
+      .withColumn("s_en", score(LangProbes(0)._2))
+      .withColumn("s_es", score(LangProbes(1)._2))
+      .withColumn("s_de", score(LangProbes(2)._2))
+    scored
+      .withColumn("guess",
+        when($"s_en" === 0 && $"s_es" === 0 && $"s_de" === 0, "unknown")
+          .when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
+          .when($"s_es" >= $"s_de", "es")
+          .otherwise("de"))
+      .groupBy($"lang", $"guess")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"guess")
+  }
+
+  val tLangIdSql: String = {
+    def hits(probes: Seq[String]) = probes
+      .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+         SELECT lang,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       sc AS (SELECT lang, ${hits(LangProbes(0)._2)} AS s_en,
+                     ${hits(LangProbes(1)._2)} AS s_es,
+                     ${hits(LangProbes(2)._2)} AS s_de FROM t)
+       SELECT lang,
+         CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+              WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+              WHEN s_es >= s_de THEN 'es'
+              ELSE 'de' END AS guess,
+         COUNT(*) AS n_docs
+       FROM sc GROUP BY 1, 2 ORDER BY lang, guess"""
+  }
+
+  // -------------------------------------------------------- fingerprint
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text.
+    * md5 hex output is byte-identical across engines, making this the
+    * portable content-hash primitive the dedup operators build on. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  def tFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    d(s, dir)
+      .select($"doc_id", md5(normText($"text")).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val tFingerprintSql: String =
+    """SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tTokenStats _),
+    "t_quality_score" -> (tQualityScore _),
+    "t_lang_id" -> (tLangId _),
+    "t_fingerprint" -> (tFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "t_token_stats" -> tTokenStatsSql,
+    "t_quality_score" -> tQualityScoreSql,
+    "t_lang_id" -> tLangIdSql,
+    "t_fingerprint" -> tFingerprintSql)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, RecallQueries, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the LLM-pipeline operator families (text
+  * analysis, dedup, similarity) on sf0.001. The DuckDB oracle compare at
+  * sf0.01 is the authoritative gate; these run inside `sbt test`. */
+class PipelineOperatorsSpec extends SparkSuite {
+
+  test("all pipeline query families run and agree with their registries") {
+    val fams = Seq(TextAnalysis.queries, Dedup.queries,
+      Similarity.queries, RecallQueries.queries)
+    val all = fams.flatten.toMap
+    assert(all.size == fams.map(_.size).sum, "duplicate query names across families")
+    for ((name, fn) <- all) assert(fn(spark, sfDir).columns.nonEmpty, name)
+  }
+
+  test("jaccard and minhash-LSH find the same planted near-dup pairs at >=0.8") {
+    val jac = Dedup.dNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val mh = Dedup.dMinhashLsh(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= Dedup.JaccardThreshold)
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(jac.nonEmpty, "no planted near-dups found")
+    // 12-hash/4-band LSH catches jaccard>=0.8 pairs with prob ~1-3e-4
+    assert(jac.subsetOf(mh), s"LSH missed pairs: ${jac -- mh}")
+  }
+
+  test("exact-dedup stats are self-consistent") {
+    val r = Dedup.dExactStats(spark, sfDir).collect().head
+    val (docs, distinct, clusters, removable) =
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("n_dup_clusters"), r.getAs[Long]("n_removable"))
+    assert(docs == distinct + removable)
+    assert(clusters <= removable || removable == 0)
+  }
+
+  test("cosine column matches a hand-computed dot/norm on a known pair") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))).toDF("a", "b")
+    val sims = df.select(VectorFunctions.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+    assert(math.abs(sims(2) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk and LSH ANN topk agree on the probe's bucket neighbors") {
+    val exact = Similarity.sCosineTopk(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    val ann = Similarity.sAnnTopk(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    // every ANN hit that is also in the exact top-10 must carry the same score
+    for ((id, sim) <- ann if exact.contains(id)) assert(sim == exact(id))
+    assert(ann.nonEmpty, "ANN returned nothing — bucket degenerate?")
+  }
+
+  test("quality tiers are exhaustive and tokens positive") {
+    val rows = TextAnalysis.tQualityScore(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val tiers = rows.map(_.getAs[String]("tier")).toSet
+    assert(tiers.subsetOf(Set("TOO_SHORT", "NATURAL", "JARGON", "LIST_LIKE")))
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") > 0))
+  }
+
+  test("r4 topk honors anti-pushdown: low-confidence docs still reachable") {
+    // the synthetic confidence spans [0,0.99]; top-5 must all be >= 0.95
+    // while r9 per-source must still see sub-threshold rows
+    val top = RecallQueries.r4TopkMemory(spark, sfDir).collect()
+    assert(top.length == 5)
+    assert(top.forall(_.getAs[Double]("confidence") >= 0.9))
+    val branches = RecallQueries.r9BranchPerSource(spark, sfDir).collect()
+      .map(_.getAs[String]("branch")).toSet
+    assert(branches.contains("SUCCESS"))
+  }
+}
