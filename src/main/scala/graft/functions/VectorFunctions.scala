@@ -14,21 +14,42 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise-product sum (dot product) in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Install the native vector expressions into a session's function
+    * registry (idempotent; Spark 4 keeps Column↔Expression private, so
+    * registry + call_function is the supported bridge). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      exprs => VecCosine(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Elementwise-product sum (dot product) in double precision — native
+    * [[VecDot]] expression: one eval per row, tight loop, no per-element
+    * lambda interpretation. Requires [[register]] on the session. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Cosine similarity = dot / (|a|·|b|) in one pass ([[VecCosine]]).
+    * NaN on zero vectors (caller filters if the corpus can contain
+    * them). Requires [[register]] on the session. */
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+
+  /** HOF reference forms — bit-identical to the native expressions
+    * (same accumulation order); kept for cross-validation in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-
-  /** Cosine similarity = dot / (|a|·|b|). NaN on zero vectors (caller
-    * filters if the corpus can contain them). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Euclidean (L2) distance. */
   def l2Distance(a: Column, b: Column): Column =

@@ -73,11 +73,13 @@ object Dedup {
     val toks = d(s, dir)
       .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
       .filter(size($"w") >= 3)
+    // Per-doc dedup with array_distinct BEFORE exploding: same result as
+    // a global distinct on (doc_id, shingle) — the key includes doc_id —
+    // but map-side only, no exchange of the exploded rows.
     toks.select($"doc_id",
-        explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
           .as("sh"))
-      .distinct()
   }
 
   private val shinglesSqlCte: String =
@@ -145,9 +147,15 @@ object Dedup {
     val toks = shingles(s, dir)
       .select($"doc_id", $"sh".as("tok"))
       .cache()
+    // 12 hash functions from 5-hex-char slices of TWO md5s per shingle
+    // (one-permutation-hashing style): 2 digest calls instead of 12.
+    // 20-bit slices are plenty for min-selection over ~10²-10³ shingles,
+    // and candidates are verified against true Jaccard anyway.
+    val hashed = toks.withColumn("hcat",
+      concat(md5($"tok"), md5(concat(lit("x"), $"tok"))))
     val mhCols = (0 until MinHashFns).map(h =>
-      min(md5(concat(lit(s"$h|"), $"tok"))).as(s"mh$h"))
-    val mh = toks.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      min(substring($"hcat", h * 5 + 1, 5)).as(s"mh$h"))
+    val mh = hashed.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
     val nBands = MinHashFns / MinHashBandRows
     val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until MinHashBandRows).map(r => col(s"mh${b * MinHashBandRows + r}"))
@@ -160,9 +168,18 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .distinct()
+      // consumed twice below (candidate-doc projection + semi filter);
+      // caching stops the banding subtree from running twice
+      .cache()
     val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = toks.select($"doc_id".as("i"), $"tok")
-      .join(toks.select($"doc_id".as("j"), $"tok"), Seq("tok"))
+    // Verification touches only candidate docs: semi-join the token
+    // table down FIRST, so the tok⋈tok join is over the (tiny) LSH
+    // candidate set, not the whole corpus.
+    val candDocs = cand.select($"i".as("doc_id"))
+      .union(cand.select($"j".as("doc_id"))).distinct()
+    val toksC = toks.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val common = toksC.select($"doc_id".as("i"), $"tok")
+      .join(toksC.select($"doc_id".as("j"), $"tok"), Seq("tok"))
       .join(cand, Seq("i", "j"), "left_semi")
       .groupBy($"i", $"j").agg(count(lit(1)).as("common"))
     common
@@ -177,7 +194,7 @@ object Dedup {
 
   val dMinhashLshSql: String = {
     val mhCols = (0 until MinHashFns)
-      .map(h => s"min(md5('$h|' || tok)) AS mh$h").mkString(", ")
+      .map(h => s"min(substr(hcat, ${h * 5 + 1}, 5)) AS mh$h").mkString(", ")
     val nBands = MinHashFns / MinHashBandRows
     val bandSelects = (0 until nBands).map { b =>
       val parts = (0 until MinHashBandRows)
@@ -186,7 +203,8 @@ object Dedup {
     }.mkString(" UNION ALL ")
     s"""WITH $shinglesSqlCte,
        mtoks AS (SELECT doc_id, sh AS tok FROM shd),
-       mh AS (SELECT doc_id, $mhCols FROM mtoks GROUP BY doc_id),
+       hs AS (SELECT doc_id, md5(tok) || md5('x' || tok) AS hcat FROM mtoks),
+       mh AS (SELECT doc_id, $mhCols FROM hs GROUP BY doc_id),
        bands AS ($bandSelects),
        cand AS (
          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j

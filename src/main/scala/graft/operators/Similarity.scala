@@ -32,6 +32,7 @@ object Similarity {
   /** Exact cosine top-10 neighbors of vec_id=0. The probe row is
     * broadcast; the corpus is scanned once. */
   def sCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     import s.implicits._
     val probe = e(s, dir).filter($"vec_id" === ProbeId)
       .select($"embedding".as("p"))
@@ -56,6 +57,7 @@ object Similarity {
     * Quadratic by construction — sample/diagnostic scale only; the LSH
     * variant below is the production path. */
   def sNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     import s.implicits._
     // Pre-normalize once per vector (O(n) norms) so each of the O(n²)
     // pairs costs a single dot product instead of dot + two norms —
@@ -101,6 +103,7 @@ object Similarity {
     * shuffle-key that replaces the quadratic pair join. Rows-only
     * correctness check (hyperplane constants are engine-local). */
   def sAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     import s.implicits._
     val planes = hyperplanes(nPlanes = 8, dim = 64)
     val sig = planes.zipWithIndex.map { case (p, idx) =>
@@ -119,6 +122,7 @@ object Similarity {
     * exact cosine within the bucket. Approximate (recall < 1) but the
     * scan is 1/2^bits of the corpus in expectation. */
   def sAnnTopk(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    VectorFunctions.register(s)
     import s.implicits._
     val planes = hyperplanes(nPlanes = 8, dim = 64)
     def bucketCol(v: org.apache.spark.sql.Column) =

@@ -39,6 +39,7 @@ class PipelineOperatorsSpec extends SparkSuite {
 
   test("cosine column matches a hand-computed dot/norm on a known pair") {
     import spark.implicits._
+    VectorFunctions.register(spark)
     val df = Seq(
       (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
       (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
@@ -47,6 +48,23 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(math.abs(sims(0) - 1.0) < 1e-12)
     assert(math.abs(sims(1)) < 1e-12)
     assert(math.abs(sims(2) - 1.0) < 1e-12)
+  }
+
+  test("native VecDot/VecCosine are bit-identical to the HOF reference forms") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(50)
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .filter($"i" < $"j")
+    val diff = pairs.select(
+        VectorFunctions.cosine($"a", $"b").as("native"),
+        VectorFunctions.cosineHof($"a", $"b").as("hof"),
+        VectorFunctions.dot($"a", $"b").as("dn"),
+        VectorFunctions.dotHof($"a", $"b").as("dh"))
+      .filter($"native" =!= $"hof" || $"dn" =!= $"dh")
+      .count()
+    assert(diff == 0, "native expression diverged from HOF fold")
   }
 
   test("brute-force topk and LSH ANN topk agree on the probe's bucket neighbors") {
