@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** P3: graph traversal (SURVEY §2.C — the Graphiti capability, feature-
+  * flagged off by default in the reference; reference
+  * `retrieval_router.py:67-68`, overlap table
+  * `docs/architecture/retrieval-overlap-policy.md:82`).
+  *
+  * Implemented as iterative BFS via repeated hash joins over an edge
+  * DataFrame — the Spark-native shape (each hop = one join + min-dist
+  * aggregate; k hops = k shuffles, no driver-side frontier). The demo
+  * graph is the customer↔supplier bipartite graph induced by
+  * orders⋈lineitem on the driver testdata.
+  */
+object GraphTraversal {
+
+  /** Generic BFS: edges (src, dst) treated as UNDIRECTED; returns
+    * (node, dist) for every node within maxHops of the seed set.
+    * Frontier and visited sets stay distributed; per hop: one join, one
+    * union, one min-aggregate. */
+  def bfs(
+      edges: DataFrame, // columns: src, dst
+      seeds: DataFrame, // column: node
+      maxHops: Int): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var reached = seeds.select(col("node"), lit(0).as("dist")).cache()
+    var frontier = reached
+    for (hop <- 1 to maxHops) {
+      // dataset aliases break the self-join lineage ambiguity (frontier
+      // descends from `undirected` after the first hop)
+      val f = frontier.select(col("node")).as("f")
+      val next = f.join(undirected.as("u"), col("f.node") === col("u.src"))
+        .select(col("u.dst").as("node"), lit(hop).as("dist"))
+        .join(reached.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .distinct()
+        .cache()
+      reached = reached.union(next).cache()
+      frontier = next
+    }
+    reached.groupBy(col("node")).agg(min(col("dist")).as("dist"))
+  }
+
+  /** 2-hop neighborhood of supplier #1 in the customer–supplier graph.
+    * Node ids are disambiguated by sign-free namespacing: suppliers keep
+    * their key, customers are offset by 1,000,000 (keys are < 10^6 at
+    * every test sf). */
+  val CustOffset = 1000000L
+
+  def qGraph2Hop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" + CustOffset).as("src"), $"l_suppkey".as("dst"))
+      .distinct()
+    val seeds = s.range(1, 2).select($"id".as("node"))
+    bfs(edges, seeds, maxHops = 2)
+      .select($"node", $"dist".cast("bigint").as("dist"))
+      .orderBy($"dist", $"node")
+  }
+
+  val qGraph2HopSql: String =
+    s"""WITH edges AS (
+         SELECT DISTINCT o_custkey + $CustOffset AS cust, l_suppkey AS supp
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       h1 AS (SELECT DISTINCT cust AS node FROM edges WHERE supp = 1),
+       h2 AS (
+         SELECT DISTINCT e.supp AS node FROM edges e
+         JOIN h1 ON e.cust = h1.node
+         WHERE e.supp <> 1)
+       SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       UNION ALL
+       SELECT node, 1 FROM h1
+       UNION ALL
+       SELECT node, 2 FROM h2
+       ORDER BY dist, node"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_graph_2hop" -> (qGraph2Hop _))
+
+  val oracle: Map[String, String] = Map(
+    "p3_graph_2hop" -> qGraph2HopSql)
+}

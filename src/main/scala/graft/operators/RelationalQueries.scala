@@ -320,6 +320,21 @@ object RelationalQueries {
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        FROM orders GROUP BY 1 ORDER BY tier"""
 
+  // ------------------------------------------------------ approx distinct
+  /** HLL-sketch distinct users per event type (approx_count_distinct,
+    * rsd 1%) next to the exact count. No oracle — sketch estimates are
+    * engine-specific; the test asserts the error bound instead. At
+    * 100 TB the sketch is the only viable form (bounded memory,
+    * mergeable partials). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
+        countDistinct($"user_id").as("n_users_exact"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -332,7 +347,8 @@ object RelationalQueries {
     "q_hourly_events" -> (qHourlyEvents _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_anti_no_orders" -> (qAntiNoOrders _),
-    "q_priority_case" -> (qPriorityCase _))
+    "q_priority_case" -> (qPriorityCase _),
+    "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,

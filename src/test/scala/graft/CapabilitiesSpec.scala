@@ -1,0 +1,100 @@
+package graft
+
+import graft.model._
+import graft.operators.{GraphTraversal, HybridRetrieval, RecallQueries, RelationalQueries, RetrievalRouter}
+import graft.sources.Tables
+import graft.validation.Scenarios
+import org.apache.spark.sql.functions._
+
+/** Coverage tests for the remaining SURVEY §2 inventory: R12 flatten,
+  * P3 graph BFS, P5/P6 hybrid capabilities, X7 JSONL scan, X8 scenario
+  * lookups, approx-distinct sketches. */
+class CapabilitiesSpec extends SparkSuite {
+
+  test("R12: legacy flatten duplicates nested fields additively") {
+    val resp = graft.operators.RecallOrchestrator.runRecall(
+      spark, "test high confidence query")
+    val compat = McpCompatResponse.fromRetrievalResponse(resp)
+    assert(compat.candidates == resp.contextPacket.candidates)
+    assert(compat.branch == resp.contextPacket.summary.branch)
+    assert(compat.confidence == resp.contextPacket.summary.top_confidence)
+    assert(compat.contextPacket == resp.contextPacket) // canonical untouched
+    val bare = McpCompatResponse.fromRetrievalResponse(resp, includeLegacy = false)
+    assert(bare.candidates.isEmpty && bare.branch == "" && bare.confidence == 0.0)
+  }
+
+  test("P3: BFS distances are sane on the bipartite order graph") {
+    val rows = GraphTraversal.qGraph2Hop(spark, sfDir).collect()
+    val byDist = rows.groupBy(_.getAs[Long]("dist")).view.mapValues(_.length).toMap
+    assert(byDist(0L) == 1, "exactly the seed at dist 0")
+    assert(byDist.getOrElse(1L, 0) > 0, "supplier 1 supplies someone")
+    // hop-1 nodes are customers (offset namespace), hop-2 are suppliers
+    rows.filter(_.getAs[Long]("dist") == 1L)
+      .foreach(r => assert(r.getAs[Long]("node") >= GraphTraversal.CustOffset))
+    rows.filter(_.getAs[Long]("dist") == 2L)
+      .foreach(r => assert(r.getAs[Long]("node") < GraphTraversal.CustOffset))
+  }
+
+  test("P6: hybrid score stays in [0,1] and ranks by the weighted sum") {
+    val rows = HybridRetrieval.p6HybridScore(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(v => v >= 0.0 && v <= 1.0))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("accurate-mode merge dedups by id keeping the best provider hit") {
+    val rows = HybridRetrieval.accurateMerge(spark, sfDir).collect()
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "dup ids after merge")
+    // ids divisible by 6 exist in both providers; mem0 (unscaled conf) must win
+    rows.filter(_.getAs[Long]("doc_id") % 6 == 0)
+      .foreach(r => assert(r.getAs[String]("provider") == "mem0"))
+  }
+
+  test("X7: event-sourced work-item JSONL scans with the declared schema") {
+    val tmp = java.nio.file.Files.createTempFile("issues", ".jsonl")
+    java.nio.file.Files.writeString(tmp,
+      """{"id":"a-1","title":"first","status":"open","priority":2,"issue_type":"task","created_at":"2026-01-05T07:15:49.002Z","updated_at":"2026-01-06T00:00:00.000Z","dependencies":[],"labels":["x"],"comments":[]}
+        |{"id":"a-2","title":"second","status":"closed","priority":1,"issue_type":"bug","created_at":"2026-01-07T12:00:00.000Z","updated_at":"2026-01-08T00:00:00.000Z","dependencies":["a-1"],"labels":[],"comments":["done"]}
+        |""".stripMargin)
+    val df = Tables.loadIssues(spark, tmp.toString)
+    assert(df.count() == 2)
+    val open = df.filter(col("status") === "open").collect()
+    assert(open.length == 1 && open.head.getAs[String]("id") == "a-1")
+    assert(df.filter(array_contains(col("dependencies"), "a-1")).count() == 1)
+    assert(df.schema("created_at").dataType.typeName == "timestamp")
+  }
+
+  test("X8: scenario catalog lookups by id and tag") {
+    assert(Scenarios.byId("S001").exists(_.tags.contains("smoke")))
+    assert(Scenarios.byId("S999").isEmpty)
+    assert(Scenarios.byTag("smoke").map(_.id).toSet ==
+      Set("S001", "S002", "S003", "S004"))
+    assert(Scenarios.byTag("deterministic").map(_.id) == Seq("S048"))
+    assert(Scenarios.all.map(_.id).distinct.size == Scenarios.all.size)
+  }
+
+  test("approx distinct users within 5% of exact per event type") {
+    val rows = RelationalQueries.qApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) =
+        (r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_users_exact"))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("router + per-source classification compose: degraded provider routes away") {
+    // sanity link between the config plane (router) and data plane (r9)
+    val route = RetrievalRouter.route(
+      RetrievalRequest("q"), ProviderStatus(Map(
+        Providers.Mem0 -> Providers.Degraded,
+        Providers.Supabase -> Providers.Available)), FeatureFlags())
+    assert(route.provider == Providers.Supabase)
+    val branches = RecallQueries.r9BranchPerSource(spark, sfDir)
+      .select("branch").distinct().collect().map(_.getString(0)).toSet
+    assert(branches.subsetOf(Set("SUCCESS", "LOW_CONFIDENCE", "EMPTY_SET")))
+  }
+}
