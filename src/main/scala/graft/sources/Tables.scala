@@ -99,6 +99,8 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
+  def schemaOf(name: String): StructType = schemas(name)
+
   /** Schema for the reference's event-sourced work-item JSONL log
     * (reference `.hive/issues.jsonl:1`; SURVEY §2.B X7). */
   val issues: StructType = StructType(Seq(
