@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RecallQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ HybridRetrieval.queries ++ GraphTraversal.queries
+      Multimodal.queries ++ HybridRetrieval.queries ++
+      GraphTraversal.queries ++ AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ RecallQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ HybridRetrieval.oracle ++ GraphTraversal.oracle
+      Multimodal.oracle ++ HybridRetrieval.oracle ++
+      GraphTraversal.oracle ++ AdvancedQueries.oracle
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Second wave of relational/analytical coverage: nation-pair trade
+  * volume (TPC-H Q7 shape), exact running totals, TF-IDF term ranking,
+  * and batched KNN — all oracle-checked under the same determinism
+  * rules as RelationalQueries. */
+object AdvancedQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- q7
+  /** TPC-H Q7-shaped bidirectional trade volume between two nations:
+    * supplier nation ↔ customer nation per ship-year. Exercises a
+    * disjunctive join predicate over two broadcast dims + a two-level
+    * grouping. */
+  def q7NationTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === n1 && $"cust_nation" === n2) ||
+        ($"supp_nation" === n2 && $"cust_nation" === n1))
+      .withColumn("l_year", year($"l_shipdate").cast("bigint"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Sql: String =
+    """WITH sup AS (SELECT s_suppkey, n_name AS supp_nation
+                    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       cust AS (SELECT c_custkey, n_name AS cust_nation
+                FROM customer JOIN nation ON c_nationkey = n_nationkey)
+       SELECT supp_nation, cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN sup ON l_suppkey = s_suppkey
+       JOIN cust ON o_custkey = c_custkey
+       WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+          OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // ------------------------------------------------------ running total
+  /** Exact running revenue per customer over order time: cumulative
+    * window sum in DECIMAL (order-independent exactness), emitted as
+    * double. Window frame = unbounded preceding → current row with a
+    * total (o_orderdate, o_orderkey) ordering. */
+  def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter($"o_custkey" <= 20)
+      .withColumn("running_spend",
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey",
+        unix_timestamp($"o_orderdate").as("odate_epoch"), $"running_spend")
+      .orderBy($"o_custkey", $"odate_epoch", $"o_orderkey")
+  }
+
+  val qRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS odate_epoch,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+       FROM orders WHERE o_custkey <= 20
+       ORDER BY o_custkey, odate_epoch, o_orderkey"""
+
+  // ------------------------------------------------------------- tf-idf
+  /** TF-IDF-style term ranking (rational rarity weight tf·N/df — no
+    * logarithm, which libm would round differently per engine): top-3
+    * distinguishing terms for the first 20 docs. */
+  def tTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count() // tiny scalar; at scale: a broadcast agg
+    val terms = docs
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"term")
+    tf.join(df_, "term")
+      .withColumn("tfidf",
+        $"tf".cast("double") * nDocs.toDouble / $"df".cast("double"))
+      .filter($"doc_id" < 20)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tTfidfSql: String =
+    """WITH terms AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           CAST(tf.tf AS DOUBLE) * (SELECT CAST(n_docs AS DOUBLE) FROM n) / CAST(df.df AS DOUBLE) AS tfidf
+         FROM tf JOIN df ON tf.term = df.term
+         WHERE tf.doc_id < 20),
+       ranked AS (
+         SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+         FROM scored)
+       SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+       ORDER BY doc_id, rank"""
+
+  // --------------------------------------------------------- batched knn
+  /** Batched KNN: top-5 cosine neighbors for EACH of the first 5 probe
+    * vectors in one plan — probes broadcast, one corpus scan, per-probe
+    * ranking window. This is the realistic P1 shape (many queries at
+    * once), and the window replaces 5 separate TakeOrdered jobs. */
+  def sKnnBatch(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val probes = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"sim".desc, $"vec_id")
+    e.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("sim", round(VectorFunctions.cosine($"embedding", $"p"), 3))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter($"rank" <= 5)
+      .select($"probe_id", $"rank", $"vec_id", $"sim")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val sKnnBatchSql: String =
+    """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p
+                  FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT p.probe_id, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], p.p), 3) AS sim
+         FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+       ranked AS (
+         SELECT probe_id, vec_id, sim,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         FROM scored)
+       SELECT probe_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
+       ORDER BY probe_id, rank"""
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_trade" -> (q7NationTrade _),
+    "q_running_total" -> (qRunningTotal _),
+    "t_tfidf_top_terms" -> (tTfidfTopTerms _),
+    "s_knn_batch" -> (sKnnBatch _))
+
+  val oracle: Map[String, String] = Map(
+    "q7_nation_trade" -> q7Sql,
+    "q_running_total" -> qRunningTotalSql,
+    "t_tfidf_top_terms" -> tTfidfSql,
+    "s_knn_batch" -> sKnnBatchSql)
+}
