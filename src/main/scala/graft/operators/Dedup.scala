@@ -153,9 +153,12 @@ object Dedup {
     // and candidates are verified against true Jaccard anyway.
     val hashed = toks.withColumn("hcat",
       concat(md5($"tok"), md5(concat(lit("x"), $"tok"))))
+    // signature + set size in ONE aggregation pass over the shingles
     val mhCols = (0 until MinHashFns).map(h =>
-      min(substring($"hcat", h * 5 + 1, 5)).as(s"mh$h"))
+      min(substring($"hcat", h * 5 + 1, 5)).as(s"mh$h")) :+
+      count(lit(1)).as("n")
     val mh = hashed.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .cache()
     val nBands = MinHashFns / MinHashBandRows
     val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until MinHashBandRows).map(r => col(s"mh${b * MinHashBandRows + r}"))
@@ -171,7 +174,7 @@ object Dedup {
       // consumed twice below (candidate-doc projection + semi filter);
       // caching stops the banding subtree from running twice
       .cache()
-    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = mh.select($"doc_id", $"n")
     // Verification touches only candidate docs: semi-join the token
     // table down FIRST, so the tok⋈tok join is over the (tiny) LSH
     // candidate set, not the whole corpus.

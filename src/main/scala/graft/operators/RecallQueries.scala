@@ -118,12 +118,43 @@ object RecallQueries {
          MAX($confSql) >= ${Defaults.Threshold} AS threshold_met
        FROM documents"""
 
+  // --------------------------------------------------------------- R12
+  /** R12 distributed envelope assembly: per source, the top-k candidates
+    * packed as an ORDERED array of structs + summary fields — the
+    * `collect_list(struct(...))` form of ContextPacket (reference
+    * `schemas.py:25-57`, SURVEY §1.1). sort_array over (negated conf,
+    * doc_id) keys gives a deterministic candidate order without relying
+    * on collect_list's input ordering (which shuffles at scale).
+    * Rows-only check: nested arrays-of-structs don't round-trip
+    * hash-comparably through the parquet/DuckDB boundary. */
+  def r12EnvelopePerSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    candidates(s, dir)
+      .groupBy($"source")
+      .agg(
+        slice(sort_array(collect_list(struct(
+          (-$"confidence").as("negconf"),
+          $"doc_id".as("id"),
+          $"confidence".as("confidence")))), 1, Defaults.TopK).as("sorted_top"),
+        max($"confidence").as("top_confidence"),
+        count(lit(1)).as("candidate_count"))
+      .select($"source",
+        transform($"sorted_top", c =>
+          struct(c.getField("id").as("id"),
+            c.getField("confidence").as("confidence"))).as("candidates"),
+        $"top_confidence",
+        ($"top_confidence" >= Defaults.Threshold).as("threshold_met"),
+        $"candidate_count")
+      .orderBy($"source")
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_topk_memory" -> (r4TopkMemory _),
     "r7_rerank_boost" -> (r7RerankBoost _),
     "r9_branch_per_source" -> (r9BranchPerSource _),
-    "r11_confidence_summary" -> (r11ConfidenceSummary _))
+    "r11_confidence_summary" -> (r11ConfidenceSummary _),
+    "r12_envelope_per_source" -> (r12EnvelopePerSource _))
 
   val oracle: Map[String, String] = Map(
     "r4_topk_memory" -> r4Sql,

@@ -52,6 +52,18 @@ class CapabilitiesSpec extends SparkSuite {
       .foreach(r => assert(r.getAs[String]("provider") == "mem0"))
   }
 
+  test("R12 distributed: per-source envelope packs ordered top-k candidate structs") {
+    val rows = RecallQueries.r12EnvelopePerSource(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val cands = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("candidates")
+      assert(cands.length <= Defaults.TopK && cands.nonEmpty)
+      val confs = cands.map(_.getAs[Double]("confidence")).toSeq
+      assert(confs == confs.sorted.reverse, "candidates not sorted desc")
+      assert(r.getAs[Double]("top_confidence") == confs.head)
+    }
+  }
+
   test("X7: event-sourced work-item JSONL scans with the declared schema") {
     val tmp = java.nio.file.Files.createTempFile("issues", ".jsonl")
     java.nio.file.Files.writeString(tmp,
