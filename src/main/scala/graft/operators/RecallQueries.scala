@@ -129,15 +129,23 @@ object RecallQueries {
     * hash-comparably through the parquet/DuckDB boundary. */
   def r12EnvelopePerSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    candidates(s, dir)
-      .groupBy($"source")
-      .agg(
-        slice(sort_array(collect_list(struct(
-          (-$"confidence").as("negconf"),
-          $"doc_id".as("id"),
-          $"confidence".as("confidence")))), 1, Defaults.TopK).as("sorted_top"),
-        max($"confidence").as("top_confidence"),
-        count(lit(1)).as("candidate_count"))
+    // Window top-k BEFORE collect_list so the aggregation buffer holds at
+    // most top_k structs per source (collect_list over the raw group
+    // would materialize the whole group — unbounded at scale). Full-group
+    // summary stats ride along as unbounded window aggregates over the
+    // same partitioning, so the single source-shuffle is shared.
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    val ranked = candidates(s, dir)
+      .withColumn("rn", row_number().over(
+        bySource.orderBy($"confidence".desc, $"doc_id")))
+      .withColumn("top_confidence", max($"confidence").over(bySource))
+      .withColumn("candidate_count", count(lit(1)).over(bySource))
+      .filter($"rn" <= Defaults.TopK)
+    ranked
+      .groupBy($"source", $"top_confidence", $"candidate_count")
+      .agg(sort_array(collect_list(struct(
+        $"rn", $"doc_id".as("id"), $"confidence".as("confidence"))))
+        .as("sorted_top"))
       .select($"source",
         transform($"sorted_top", c =>
           struct(c.getField("id").as("id"),
