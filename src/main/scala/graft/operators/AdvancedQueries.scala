@@ -170,16 +170,45 @@ object AdvancedQueries {
        SELECT probe_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
        ORDER BY probe_id, rank"""
 
+  // --------------------------------------------------------------- pivot
+  /** Pivot (crosstab): event-type counts per user via Spark's native
+    * pivot with an EXPLICIT value list — never the value-discovering
+    * form, which needs an extra pass over 100 TB just to learn the
+    * columns. Oracle expresses the same crosstab as portable CASE sums. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivotEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .filter($"user_id" < 30)
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy($"user_id")
+  }
+
+  val qPivotSql: String = {
+    val cases = EventTypes.map(t =>
+      s"""CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS "$t"""")
+      .mkString(", ")
+    s"""SELECT user_id, $cases
+       FROM events WHERE user_id < 30
+       GROUP BY user_id ORDER BY user_id"""
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_nation_trade" -> (q7NationTrade _),
     "q_running_total" -> (qRunningTotal _),
     "t_tfidf_top_terms" -> (tTfidfTopTerms _),
-    "s_knn_batch" -> (sKnnBatch _))
+    "s_knn_batch" -> (sKnnBatch _),
+    "q_pivot_events" -> (qPivotEvents _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
     "q_running_total" -> qRunningTotalSql,
     "t_tfidf_top_terms" -> tTfidfSql,
-    "s_knn_batch" -> sKnnBatchSql)
+    "s_knn_batch" -> sKnnBatchSql,
+    "q_pivot_events" -> qPivotSql)
 }

@@ -17,18 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphTraversal {
 
-  /** Generic BFS: edges (src, dst) treated as UNDIRECTED; returns
-    * (node, dist) for every node within maxHops of the seed set.
+  /** Generic BFS over a DIRECTED adjacency list (callers union both
+    * directions for undirected graphs — avoids a redundant distinct when
+    * the two directions can't collide, as in bipartite key spaces).
+    * Returns (node, dist) for every node within maxHops of the seed set.
     * Frontier and visited sets stay distributed; per hop: one join, one
     * union, one min-aggregate. */
   def bfs(
-      edges: DataFrame, // columns: src, dst
+      edges: DataFrame, // columns: src, dst (directed adjacency)
       seeds: DataFrame, // column: node
       maxHops: Int): DataFrame = {
-    val undirected = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .cache()
+    val undirected = edges.cache()
     var reached = seeds.select(col("node"), lit(0).as("dist")).cache()
     var frontier = reached
     for (hop <- 1 to maxHops) {
@@ -55,11 +54,15 @@ object GraphTraversal {
 
   def qGraph2Hop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = Tables.load(s, dir, "orders")
+    // distinct directed pairs; both directions unioned here (bipartite
+    // namespaces can't collide, so no second distinct needed)
+    val pairs = Tables.load(s, dir, "orders")
       .join(Tables.load(s, dir, "lineitem"),
         $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" + CustOffset).as("src"), $"l_suppkey".as("dst"))
       .distinct()
+    val edges = pairs.union(
+      pairs.select($"dst".as("src"), $"src".as("dst")))
     val seeds = s.range(1, 2).select($"id".as("node"))
     bfs(edges, seeds, maxHops = 2)
       .select($"node", $"dist".cast("bigint").as("dist"))

@@ -64,6 +64,19 @@ class CapabilitiesSpec extends SparkSuite {
     }
   }
 
+  test("as-of join: at-or-before semantics, null for rows with no predecessor") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, "r100"), (1L, 150L, "r150"), (2L, 60L, "r60"))
+      .toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoin.asOf(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[String]("v")))).toMap
+    assert(out("a") == Some("r100"), "equal timestamp counts as at-or-before")
+    assert(out("b") == Some("r150"), "latest prior wins")
+    assert(out("c") == None, "no predecessor -> null")
+  }
+
   test("X7: event-sourced work-item JSONL scans with the declared schema") {
     val tmp = java.nio.file.Files.createTempFile("issues", ".jsonl")
     java.nio.file.Files.writeString(tmp,
