@@ -24,49 +24,70 @@ object AsOfJoin {
 
   /** Generic form: left(keyCol, timeCol, ...) asof-joined against
     * right(keyCol, timeCol, valueCols...). Right columns arrive
-    * null-filled when no right row precedes the left row. */
+    * null-filled when no right row precedes the left row.
+    *
+    * The matched right row is carried as ONE struct, so a null in one
+    * value column of the matched row stays null (no per-column backfill
+    * from older rows — row atomicity matches a true as-of join). Ties
+    * among right rows at the same (key, time) are resolved
+    * deterministically by struct comparison (last = field-wise max);
+    * for full control dedup the right side first (as
+    * [[qAsofPurchaseClick]] does). */
   def asOf(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       timeCol: String,
       valueCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__side", "__rv", "__asof")
     require(valueCols.forall(!left.columns.contains(_)),
       "right value columns must not collide with left columns")
+    require(reserved.forall(c =>
+      !left.columns.contains(c) && !right.columns.contains(c)),
+      s"column names ${reserved.mkString("/")} are reserved by asOf")
+    require(right.columns.contains(keyCol) && right.columns.contains(timeCol),
+      s"right side must carry $keyCol and $timeCol")
     val l = left.withColumn("__side", lit(1))
     val r = right.select(
-      (Seq(col(keyCol), col(timeCol)) ++ valueCols.map(col)): _*)
+        (Seq(col(keyCol), col(timeCol)) ++ valueCols.map(col)): _*)
       .withColumn("__side", lit(0))
+      // the whole right row as one value — atomic carry
+      .withColumn("__rv", struct(valueCols.map(col): _*))
+      .drop(valueCols: _*)
     val lCols = left.columns
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at the same timestamp (__side 0<1)
-    // => "at-or-before" semantics
+    // => "at-or-before"; __rv as final key makes right-side ties
+    // deterministic regardless of partition-internal order
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(col(timeCol), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (acc, c) =>
-      acc.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__asof",
+      last(col("__rv"), ignoreNulls = true).over(w))
     val out = carried.filter(col("__side") === 1)
     valueCols.foldLeft(out) { (acc, c) =>
-      acc.withColumn(c, col(s"__asof_$c")).drop(s"__asof_$c")
-    }.drop("__side").select((lCols ++ valueCols).map(col): _*)
+      acc.withColumn(c, col("__asof").getField(c))
+    }.select((lCols ++ valueCols).map(col): _*)
   }
 
   /** Oracle-checked instance: for each purchase event, the same user's
     * latest click at-or-before it ("what did they click before buying").
     * The right side is deduped to one row per (uid, t) — max event_id —
-    * so tie handling is deterministic on both engines. Times are the raw
-    * integral nanoseconds. */
+    * so tie handling is deterministic on both engines.
+    *
+    * Times are compared in MICROSECONDS on both engines: DuckDB
+    * truncates TIMESTAMP(NANOS) to µs internally (verified — epoch_ns
+    * returns µs-zero-padded values), so the Spark side must truncate
+    * too or same-µs boundary events would tie differently per engine. */
   def qAsofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
+      .withColumn("t", expr("ts div 1000")) // µs, matching the oracle
     val purchases = ev.filter($"event_type" === "purchase")
-      .select($"event_id".as("purchase_id"), $"user_id".as("uid"),
-        $"ts".as("t"))
+      .select($"event_id".as("purchase_id"), $"user_id".as("uid"), $"t")
     val clickW = Window.partitionBy($"uid", $"t").orderBy($"click_id".desc)
     val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id".as("uid"), $"ts".as("t"),
+      .select($"user_id".as("uid"), $"t",
         $"event_id".as("click_id"), $"value".as("click_value"))
       .withColumn("rn", row_number().over(clickW))
       .filter($"rn" === 1).drop("rn")
@@ -77,12 +98,13 @@ object AsOfJoin {
 
   val qAsofSql: String =
     """WITH p AS (
-         SELECT event_id AS purchase_id, user_id AS uid, epoch_ns(ts) AS t
+         SELECT event_id AS purchase_id, user_id AS uid,
+                epoch_ns(ts) // 1000 AS t
          FROM events WHERE event_type = 'purchase'),
        c0 AS (
-         SELECT user_id AS uid, epoch_ns(ts) AS t, event_id AS click_id,
-                value AS click_value,
-                row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+         SELECT user_id AS uid, epoch_ns(ts) // 1000 AS t,
+                event_id AS click_id, value AS click_value,
+                row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
                                    ORDER BY event_id DESC) AS rn
          FROM events WHERE event_type = 'click'),
        c AS (SELECT uid, t, click_id, click_value FROM c0 WHERE rn = 1)

@@ -234,9 +234,10 @@ object Dedup {
     * via xxhash64 without changing the plan. */
   def dSimhashClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // per-doc distinct map-side (array_distinct), no global shuffle
     val toks = d(s, dir)
-      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
-      .distinct()
+      .select($"doc_id",
+        explode(array_distinct(TextAnalysis.tokens($"text"))).as("tok"))
       .withColumn("h", md5($"tok"))
     val bitSums = (0 until 16).map { j =>
       sum(when(substring($"h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)

@@ -27,14 +27,14 @@ object GraphTraversal {
       edges: DataFrame, // columns: src, dst (directed adjacency)
       seeds: DataFrame, // column: node
       maxHops: Int): DataFrame = {
-    val undirected = edges.cache()
+    val adj = edges.cache()
     var reached = seeds.select(col("node"), lit(0).as("dist")).cache()
     var frontier = reached
     for (hop <- 1 to maxHops) {
       // dataset aliases break the self-join lineage ambiguity (frontier
-      // descends from `undirected` after the first hop)
+      // descends from the adjacency list after the first hop)
       val f = frontier.select(col("node")).as("f")
-      val next = f.join(undirected.as("u"), col("f.node") === col("u.src"))
+      val next = f.join(adj.as("u"), col("f.node") === col("u.src"))
         .select(col("u.dst").as("node"), lit(hop).as("dist"))
         .join(reached.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")

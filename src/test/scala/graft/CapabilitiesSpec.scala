@@ -77,6 +77,21 @@ class CapabilitiesSpec extends SparkSuite {
     assert(out("c") == None, "no predecessor -> null")
   }
 
+  test("as-of join carries the matched right ROW atomically (nulls not backfilled)") {
+    import spark.implicits._
+    // matched row (t=10) has a null value column; an older row (t=5) has
+    // a value — per-column carry would stitch a frankenstein row
+    val left = Seq((1L, 20L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, Some("id5"), Some("v5")),
+        (1L, 10L, Some("id10"), Option.empty[String]))
+      .toDF("k", "t", "rid", "rv")
+    val row = graft.operators.AsOfJoin.asOf(left, right, "k", "t", Seq("rid", "rv"))
+      .collect().head
+    assert(row.getAs[String]("rid") == "id10")
+    assert(row.getAs[String]("rv") == null,
+      "null in the matched row must stay null, not backfill from t=5")
+  }
+
   test("X7: event-sourced work-item JSONL scans with the declared schema") {
     val tmp = java.nio.file.Files.createTempFile("issues", ".jsonl")
     java.nio.file.Files.writeString(tmp,
