@@ -335,6 +335,23 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------------------- percentiles
+  /** Event-value distribution per type: exact median/p90 would need a
+    * full sort per group; approx_percentile (t-digest-style sketch) is
+    * the bounded-memory, mergeable form that scales. Rows-only check —
+    * sketch estimates are engine-specific; the spec bounds the error
+    * against exact percentiles instead. */
+  def qValuePercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        percentile_approx($"value", lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx($"value", lit(0.9), lit(1000)).as("p90_approx"),
+        min($"value").as("v_min"), max($"value").as("v_max"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -348,7 +365,8 @@ object RelationalQueries {
     "q_set_intersect" -> (qSetIntersect _),
     "q_anti_no_orders" -> (qAntiNoOrders _),
     "q_priority_case" -> (qPriorityCase _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_value_percentiles" -> (qValuePercentiles _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,

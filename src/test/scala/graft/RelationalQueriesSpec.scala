@@ -9,8 +9,9 @@ import graft.operators.RelationalQueries
 class RelationalQueriesSpec extends SparkSuite {
 
   test("every relational query has an oracle and runs on sf0.001") {
-    // sketch queries are deliberately oracle-free (engine-specific HLL)
-    val oracleFree = Set("q_approx_distinct")
+    // sketch queries are deliberately oracle-free (engine-specific HLL /
+    // percentile sketches)
+    val oracleFree = Set("q_approx_distinct", "q_value_percentiles")
     assert(RelationalQueries.queries.keySet -- oracleFree ==
       RelationalQueries.oracle.keySet)
     for ((name, fn) <- RelationalQueries.queries) {
@@ -51,6 +52,28 @@ class RelationalQueriesSpec extends SparkSuite {
     rows.foreach { r =>
       val (e, ses) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions"))
       assert(ses >= 1 && ses <= e)
+    }
+  }
+
+  test("approx percentiles bracket the true distribution per event type") {
+    import org.apache.spark.sql.functions._
+    val approx = RelationalQueries.qValuePercentiles(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p90_approx"),
+          r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))).toMap
+    val exact = graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    for ((t, (a50, a90, lo, hi)) <- approx) {
+      val (e50, e90) = exact(t)
+      assert(a50 >= lo && a50 <= hi && a90 >= lo && a90 <= hi)
+      assert(math.abs(a50 - e50) <= 0.05 * (hi - lo) + 1e-9, s"$t p50")
+      assert(math.abs(a90 - e90) <= 0.05 * (hi - lo) + 1e-9, s"$t p90")
+      assert(a90 >= a50)
     }
   }
 
