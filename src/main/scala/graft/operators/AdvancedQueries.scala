@@ -197,18 +197,93 @@ object AdvancedQueries {
        GROUP BY user_id ORDER BY user_id"""
   }
 
+  // ---------------------------------------------------------------- json
+  /** Semi-structured extraction: events.props is a JSON string column;
+    * pull `$.k` and aggregate. At scale prefer from_json with an explicit
+    * schema once per row over repeated get_json_object calls; here one
+    * path keeps the oracle 1:1. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """WITH x AS (
+         SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events)
+       SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM x GROUP BY event_type ORDER BY event_type"""
+
+  // ------------------------------------------------------ above average
+  /** Correlated-subquery shape ("orders above the customer's own
+    * average"): decorrelated into a per-key aggregate + self-join — the
+    * form Catalyst produces anyway, written explicitly so the exact
+    * DECIMAL average is shared with the oracle. */
+  def qAboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val avgs = o.groupBy($"o_custkey".as("ck"))
+      .agg((dsum($"o_totalprice") / count(lit(1))).as("avg_price"))
+    o.join(avgs, $"o_custkey" === $"ck")
+      .filter($"o_totalprice" > $"avg_price" * 1.5)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"avg_price")
+      .orderBy($"o_orderkey")
+  }
+
+  val qAboveAvgSql: String =
+    """WITH a AS (
+         SELECT o_custkey AS ck,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+         FROM orders GROUP BY 1)
+       SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+       FROM orders JOIN a ON o_custkey = ck
+       WHERE o_totalprice > avg_price * 1.5
+       ORDER BY o_orderkey"""
+
+  // -------------------------------------------------------- calendar agg
+  /** Calendar rollup: orders per (year, month) with exact value sums —
+    * date-part extraction coverage. */
+  def qOrdersByMonth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy(year($"o_orderdate").cast("bigint").as("y"),
+        month($"o_orderdate").cast("bigint").as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"y", $"m")
+  }
+
+  val qOrdersByMonthSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+              CAST(month(o_orderdate) AS BIGINT) AS m,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders GROUP BY 1, 2 ORDER BY y, m"""
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_nation_trade" -> (q7NationTrade _),
     "q_running_total" -> (qRunningTotal _),
     "t_tfidf_top_terms" -> (tTfidfTopTerms _),
     "s_knn_batch" -> (sKnnBatch _),
-    "q_pivot_events" -> (qPivotEvents _))
+    "q_pivot_events" -> (qPivotEvents _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_above_avg_orders" -> (qAboveAvgOrders _),
+    "q_orders_by_month" -> (qOrdersByMonth _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
     "q_running_total" -> qRunningTotalSql,
     "t_tfidf_top_terms" -> tTfidfSql,
     "s_knn_batch" -> sKnnBatchSql,
-    "q_pivot_events" -> qPivotSql)
+    "q_pivot_events" -> qPivotSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_above_avg_orders" -> qAboveAvgSql,
+    "q_orders_by_month" -> qOrdersByMonthSql)
 }
