@@ -266,6 +266,40 @@ object AdvancedQueries {
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        FROM orders GROUP BY 1, 2 ORDER BY y, m"""
 
+  // ---------------------------------------------------------- range join
+  /** Keyed range join: pairs of events by the same user within 60s of
+    * each other. The Spark side pre-buckets time into 60s cells and
+    * equi-joins on (user, cell) with the right side exploded into
+    * {cell-1, cell, cell+1} — a ±60s pair's cells differ by at most 1,
+    * and the i<j role filter fixes which side plays `a`, so the 3-cell
+    * expansion guarantees every qualifying pair meets in exactly one
+    * cell. The range predicate then filters a bounded candidate set
+    * instead of the full per-user cross product. The oracle states the
+    * plain range join (DuckDB's IEJoin handles it natively) — same
+    * semantics, different physical strategy. */
+  def qRangePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowNs = 60L * 1000000000L
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        expr(s"ts div $windowNs").as("cell"))
+    val a = ev.select($"user_id", $"event_id".as("i"), $"ts".as("ti"), $"cell")
+    val b = ev.select($"user_id", $"event_id".as("j"), $"ts".as("tj"),
+        explode(array($"cell" - 1, $"cell", $"cell" + 1)).as("cell"))
+    a.join(b, Seq("user_id", "cell"))
+      .filter($"i" < $"j" && abs($"ti" - $"tj") <= windowNs)
+      .select($"user_id", $"i", $"j").distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy($"user_id")
+  }
+
+  val qRangePairsSql: String =
+    """SELECT a.user_id, COUNT(*) AS n_close_pairs
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 60000000000
+       GROUP BY a.user_id ORDER BY a.user_id"""
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_nation_trade" -> (q7NationTrade _),
@@ -275,7 +309,8 @@ object AdvancedQueries {
     "q_pivot_events" -> (qPivotEvents _),
     "q_json_extract" -> (qJsonExtract _),
     "q_above_avg_orders" -> (qAboveAvgOrders _),
-    "q_orders_by_month" -> (qOrdersByMonth _))
+    "q_orders_by_month" -> (qOrdersByMonth _),
+    "q_range_pairs" -> (qRangePairs _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
@@ -285,5 +320,6 @@ object AdvancedQueries {
     "q_pivot_events" -> qPivotSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_above_avg_orders" -> qAboveAvgSql,
-    "q_orders_by_month" -> qOrdersByMonthSql)
+    "q_orders_by_month" -> qOrdersByMonthSql,
+    "q_range_pairs" -> qRangePairsSql)
 }
