@@ -14,14 +14,18 @@ object Bench {
     // query doesn't absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // noop sink materializes every column — count() would let Catalyst
+    // prune the computed columns out of projection-only queries and time
+    // an empty scan. Best-of-2 runs: the first run pays one-shot codegen
+    // compilation (~1-2s/query); min reflects steady-state throughput.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every column — count() would let Catalyst
-      // prune the computed columns out of projection-only queries and
-      // time an empty scan
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -91,6 +91,27 @@ object EventsStream {
       .toDF()
   }
 
+  /** Stream-stream interval join: purchases enriched with the same
+    * user's clicks from the preceding 30 minutes. Both sides carry
+    * watermarks so the join state is GC'd once event time passes the
+    * interval — the property that bounds state on an unbounded run.
+    * (Batch twin: the keyed range join `AdvancedQueries.qRangePairs`.) */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "40 minutes")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+              c_time BETWEEN p_time - INTERVAL 30 MINUTES AND p_time"""))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("p_time"), col("c_time"))
+  }
+
   /** Run a streaming query to a named in-memory sink and block until the
     * (finite, file-backed) source drains — the local test harness for a
     * pipeline that runs unbounded in production. */

@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the equivalent batch join") {
+    import org.apache.spark.sql.functions._
+    val src = EventsStream.source(spark, eventsDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.purchasesWithRecentClicks(src), "ssjoin")
+    try {
+      val streamed = spark.sql(
+        "SELECT count(*) FROM ssjoin").collect().head.getLong(0)
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+        .withColumn("t", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("t").as("pt"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("t").as("ct"))
+      val batch = p.join(c, col("u") === col("cu") &&
+        col("ct") <= col("pt") &&
+        col("ct") >= col("pt") - lit(30L * 60L * 1000000L)).count()
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed > 0, "no joined pairs — data window assumption broken")
+    } finally q.stop()
+  }
+
   test("session memory state matches the batch sessionization") {
     val src = EventsStream.source(spark, eventsDir)
     val q = EventsStream.runToMemory(
