@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-side lake layout management (the half of a data lake the read
+  * path depends on): date-partitioned parquet with controlled file
+  * counts, plus pruned readback.
+  *
+  * Scale rules encoded here:
+  *  - Partition by a LOW-cardinality time key (event_date → ~365
+  *    partitions/year), never by user/id (millions of tiny dirs kill
+  *    the metastore and the FileIndex).
+  *  - Control files-per-partition with repartition(partitionCols) before
+  *    the write — otherwise every task writes to every partition and a
+  *    32-task × 30-day write emits ~960 small files.
+  *  - Readers filter on the partition column so pruning happens at the
+  *    FileIndex level (PartitionFilters in the scan, zero data read for
+  *    pruned dates).
+  */
+object LakeLayout {
+
+  /** Write events date-partitioned; one file per (partition, bucket of
+    * `filesPerPartition`). */
+  def writeEventsPartitioned(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      filesPerPartition: Int = 1): Unit = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("event_date",
+        to_date(timestamp_micros(expr("ts div 1000"))))
+    ev.repartition(filesPerPartition, col("event_date"))
+      .write
+      .partitionBy("event_date")
+      .mode("overwrite")
+      .parquet(outPath)
+  }
+
+  /** Read back one day; the filter must hit PartitionFilters, not data
+    * filters. */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("event_date") === lit(day))
+}
