@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -10,14 +10,21 @@ import org.apache.spark.sql.types._
   *
   * Spark's higher-order functions (`zip_with`/`aggregate`) interpret the
   * lambda per ELEMENT — fine for one scan, ruinous inside an O(n²) pair
-  * join. These expressions evaluate once per ROW with a tight primitive
-  * loop over the ArrayData (no per-element closures, no intermediate
-  * product arrays), preserving bit-identical results to the sequential
-  * left-fold the HOF forms compute (same accumulation order, same
-  * float→double widening) — so DuckDB oracle parity is unchanged.
+  * join. These expressions generate a tight primitive loop over the
+  * ArrayData inside whole-stage codegen (doGenCode below; the
+  * interpreted eval is the fallback), with no per-element closures and
+  * no intermediate product arrays, preserving bit-identical results to
+  * the sequential left-fold the HOF forms compute (same accumulation
+  * order, same float→double widening) — so DuckDB oracle parity is
+  * unchanged.
   */
-private[functions] trait VecBinaryOp extends BinaryExpression with CodegenFallback {
+private[functions] trait VecBinaryOp extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  /** Java accessor snippet for element i of an ArrayData variable,
+    * widened to double. */
+  protected def jGet(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 
   private def isNumArray(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -53,6 +60,20 @@ case class VecDot(left: Expression, right: Expression) extends VecBinaryOp {
     while (i < n) { acc += elem(a, i, lf) * elem(b, i, rf); i += 1 }
     acc
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${jGet(a, i, leftIsFloat)} * ${jGet(b, i, rightIsFloat)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -81,6 +102,30 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryOp {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${jGet(a, i, leftIsFloat)};
+         |  double $y = ${jGet(b, i, rightIsFloat)};
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
