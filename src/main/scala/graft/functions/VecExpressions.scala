@@ -47,17 +47,25 @@ private[functions] trait VecBinaryOp extends BinaryExpression {
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 }
 
-/** dot(a, b) = Σ aᵢ·bᵢ in double, sequential accumulation. */
+/** dot(a, b) = Σ aᵢ·bᵢ in double, sequential accumulation. NULL on
+  * length mismatch or any null element — matching what the zip_with/
+  * aggregate HOF forms (and the DuckDB list functions) produce, instead
+  * of a confident-looking partial sum. */
 case class VecDot(left: Expression, right: Expression) extends VecBinaryOp {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = leftIsFloat
     val rf = rightIsFloat
-    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += elem(a, i, lf) * elem(b, i, rf); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elem(a, i, lf) * elem(b, i, rf)
+      i += 1
+    }
     acc
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,12 +74,17 @@ case class VecDot(left: Expression, right: Expression) extends VecBinaryOp {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${jGet(a, i, leftIsFloat)} * ${jGet(b, i, rightIsFloat)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${jGet(a, i, leftIsFloat)} * ${jGet(b, i, rightIsFloat)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -85,14 +98,16 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryOp {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = leftIsFloat
     val rf = rightIsFloat
-    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = elem(a, i, lf)
       val y = elem(b, i, rf)
       dot += x * y
@@ -112,18 +127,24 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryOp {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${jGet(a, i, leftIsFloat)};
-         |  double $y = ${jGet(b, i, rightIsFloat)};
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = ${jGet(a, i, leftIsFloat)};
+         |    double $y = ${jGet(b, i, rightIsFloat)};
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull})
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

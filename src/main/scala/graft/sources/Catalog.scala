@@ -20,13 +20,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Catalog {
 
-  val tableNames: Seq[String] = Seq("region", "nation", "customer",
-    "supplier", "part", "orders", "lineitem", "events", "documents",
-    "embeddings")
+  val tableNames: Seq[String] = Tables.names
 
   /** Builder for a Hive-enabled local session (embedded Derby metastore
     * under warehouseDir). */
-  def hiveSession(appName: String, warehouseDir: String, cpus: Int = 4): SparkSession =
+  def hiveSession(appName: String, warehouseDir: String, cpus: Int = 4): SparkSession = {
+    // catalogImplementation is a static conf: getOrCreate on an existing
+    // session would silently drop Hive support — fail fast instead.
+    require(SparkSession.getActiveSession.isEmpty &&
+      SparkSession.getDefaultSession.isEmpty,
+      "hiveSession must be created before any other SparkSession in this JVM")
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -38,6 +41,7 @@ object Catalog {
         s"jdbc:derby:;databaseName=$warehouseDir/metastore_db;create=true")
       .enableHiveSupport()
       .getOrCreate()
+  }
 
   /** Declare every testdata table as an external parquet table in
     * `dbName`, with the DECLARED schema (not footer inference — which

@@ -30,7 +30,12 @@ object LakeLayout {
     val ev = Tables.load(spark, sfDir, "events")
       .withColumn("event_date",
         to_date(timestamp_micros(expr("ts div 1000"))))
-    ev.repartition(filesPerPartition, col("event_date"))
+    // repartition BY (date, salt): each (date, salt) group lands in one
+    // task => up to filesPerPartition files per date, and the write
+    // parallelizes across dates x salts instead of funneling through
+    // the hash of the date alone.
+    ev.repartition(col("event_date"),
+        pmod(col("event_id"), lit(filesPerPartition)))
       .write
       .partitionBy("event_date")
       .mode("overwrite")

@@ -101,6 +101,10 @@ object Tables {
 
   def schemaOf(name: String): StructType = schemas(name)
 
+  /** Stable table-name list (single source of truth for catalogs). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   /** Schema for the reference's event-sourced work-item JSONL log
     * (reference `.hive/issues.jsonl:1`; SURVEY §2.B X7). */
   val issues: StructType = StructType(Seq(

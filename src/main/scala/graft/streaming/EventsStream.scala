@@ -79,10 +79,16 @@ object EventsStream {
           var last = prev.lastNs
           var n = prev.nEvents
           var sessions = prev.nSessions
+          // late events (older than the carried state) are DROPPED, not
+          // applied — applying them would regress `last` and corrupt gap
+          // math for every subsequent on-time event. Production variant:
+          // EventTimeTimeout + watermark instead of silent drop.
           rows.toSeq.sortBy(_._2).foreach { case (_, ns) =>
-            if (last == Long.MinValue || ns - last > gapNs) sessions += 1
-            last = ns
-            n += 1
+            if (last == Long.MinValue || ns > last) {
+              if (last == Long.MinValue || ns - last > gapNs) sessions += 1
+              last = ns
+              n += 1
+            }
           }
           val next = UserState(last, n, sessions)
           state.update(next)
@@ -116,7 +122,7 @@ object EventsStream {
     * (finite, file-backed) source drains — the local test harness for a
     * pipeline that runs unbounded in production. */
   def runToMemory(df: DataFrame, name: String,
-      outputMode: String = "append"): StreamingQuery = {
+      outputMode: String): StreamingQuery = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)

@@ -67,6 +67,24 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(diff == 0, "native expression diverged from HOF fold")
   }
 
+  test("vec expressions: NULL on length mismatch or null element (HOF parity)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](1f, 2f, 3f)),
+      (Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot($"a", $"b").as("d"),
+      VectorFunctions.cosine($"a", $"b").as("c"),
+      VectorFunctions.dotHof($"a", $"b").as("dh")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), "native dot must be NULL")
+      assert(r.isNullAt(1), "native cosine must be NULL")
+      assert(r.isNullAt(2), "HOF reference is NULL too")
+    }
+  }
+
   test("brute-force topk and LSH ANN topk agree on the probe's bucket neighbors") {
     val exact = Similarity.sCosineTopk(spark, sfDir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap

@@ -22,7 +22,7 @@ class StreamingSpec extends SparkSuite {
     // passes its end, so the trailing window(s) of a finite source stay
     // in state and never emit — compare per-window, not grand totals.
     val src = EventsStream.source(spark, eventsDir)
-    val q = EventsStream.runToMemory(EventsStream.hourlyByType(src), "hourly")
+    val q = EventsStream.runToMemory(EventsStream.hourlyByType(src), "hourly", "append")
     try {
       val streamed = spark.sql(
         """SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS h,
@@ -43,8 +43,8 @@ class StreamingSpec extends SparkSuite {
 
   test("sliding window emits more window rows than tumbling") {
     val src = EventsStream.source(spark, eventsDir)
-    val qt = EventsStream.runToMemory(EventsStream.hourlyByType(src), "tumb")
-    val qs = EventsStream.runToMemory(EventsStream.slidingByType(src), "slide")
+    val qt = EventsStream.runToMemory(EventsStream.hourlyByType(src), "tumb", "append")
+    val qs = EventsStream.runToMemory(EventsStream.slidingByType(src), "slide", "append")
     try {
       val nT = spark.sql("SELECT count(*) FROM tumb").collect().head.getLong(0)
       val nS = spark.sql("SELECT count(*) FROM slide").collect().head.getLong(0)
@@ -54,7 +54,7 @@ class StreamingSpec extends SparkSuite {
 
   test("watermarked dedup preserves distinct event_ids") {
     val src = EventsStream.source(spark, eventsDir)
-    val q = EventsStream.runToMemory(EventsStream.dedupEvents(src), "dedup")
+    val q = EventsStream.runToMemory(EventsStream.dedupEvents(src), "dedup", "append")
     try {
       val n = spark.sql("SELECT count(*) FROM dedup").collect().head.getLong(0)
       val distinctIds = spark.sql(
@@ -68,7 +68,7 @@ class StreamingSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val src = EventsStream.source(spark, eventsDir)
     val q = EventsStream.runToMemory(
-      EventsStream.purchasesWithRecentClicks(src), "ssjoin")
+      EventsStream.purchasesWithRecentClicks(src), "ssjoin", "append")
     try {
       val streamed = spark.sql(
         "SELECT count(*) FROM ssjoin").collect().head.getLong(0)
