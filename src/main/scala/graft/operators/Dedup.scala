@@ -144,20 +144,35 @@ object Dedup {
     * near-duplication. */
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = shingles(s, dir)
-      .select($"doc_id", $"sh".as("tok"))
+    // FUSED map-side signatures: the whole MinHash signature is computed
+    // per document with array higher-order functions — no shingle
+    // explode, no shuffle, no aggregation. 12 hash functions come from
+    // 5-hex-char slices of TWO md5s per shingle (one-permutation-hashing
+    // style): 2 digest calls per shingle total, then 12 cheap substring
+    // mins over the in-row array. 20-bit slices are plenty for
+    // min-selection over ~10²-10³ shingles, and candidates are verified
+    // against true Jaccard anyway.
+    val withShingles = d(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .withColumn("shs", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+    // This cache is load-bearing twice over: (a) without it,
+    // project-collapse inlines the md5 transform into EACH of the 12
+    // array_min expressions below (24 digests per shingle instead of 2);
+    // (b) it is the single materialized form — still in array shape,
+    // one row per doc — that both the signature projection and the
+    // verification explode read, so the tokenize/shingle HOF chain runs
+    // exactly once per document.
+    val hashed = withShingles
+      .withColumn("hcats",
+        transform($"shs", x => concat(md5(x), md5(concat(lit("x"), x)))))
       .cache()
-    // 12 hash functions from 5-hex-char slices of TWO md5s per shingle
-    // (one-permutation-hashing style): 2 digest calls instead of 12.
-    // 20-bit slices are plenty for min-selection over ~10²-10³ shingles,
-    // and candidates are verified against true Jaccard anyway.
-    val hashed = toks.withColumn("hcat",
-      concat(md5($"tok"), md5(concat(lit("x"), $"tok"))))
-    // signature + set size in ONE aggregation pass over the shingles
     val mhCols = (0 until MinHashFns).map(h =>
-      min(substring($"hcat", h * 5 + 1, 5)).as(s"mh$h")) :+
-      count(lit(1)).as("n")
-    val mh = hashed.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      array_min(transform($"hcats", c => substring(c, h * 5 + 1, 5)))
+        .as(s"mh$h"))
+    val mh = hashed.select(
+      (Seq($"doc_id", size($"shs").cast("bigint").as("n")) ++ mhCols): _*)
       .cache()
     val nBands = MinHashFns / MinHashBandRows
     val bandStructs = (0 until nBands).map { b =>
@@ -175,12 +190,15 @@ object Dedup {
       // caching stops the banding subtree from running twice
       .cache()
     val sizes = mh.select($"doc_id", $"n")
-    // Verification touches only candidate docs: semi-join the token
-    // table down FIRST, so the tok⋈tok join is over the (tiny) LSH
-    // candidate set, not the whole corpus.
+    // Verification touches only candidate docs: semi-join BEFORE the
+    // shingle explode, so only the (tiny) LSH candidate set is ever
+    // exploded into rows — the rest of the corpus never leaves its
+    // array form.
     val candDocs = cand.select($"i".as("doc_id"))
       .union(cand.select($"j".as("doc_id"))).distinct()
-    val toksC = toks.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val toksC = hashed
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select($"doc_id", explode($"shs").as("tok"))
     val common = toksC.select($"doc_id".as("i"), $"tok")
       .join(toksC.select($"doc_id".as("j"), $"tok"), Seq("tok"))
       .join(cand, Seq("i", "j"), "left_semi")
