@@ -46,4 +46,22 @@ object LakeLayout {
     * filters. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("event_date") === lit(day))
+
+  /** Write a table bucketed (+sorted) by a join key into the session
+    * catalog. Two tables bucketed the same way join with NO exchange and
+    * NO sort — at 100 TB that removes the dominant cost of every
+    * fact⋈fact join on the bucketing key (the classic orders⋈lineitem
+    * case). Bucket count is a layout decision: pick ≈ cluster cores ×
+    * small constant; both sides must match for the exchange to be
+    * elided. */
+  def writeBucketed(
+      df: org.apache.spark.sql.DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
 }

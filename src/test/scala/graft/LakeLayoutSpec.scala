@@ -35,6 +35,30 @@ class LakeLayoutSpec extends SparkSuite {
     assert(n == expected)
   }
 
+  test("matching bucketed tables join with no exchange and no sort") {
+    import graft.sources.{LakeLayout, Tables}
+    LakeLayout.writeBucketed(
+      Tables.load(spark, sfDir, "orders"), "b_orders", "o_orderkey", 4)
+    LakeLayout.writeBucketed(
+      Tables.load(spark, sfDir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+      "o_orderkey", 4)
+    // tiny test tables would broadcast (which also skips bucketing) —
+    // force the shuffle-join path the assertion is about
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables.load(spark, sfDir, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("round-trip preserves every event exactly once") {
     val written = spark.read.parquet(lakePath).count()
     val source = graft.sources.Tables.load(spark, sfDir, "events").count()
