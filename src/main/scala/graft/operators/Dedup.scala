@@ -250,20 +250,30 @@ object Dedup {
     * signatures form near-dup clusters. 16 bits is deliberately small so
     * clustering is visible at test scale; production widens to 64 bits
     * via xxhash64 without changing the plan. */
-  def dSimhashClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc SimHash signatures at `bits` width (16 for the cluster
+    * demo, 32 — one bit per md5 nibble — for the pairs query; shared
+    * construction). */
+  private def simhashSigs(s: SparkSession, dir: String, bits: Int): DataFrame = {
     import s.implicits._
-    // per-doc distinct map-side (array_distinct), no global shuffle
-    val toks = d(s, dir)
-      .select($"doc_id",
-        explode(array_distinct(TextAnalysis.tokens($"text"))).as("tok"))
-      .withColumn("h", md5($"tok"))
-    val bitSums = (0 until 16).map { j =>
+    // SHINGLES, not unigram tokens — same lesson as MinHash: over a
+    // small shared vocabulary every doc has near-identical token SETS,
+    // so unigram SimHash cannot discriminate (measured: 35k pairs at
+    // Hamming<=3 even with 32-bit signatures). 3-gram shingles restore
+    // discrimination. Per-doc distinct is map-side, no global shuffle.
+    val toks = shingles(s, dir)
+      .withColumn("h", md5($"sh"))
+    val bitSums = (0 until bits).map { j =>
       sum(when(substring($"h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
         .otherwise(-1)).as(s"s$j")
     }
     val sums = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val bits = (0 until 16).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
-    sums.select($"doc_id", concat(bits: _*).as("simhash"))
+    val bcols = (0 until bits).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
+    sums.select($"doc_id", concat(bcols: _*).as("simhash"))
+  }
+
+  def dSimhashClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashSigs(s, dir, bits = 16)
       .groupBy($"simhash")
       .agg(count(lit(1)).as("n_docs"),
         min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
@@ -277,11 +287,8 @@ object Dedup {
     }.mkString(", ")
     val bits = (0 until 16)
       .map(j => s"(CASE WHEN s$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
-    s"""WITH toks AS (
-         SELECT DISTINCT doc_id,
-           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS tok
-         FROM documents),
-       hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    s"""WITH $shinglesSqlCte,
+       hs AS (SELECT doc_id, md5(sh) AS h FROM shd),
        sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
        sigs AS (SELECT doc_id, $bits AS simhash FROM sums)
        SELECT simhash, COUNT(*) AS n_docs,
@@ -290,16 +297,79 @@ object Dedup {
        ORDER BY simhash"""
   }
 
+  // ------------------------------------------------------ simhash pairs
+  /** Near-dup pairs by SimHash Hamming distance ≤ 3 via banded LSH over
+    * 32-BIT signatures: 4 bands × 8 bits — by pigeonhole, ≤ 3 differing
+    * bits leave at least one band intact, so banding has EXACT recall at
+    * this threshold (no probabilistic miss). 16 bits saturates on this
+    * corpus (measured: 8.7k identical-signature pairs at sf0.01); 32
+    * bits makes band buckets sparse so candidates ∝ real similarity.
+    * Hamming verification is 32 per-position comparisons over the
+    * candidate set only. Production widens further to 64-bit xxhash64,
+    * same plan. */
+  def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSigs(s, dir, bits = 32).cache()
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), substring($"simhash", b * 8 + 1, 8).as("key")))
+    val bands = sigs.select($"doc_id", $"simhash",
+        explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"simhash", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+        $"a.simhash".as("sa"), $"b.simhash".as("sb"))
+      .distinct()
+    val hamming = (0 until 32)
+      .map(p => when(substring($"sa", p + 1, 1) === substring($"sb", p + 1, 1), 0)
+        .otherwise(1))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+    cand.withColumn("hamming", hamming.cast("bigint"))
+      .filter($"hamming" <= 3)
+      .select($"i", $"j", $"hamming")
+      .orderBy($"i", $"j")
+  }
+
+  val dSimhashPairsSql: String = {
+    val sums = (0 until 32).map { j =>
+      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${b * 8 + 1}, 8) AS key FROM sigs")
+      .mkString(" UNION ALL ")
+    val ham = (0 until 32)
+      .map(p => s"(CASE WHEN substr(sa, ${p + 1}, 1) = substr(sb, ${p + 1}, 1) THEN 0 ELSE 1 END)")
+      .mkString(" + ")
+    s"""WITH $shinglesSqlCte,
+       hs AS (SELECT doc_id, md5(sh) AS h FROM shd),
+       sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
+       sigs AS (SELECT doc_id, $bits AS simhash FROM sums),
+       bands AS ($bandSelects),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT i, j, CAST($ham AS BIGINT) AS hamming
+       FROM cand WHERE $ham <= 3
+       ORDER BY i, j"""
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_stats" -> (dExactStats _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
-    "d_simhash_clusters" -> (dSimhashClusters _))
+    "d_simhash_clusters" -> (dSimhashClusters _),
+    "d_simhash_pairs" -> (dSimhashPairs _))
 
   val oracle: Map[String, String] = Map(
     "d_exact_stats" -> dExactStatsSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
-    "d_simhash_clusters" -> dSimhashClustersSql)
+    "d_simhash_clusters" -> dSimhashClustersSql,
+    "d_simhash_pairs" -> dSimhashPairsSql)
 }

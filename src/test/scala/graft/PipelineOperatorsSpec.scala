@@ -28,6 +28,20 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(jac.subsetOf(mh), s"LSH missed pairs: ${jac -- mh}")
   }
 
+  test("simhash pairs largely agree with the jaccard-planted near-dups") {
+    val jac = Dedup.dNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val sim = Dedup.dSimhashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(sim.nonEmpty)
+    // precision: nearly all simhash hits are true near-dups
+    val truePos = sim.intersect(jac).size.toDouble / sim.size
+    assert(truePos >= 0.8, s"precision $truePos (sim=${sim.size}, overlap=${sim.intersect(jac).size})")
+    // recall is allowed to be lossy (simhash is a weaker signal than
+    // exact jaccard) but should catch most planted pairs
+    assert(sim.intersect(jac).size >= jac.size / 2, "lost most planted pairs")
+  }
+
   test("exact-dedup stats are self-consistent") {
     val r = Dedup.dExactStats(spark, sfDir).collect().head
     val (docs, distinct, clusters, removable) =
