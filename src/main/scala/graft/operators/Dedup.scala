@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   *    the self-join from going quadratic on common phrases.
   *  - MinHash: 12 hash functions / 4 bands × 3 rows ⇒ catches
   *    Jaccard ≳ 0.5 with high probability; candidates verified against
-  *    true Jaccard ≥ 0.5. Signatures are 12 `min` aggregates in ONE scan
-  *    (no row explosion); banding joins on (band, key) so only
-  *    same-bucket docs ever meet — that is what makes it linear-ish.
+  *    true Jaccard ≥ 0.5. Signatures are fused map-side (array HOFs per
+  *    doc — no explode, no aggregation shuffle); banding joins on
+  *    (band, key) so only same-bucket docs ever meet; only LSH
+  *    candidates are ever exploded back into rows.
+  *  - SimHash: shingle-based signatures (unigram sets saturate on small
+  *    vocabularies); banded Hamming pairs have exact recall at the
+  *    threshold via pigeonhole band counts.
   */
 object Dedup {
 

@@ -81,6 +81,35 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(diff == 0, "native expression diverged from HOF fold")
   }
 
+  test("property: native vec expressions match HOF forms on random vectors incl. nulls") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int, nullProb: Double): Array[java.lang.Float] =
+      Array.fill[java.lang.Float](n)(
+        if (rnd.nextDouble() < nullProb) null
+        else java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 10f))
+    val rows = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(8)
+      val m = if (rnd.nextDouble() < 0.2) 1 + rnd.nextInt(8) else n
+      (vec(n, 0.1), vec(m, 0.1))
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        VectorFunctions.dot($"a", $"b").as("dn"),
+        VectorFunctions.dotHof($"a", $"b").as("dh"),
+        VectorFunctions.cosine($"a", $"b").as("cn"),
+        VectorFunctions.cosineHof($"a", $"b").as("ch"))
+      .filter(
+        ($"dn".isNull =!= $"dh".isNull) || ($"dn" =!= $"dh") ||
+        ($"cn".isNull =!= $"ch".isNull) ||
+        // cosine can be NaN on degenerate vectors in BOTH forms — treat
+        // NaN==NaN as agreement
+        (!isnan($"cn") && !isnan($"ch") && $"cn" =!= $"ch"))
+      .count()
+    assert(bad == 0, s"$bad divergent rows between native and HOF forms")
+  }
+
   test("vec expressions: NULL on length mismatch or null element (HOF parity)") {
     import spark.implicits._
     VectorFunctions.register(spark)
