@@ -47,6 +47,32 @@ object LakeLayout {
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("event_date") === lit(day))
 
+  /** Compact a partitioned parquet layout: rewrite each partition's
+    * small files into ~targetFileMB files. The streaming ingest path
+    * (one file per trigger) fragments partitions over time; compaction
+    * restores scan efficiency (fewer tasks, bigger sequential reads,
+    * less FileIndex pressure). Rewrites to a new path + atomic-ish swap
+    * is the production pattern; here the rewrite target is explicit. */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      partitionCol: String,
+      targetFileMB: Int = 128): Unit = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).length()).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    // deterministic content-hash salt (not spark_partition_id) so the
+    // compacted layout is reproducible for identical input data
+    df.repartition(col(partitionCol),
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(nFiles)))
+      .write
+      .partitionBy(partitionCol)
+      .mode("overwrite")
+      .parquet(outPath)
+  }
+
   /** Write a table bucketed (+sorted) by a join key into the session
     * catalog. Two tables bucketed the same way join with NO exchange and
     * NO sort — at 100 TB that removes the dominant cost of every
