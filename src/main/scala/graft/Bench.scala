@@ -32,6 +32,9 @@ object Bench {
           -1.0
         }
       val (a, b) = (once(), once())
+      // release caches pinned by the query's internal .cache() calls so
+      // storage-memory pressure from one query never skews the next
+      spark.catalog.clearCache()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

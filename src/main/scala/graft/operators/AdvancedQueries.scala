@@ -82,7 +82,7 @@ object AdvancedQueries {
 
   val qRunningTotalSql: String =
     """SELECT o_custkey, o_orderkey,
-       CAST(epoch(o_orderdate) AS BIGINT) AS odate_epoch,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_epoch,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
@@ -214,7 +214,7 @@ object AdvancedQueries {
 
   val qJsonExtractSql: String =
     """WITH x AS (
-         SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events)
        SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
               MIN(k) AS min_k, MAX(k) AS max_k
@@ -279,15 +279,17 @@ object AdvancedQueries {
     * semantics, different physical strategy. */
   def qRangePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val windowNs = 60L * 1000000000L
+    // compare in MICROSECONDS: DuckDB truncates TIMESTAMP(NANOS) to us,
+    // so nanosecond-exact diffs would disagree at the inclusive boundary
+    val windowUs = 60L * 1000000L
     val ev = t(s, dir, "events")
-      .select($"user_id", $"event_id", $"ts",
-        expr(s"ts div $windowNs").as("cell"))
-    val a = ev.select($"user_id", $"event_id".as("i"), $"ts".as("ti"), $"cell")
-    val b = ev.select($"user_id", $"event_id".as("j"), $"ts".as("tj"),
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tus"))
+      .withColumn("cell", expr(s"tus div $windowUs"))
+    val a = ev.select($"user_id", $"event_id".as("i"), $"tus".as("ti"), $"cell")
+    val b = ev.select($"user_id", $"event_id".as("j"), $"tus".as("tj"),
         explode(array($"cell" - 1, $"cell", $"cell" + 1)).as("cell"))
     a.join(b, Seq("user_id", "cell"))
-      .filter($"i" < $"j" && abs($"ti" - $"tj") <= windowNs)
+      .filter($"i" < $"j" && abs($"ti" - $"tj") <= windowUs)
       .select($"user_id", $"i", $"j").distinct()
       .groupBy($"user_id").agg(count(lit(1)).as("n_close_pairs"))
       .orderBy($"user_id")
@@ -297,7 +299,7 @@ object AdvancedQueries {
     """SELECT a.user_id, COUNT(*) AS n_close_pairs
        FROM events a JOIN events b
          ON a.user_id = b.user_id AND a.event_id < b.event_id
-        AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 60000000000
+        AND abs(epoch_ns(a.ts) // 1000 - epoch_ns(b.ts) // 1000) <= 60000000
        GROUP BY a.user_id ORDER BY a.user_id"""
 
   // ----------------------------------------------------------- registry

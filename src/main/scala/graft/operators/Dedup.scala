@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *    (join on shingle). Stop-shingles (appearing in > [[ShingleDocCap]]
   *    docs) are dropped on BOTH engines — the standard guard that keeps
   *    the self-join from going quadratic on common phrases.
-  *  - MinHash: 12 hash functions / 4 bands × 3 rows ⇒ catches
-  *    Jaccard ≳ 0.5 with high probability; candidates verified against
-  *    true Jaccard ≥ 0.5. Signatures are fused map-side (array HOFs per
+  *  - MinHash: 12 hash functions / 4 bands × 3 rows — band-match
+  *    probability is 1-(1-J³)⁴: ≈0.41 at J=0.5 (the scheme's 50% point
+  *    is J≈0.54) but ≈1 for the J≥0.8 near-dups this corpus plants;
+  *    candidates verified against true Jaccard ≥ 0.5. Signatures are fused map-side (array HOFs per
   *    doc — no explode, no aggregation shuffle); banding joins on
   *    (band, key) so only same-bucket docs ever meet; only LSH
   *    candidates are ever exploded back into rows.

@@ -78,13 +78,25 @@ object RecallQueries {
   // --------------------------------------------------------------- R9
   /** R9+R11 per group: confidence aggregation + ordered CASE branch
     * classification (reference `orchestration/fallbacks.py:162-199`),
-    * one row per source. Strict `<` keeps threshold-equal as met. */
+    * one row per source. Strict `<` keeps threshold-equal as met.
+    *
+    * The provider UNIVERSE (sources + a provider with no documents)
+    * left-joins the aggregates so the EMPTY_SET branch is actually
+    * reachable — a bare groupBy drops empty groups and could never emit
+    * the reference's fallback state. */
   def r9BranchPerSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    candidates(s, dir)
+    val aggs = candidates(s, dir)
       .groupBy($"source")
       .agg(max($"confidence").as("top_confidence"),
         count(lit(1)).as("candidate_count"))
+    val universe = candidates(s, dir).select($"source").distinct()
+      .unionByName(Seq("src_none").toDF("source"))
+    universe.join(aggs, Seq("source"), "left")
+      .withColumn("candidate_count",
+        coalesce($"candidate_count", lit(0L)))
+      .withColumn("top_confidence",
+        coalesce($"top_confidence", lit(0.0)))
       .withColumn("branch",
         when($"candidate_count" === 0, "EMPTY_SET")
           .when($"top_confidence" < Defaults.Threshold, "LOW_CONFIDENCE")
@@ -94,13 +106,24 @@ object RecallQueries {
   }
 
   val r9Sql: String =
-    s"""SELECT source, MAX($confSql) AS top_confidence,
-         COUNT(*) AS candidate_count,
-         CASE WHEN COUNT(*) = 0 THEN 'EMPTY_SET'
-              WHEN MAX($confSql) < ${Defaults.Threshold} THEN 'LOW_CONFIDENCE'
+    s"""WITH aggs AS (
+         SELECT source, MAX($confSql) AS top_confidence,
+                COUNT(*) AS candidate_count
+         FROM documents GROUP BY source),
+       universe AS (
+         SELECT DISTINCT source FROM documents
+         UNION ALL SELECT 'src_none'),
+       j AS (
+         SELECT u.source,
+                COALESCE(a.top_confidence, 0.0) AS top_confidence,
+                CAST(COALESCE(a.candidate_count, 0) AS BIGINT) AS candidate_count
+         FROM universe u LEFT JOIN aggs a ON u.source = a.source)
+       SELECT source, top_confidence, candidate_count,
+         CASE WHEN candidate_count = 0 THEN 'EMPTY_SET'
+              WHEN top_confidence < ${Defaults.Threshold} THEN 'LOW_CONFIDENCE'
               ELSE 'SUCCESS' END AS branch,
-         MAX($confSql) >= ${Defaults.Threshold} AS threshold_met
-       FROM documents GROUP BY source ORDER BY source"""
+         top_confidence >= ${Defaults.Threshold} AS threshold_met
+       FROM j ORDER BY source"""
 
   // --------------------------------------------------------------- R11
   /** R11: global confidence summary — the single aggregate row the

@@ -87,7 +87,7 @@ object RelationalQueries {
 
   val q3Sql: String =
     """SELECT l_orderkey,
-       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey

@@ -61,16 +61,20 @@ object TextAnalysis {
     import s.implicits._
     val toks = tokens($"text")
     val nTok = size(toks).cast("bigint")
+    // membership count of the probe list (each probe word counts once)
     val nStop = Stopwords
       .map(w => when(array_contains(toks, w), 1).otherwise(0))
       .reduce[Column](_ + _)
-      // count stopword OCCURRENCES, not just distinct membership:
-      .cast("bigint") // membership count of probe list (distinct by construction)
+      .cast("bigint")
     val charLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     d(s, dir)
       .withColumn("n_tokens", nTok)
       .withColumn("n_stopword_hits", nStop)
-      .withColumn("mean_token_len", charLen.cast("double") / $"n_tokens")
+      // explicit NULL for zero-token docs: Spark's 0.0/0 is NaN while
+      // DuckDB's list_sum([])/0 is NULL — pin both engines to NULL
+      .withColumn("mean_token_len",
+        when($"n_tokens" === 0, lit(null))
+          .otherwise(charLen.cast("double") / $"n_tokens"))
       .withColumn("stopword_ratio",
         $"n_stopword_hits".cast("double") / lit(Stopwords.size))
       .withColumn("tier",
@@ -95,7 +99,9 @@ object TextAnalysis {
          SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST($hits AS BIGINT) AS n_stopword_hits,
-           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mean_token_len
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+           END AS mean_token_len
          FROM t)
        SELECT doc_id, n_tokens, n_stopword_hits, mean_token_len,
          CAST(n_stopword_hits AS DOUBLE) / ${Stopwords.size} AS stopword_ratio,
