@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.DecimalType
 object AdvancedQueries {
 
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    Shared.dsum(c, scale)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -302,6 +302,58 @@ object AdvancedQueries {
         AND abs(epoch_ns(a.ts) // 1000 - epoch_ns(b.ts) // 1000) <= 60000000
        GROUP BY a.user_id ORDER BY a.user_id"""
 
+  // ------------------------------------------------------ first/last
+  /** Per-user first and last event via first_value/last_value over a
+    * fully-framed window (UNBOUNDED..UNBOUNDED — the default frame with
+    * an ORDER BY would silently give the "running last", a classic
+    * window-frame trap). */
+  def qFirstLastEvent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("first_type", first($"event_type").over(w))
+      .withColumn("last_type", last($"event_type").over(w))
+      .groupBy($"user_id", $"first_type", $"last_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val qFirstLastSql: String =
+    """WITH x AS (
+         SELECT user_id,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+         FROM events)
+       SELECT user_id, first_type, last_type, COUNT(*) AS n_events
+       FROM x GROUP BY 1, 2, 3 ORDER BY user_id"""
+
+  // ------------------------------------------------- conditional aggs
+  /** Conditional aggregation in one pass (the FILTER-clause shape): per
+    * event type, counts/sums restricted by predicates without extra
+    * scans or joins. */
+  def qConditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when($"value" > 10.0, 1)).as("n_high"),
+        Shared.dsum(when($"value" > 10.0, $"value").otherwise(0.0))
+          .as("sum_high"),
+        count(when($"user_id" % 2 === 0, 1)).as("n_even_users"))
+      .orderBy($"event_type")
+  }
+
+  val qConditionalAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE value > 10.0) AS n_high,
+       CAST(SUM(CAST(CASE WHEN value > 10.0 THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_high,
+       COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_users
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_nation_trade" -> (q7NationTrade _),
@@ -312,7 +364,9 @@ object AdvancedQueries {
     "q_json_extract" -> (qJsonExtract _),
     "q_above_avg_orders" -> (qAboveAvgOrders _),
     "q_orders_by_month" -> (qOrdersByMonth _),
-    "q_range_pairs" -> (qRangePairs _))
+    "q_range_pairs" -> (qRangePairs _),
+    "q_first_last_event" -> (qFirstLastEvent _),
+    "q_conditional_agg" -> (qConditionalAgg _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
@@ -323,5 +377,7 @@ object AdvancedQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_above_avg_orders" -> qAboveAvgSql,
     "q_orders_by_month" -> qOrdersByMonthSql,
-    "q_range_pairs" -> qRangePairsSql)
+    "q_range_pairs" -> qRangePairsSql,
+    "q_first_last_event" -> qFirstLastSql,
+    "q_conditional_agg" -> qConditionalAggSql)
 }

@@ -24,11 +24,10 @@ object HybridRetrieval {
   private def docs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .withColumn("confidence",
-        (($"doc_id" * 37) % 100).cast("double") / 100.0)
+      .withColumn("confidence", Shared.syntheticConfidence($"doc_id"))
   }
 
-  private val confSql = "CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0"
+  private val confSql = Shared.syntheticConfidenceSql
 
   // ---------------------------------------------------------------- P5
   /** P5: RAG knowledge-base search with source filter + match_count

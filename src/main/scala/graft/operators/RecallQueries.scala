@@ -19,11 +19,10 @@ object RecallQueries {
   private def candidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .withColumn("confidence",
-        (($"doc_id" * 37) % 100).cast("double") / 100.0)
+      .withColumn("confidence", Shared.syntheticConfidence($"doc_id"))
   }
 
-  private val confSql = "CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0"
+  private val confSql = Shared.syntheticConfidenceSql
 
   // --------------------------------------------------------------- R4
   /** R4: guard-filter → sort desc → limit top_k → normalize projection

@@ -23,10 +23,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RelationalQueries {
 
-  /** Exact, order-independent sum of a double column: cast each value to
-    * DECIMAL, sum exactly, emit double. */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    Shared.dsum(c, scale)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
