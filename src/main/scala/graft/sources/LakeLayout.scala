@@ -73,6 +73,23 @@ object LakeLayout {
       .parquet(outPath)
   }
 
+  /** Upsert (MERGE) semantics over plain parquet: rows from `updates`
+    * replace same-key rows in `base`; unmatched update rows are
+    * inserts. Implemented as anti-join + union — one shuffle on the
+    * key, no full rewrite of unmatched base partitions when the
+    * downstream write is partition-aligned. (A table format with
+    * transactional MERGE — Delta/Iceberg — replaces this at the storage
+    * layer; the relational algebra is identical.) */
+  def upsert(
+      base: org.apache.spark.sql.DataFrame,
+      updates: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      "upsert requires identical schemas")
+    base.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+  }
+
   /** Write a table bucketed (+sorted) by a join key into the session
     * catalog. Two tables bucketed the same way join with NO exchange and
     * NO sort — at 100 TB that removes the dominant cost of every

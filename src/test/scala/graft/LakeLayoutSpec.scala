@@ -109,6 +109,21 @@ class LakeLayoutSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("upsert replaces matched keys and inserts the rest") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "v", "x")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "v", "x")
+    val merged = graft.sources.LakeLayout.upsert(base, updates, "id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(merged == Map(
+      1L -> ("a", 10.0), 2L -> ("B", 99.0),
+      3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeLayout.upsert(base, updates.drop("x"), "id")
+    }
+  }
+
   test("round-trip preserves every event exactly once") {
     val written = spark.read.parquet(lakePath).count()
     val source = graft.sources.Tables.load(spark, sfDir, "events").count()
