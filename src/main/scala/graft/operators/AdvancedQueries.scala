@@ -302,6 +302,58 @@ object AdvancedQueries {
         AND abs(epoch_ns(a.ts) // 1000 - epoch_ns(b.ts) // 1000) <= 60000000
        GROUP BY a.user_id ORDER BY a.user_id"""
 
+  // --------------------------------------------------------------- q10
+  /** TPC-H Q10-shaped: top customers by revenue from returned items —
+    * selective fact filter (returnflag) joined up to the customer dim,
+    * top-20 by exact revenue. */
+  def q10ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val c = t(s, dir, "customer").select($"c_custkey", $"c_name", $"c_nationkey")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  // --------------------------------------------------------------- q18
+  /** TPC-H Q18-shaped: orders whose total line quantity exceeds a
+    * threshold (aggregate HAVING driving a semi-join back to the fact
+    * rows) — the "large order" detection shape. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 300.0)
+    big.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+         SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+       SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+       FROM big JOIN orders ON l_orderkey = o_orderkey
+       ORDER BY total_qty DESC, o_orderkey"""
+
   // ------------------------------------------------------ first/last
   /** Per-user first and last event via first_value/last_value over a
     * fully-framed window (UNBOUNDED..UNBOUNDED — the default frame with
@@ -366,7 +418,9 @@ object AdvancedQueries {
     "q_orders_by_month" -> (qOrdersByMonth _),
     "q_range_pairs" -> (qRangePairs _),
     "q_first_last_event" -> (qFirstLastEvent _),
-    "q_conditional_agg" -> (qConditionalAgg _))
+    "q_conditional_agg" -> (qConditionalAgg _),
+    "q10_returned_revenue" -> (q10ReturnedRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
@@ -379,5 +433,7 @@ object AdvancedQueries {
     "q_orders_by_month" -> qOrdersByMonthSql,
     "q_range_pairs" -> qRangePairsSql,
     "q_first_last_event" -> qFirstLastSql,
-    "q_conditional_agg" -> qConditionalAggSql)
+    "q_conditional_agg" -> qConditionalAggSql,
+    "q10_returned_revenue" -> q10Sql,
+    "q18_large_orders" -> q18Sql)
 }
