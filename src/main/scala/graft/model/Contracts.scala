@@ -128,17 +128,16 @@ object RerankTypes {
 }
 
 /** Feature flags (reference `deps.py:7-14` defaults). */
+/** mem0ExternalOverride exists only to mirror the reference's
+  * `mem0_external_override` flag, which the engine deliberately IGNORES
+  * (Mem0 policy wins — scenario S025); provider enablement order is
+  * routing policy and lives in RetrievalRouter.enabledProviders. */
 final case class FeatureFlags(
     mem0Enabled: Boolean = true,
     supabaseEnabled: Boolean = true,
     graphitiEnabled: Boolean = false,
-    externalRerankEnabled: Boolean = true) {
-  def enabledProviders: Seq[String] = Providers.order.filter {
-    case Providers.Mem0 => mem0Enabled
-    case Providers.Supabase => supabaseEnabled
-    case Providers.Graphiti => graphitiEnabled
-  }
-}
+    externalRerankEnabled: Boolean = true,
+    mem0ExternalOverride: Boolean = false)
 
 /** Engine defaults (reference `deps.py:44-52`,
   * `context_packet.py:43-45`). */

@@ -39,7 +39,11 @@ object BranchClassifier {
         threshold_met = false, Branches.LowConfidence),
       provider, rerank_applied = false, iso),
     NextAction(Actions.Clarify,
-      f"Top confidence $topConfidence%.2f below threshold $threshold%.2f",
+      // Locale.ROOT: the default-locale f-interpolator would print comma
+      // decimals on e.g. a German JVM, breaking determinism and parity
+      String.format(java.util.Locale.ROOT,
+        "Top confidence %.2f below threshold %.2f",
+        Double.box(topConfidence), Double.box(threshold)),
       Branches.LowConfidence,
       Some("Request clarification on query intent or narrow scope")))
 

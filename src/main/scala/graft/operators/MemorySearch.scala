@@ -26,7 +26,6 @@ final class MemorySearch(val provider: String = Providers.Mem0) {
     * tiebreak beyond the reference's confidence-only stable sort, making
     * the distributed sort total (determinism mandate, SURVEY §4). */
   def searchMemories(
-      spark: SparkSession,
       source: Dataset[MemorySearchResult],
       query: String,
       topK: Int = Defaults.TopK,
@@ -34,11 +33,9 @@ final class MemorySearch(val provider: String = Providers.Mem0) {
     if (query == null || query.trim.isEmpty)
       return (Seq.empty, Map("provider" -> provider, "query_empty" -> "true"))
 
-    import spark.implicits._
     val top = source
       .orderBy(desc("confidence"), asc("id"))
       .limit(topK)
-      .as[MemorySearchResult]
       .collect()
       .toSeq
     val candidates = top.map(r =>

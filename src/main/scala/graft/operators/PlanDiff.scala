@@ -113,11 +113,21 @@ object PlanDiff {
       spark: SparkSession,
       planned: DataFrame, // single string column "path"
       actual: DataFrame): DataFrame = {
+    // single full-outer join + one aggregation — each input is scanned
+    // once (three separate count() actions would scan everything twice)
     val p = planned.select(col("path")).distinct()
+      .withColumn("__p", lit(1))
     val a = actual.select(col("path")).distinct()
-    val overlap = p.intersect(a).count()
-    val nP = p.count()
-    val nA = a.count()
+      .withColumn("__a", lit(1))
+    val row = p.join(a, Seq("path"), "full_outer")
+      .agg(
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("n_planned"),
+        sum(when(col("__a").isNotNull, 1L).otherwise(0L)).as("n_actual"),
+        sum(when(col("__p").isNotNull && col("__a").isNotNull, 1L)
+          .otherwise(0L)).as("n_overlap"))
+      .collect().head
+    val (nP, nA, overlap) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
     import spark.implicits._
     Seq((nP, nA, overlap, nA - overlap, nP - overlap,
       math.round((if (nP > 0) overlap.toDouble / nP * 100 else 100.0) * 10) / 10.0))

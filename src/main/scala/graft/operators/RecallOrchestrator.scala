@@ -25,7 +25,8 @@ final class RecallOrchestrator(
       s"mem0_enabled=${flags.mem0Enabled}",
       s"supabase_enabled=${flags.supabaseEnabled}",
       s"graphiti_enabled=${flags.graphitiEnabled}",
-      s"external_rerank_enabled=${flags.externalRerankEnabled}").mkString(","),
+      s"external_rerank_enabled=${flags.externalRerankEnabled}",
+      s"mem0_external_override=${flags.mem0ExternalOverride}").mkString(","),
     "provider_status_snapshot" ->
       status.status.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
 
@@ -66,7 +67,7 @@ final class RecallOrchestrator(
     // Step 2: distributed top-k retrieval from the routed source.
     val search = new MemorySearch(route.provider)
     val (retrieved, _) = search.searchMemories(
-      spark, memorySource(route.provider, request.query), request.query,
+      memorySource(route.provider, request.query), request.query,
       request.topK, rerank = !route.skipExternalRerank)
 
     // Step 3: external-rerank policy gate (R8) — the duplicate-rerank-

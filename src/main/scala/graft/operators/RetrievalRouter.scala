@@ -25,16 +25,18 @@ object RetrievalRouter {
     b.result()
   }
 
+  /** The duplicate-rerank-elimination policy: mem0 always skips the
+    * external rerank (reference
+    * `docs/architecture/retrieval-overlap-policy.md:19-25`). Single
+    * definition shared by every routing path. */
+  private def skipFor(p: String): Boolean = p == Providers.Mem0
+
   /** R1: mode-based deterministic selection
-    * (`retrieval_router.py:16-60`). Mem0 always implies
-    * skip_external_rerank=true (duplicate-rerank-elimination policy,
-    * reference `docs/architecture/retrieval-overlap-policy.md:19-25`). */
+    * (`retrieval_router.py:16-60`). */
   def selectRoute(
       mode: String,
       available: Seq[String],
       status: ProviderStatus): Route = {
-    def skipFor(p: String): Boolean = p == Providers.Mem0
-
     if (available.isEmpty) return Route(Providers.None_, skipExternalRerank = false)
 
     val picked: Option[Route] = mode match {
@@ -78,7 +80,7 @@ object RetrievalRouter {
     val enabled = enabledProviders(flags)
     request.providerOverride match {
       case Some(p) if enabled.contains(p) =>
-        Route(p, skipExternalRerank = p == Providers.Mem0)
+        Route(p, skipExternalRerank = skipFor(p))
       case _ =>
         selectRoute(request.mode, enabled, status)
     }

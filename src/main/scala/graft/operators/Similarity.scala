@@ -40,6 +40,9 @@ object Similarity {
       .crossJoin(broadcast(probe))
       .withColumn("sim",
         round(VectorFunctions.cosine($"embedding", $"p"), 3))
+      // zero-norm vectors yield NaN, which Spark sorts ABOVE every real
+      // double — drop them before ranking
+      .filter(!isnan($"sim") && $"sim".isNotNull)
       .select($"vec_id", $"label", $"sim")
       .orderBy($"sim".desc, $"vec_id")
       .limit(10)
@@ -67,6 +70,9 @@ object Similarity {
     // re-evaluate it 64× per row).
     val withNorm = e(s, dir)
       .withColumn("nrm", VectorFunctions.l2Norm($"embedding"))
+      // zero-norm vectors would propagate NaN through every pair they
+      // touch (and NaN sorts above all real similarities)
+      .filter($"nrm" > 0.0)
       .cache()
     val unit = withNorm.select($"vec_id",
       transform($"embedding", x => x.cast("double") / $"nrm").as("u"))
@@ -102,10 +108,19 @@ object Similarity {
     * joins happens within equal buckets only — at 100 TB this is the
     * shuffle-key that replaces the quadratic pair join. Rows-only
     * correctness check (hyperplane constants are engine-local). */
+  /** Embedding dimensionality read from the data (one tiny job) — a
+    * hardcoded dim would silently degenerate every signature to one
+    * bucket on a different corpus (VecDot returns NULL on length
+    * mismatch). */
+  private def embeddingDim(s: SparkSession, dir: String): Int = {
+    import s.implicits._
+    e(s, dir).select(size($"embedding")).head().getInt(0)
+  }
+
   def sAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
-    val planes = hyperplanes(nPlanes = 8, dim = 64)
+    val planes = hyperplanes(nPlanes = 8, dim = embeddingDim(s, dir))
     val sig = planes.zipWithIndex.map { case (p, idx) =>
       val pc = array(p.map(lit): _*)
       when(VectorFunctions.dot($"embedding", pc) >= 0, lit("1")).otherwise(lit("0"))
@@ -124,7 +139,7 @@ object Similarity {
   def sAnnTopk(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
-    val planes = hyperplanes(nPlanes = 8, dim = 64)
+    val planes = hyperplanes(nPlanes = 8, dim = embeddingDim(s, dir))
     def bucketCol(v: org.apache.spark.sql.Column) =
       concat(planes.map { p =>
         val pc = array(p.map(lit): _*)
@@ -136,6 +151,7 @@ object Similarity {
     withBucket.join(broadcast(probe), "bucket")
       .filter($"vec_id" =!= ProbeId)
       .withColumn("sim", round(VectorFunctions.cosine($"embedding", $"p"), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
       .select($"vec_id", $"label", $"sim")
       .orderBy($"sim".desc, $"vec_id")
       .limit(k)

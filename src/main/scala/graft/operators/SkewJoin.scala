@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * rows across `factor` tasks. Row multiplicity is preserved exactly
   * (each large-side row matches exactly one replica).
   *
-  * The salt is derived from deterministic row content (xxhash64 of the
-  * whole row + key) rather than rand() so results are replayable —
-  * same spirit as the engine-wide determinism mandate.
+  * The salt mixes row content (xxhash64) with a per-row monotonic id so
+  * even byte-identical duplicate rows of the hot key spread across
+  * tasks (a content-only hash would send identical rows to one task —
+  * the exact case salting targets). Join RESULTS are deterministic
+  * regardless of salt values — salting only relocates rows, the output
+  * multiset is unchanged.
   */
 object SkewJoin {
 
@@ -29,8 +32,11 @@ object SkewJoin {
       key: String,
       factor: Int = 8): DataFrame = {
     require(factor >= 1)
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt column name is reserved by saltedJoin")
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(factor)))
+      pmod(xxhash64(struct(large.columns.map(col): _*))
+        + monotonically_increasing_id(), lit(factor)))
     val salts = (0 until factor).map(i => lit(i))
     val replicated = small.withColumn("__salt",
       explode(array(salts: _*)))

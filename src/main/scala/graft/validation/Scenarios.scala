@@ -62,7 +62,7 @@ object Scenarios {
     BranchScenario("S025", "Mem0 external override on",
       RetrievalRequest("mem0 override query"),
       st(Providers.Mem0 -> "available"),
-      FeatureFlags(),
+      FeatureFlags(mem0ExternalOverride = true),
       Branches.RerankBypassed, Actions.Proceed, RerankTypes.ProviderNative,
       Set("policy"),
       "Mem0 policy still skips external even with override flag"),
