@@ -354,6 +354,36 @@ object AdvancedQueries {
        FROM big JOIN orders ON l_orderkey = o_orderkey
        ORDER BY total_qty DESC, o_orderkey"""
 
+  // --------------------------------------------------------------- q14
+  /** TPC-H Q14-shaped: revenue share of one part type in a ship-month —
+    * conditional/total ratio over a fact⋈dim join. Numerator and
+    * denominator are exact decimal sums; the final ratio is one double
+    * division of two identical doubles on both engines. */
+  def q14TypeShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-02-01").cast("timestamp"))
+    val p = t(s, dir, "part").select($"p_partkey", $"p_type")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        (dsum(when($"p_type" === "PROMO",
+            $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0), 4) * 100.0 /
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4))
+          .as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+       CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+           THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) * 100.0 /
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'"""
+
   // ------------------------------------------------------ first/last
   /** Per-user first and last event via first_value/last_value over a
     * fully-framed window (UNBOUNDED..UNBOUNDED — the default frame with
@@ -420,7 +450,8 @@ object AdvancedQueries {
     "q_first_last_event" -> (qFirstLastEvent _),
     "q_conditional_agg" -> (qConditionalAgg _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
-    "q18_large_orders" -> (q18LargeOrders _))
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q14_promo_share" -> (q14TypeShare _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
@@ -435,5 +466,6 @@ object AdvancedQueries {
     "q_first_last_event" -> qFirstLastSql,
     "q_conditional_agg" -> qConditionalAggSql,
     "q10_returned_revenue" -> q10Sql,
-    "q18_large_orders" -> q18Sql)
+    "q18_large_orders" -> q18Sql,
+    "q14_promo_share" -> q14Sql)
 }

@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.Catalog
+
+/** Three-way equivalence: every oracle SQL string that is ANSI enough to
+  * parse on Spark SQL must produce exactly the DataFrame query's result
+  * over the same temp views. (DuckDB-specific oracles — list functions,
+  * epoch_ns, `//`, ASOF — fail analysis and are skipped; DuckDB itself
+  * checks those via scripts/check_oracle.py.) */
+class SqlParitySpec extends SparkSuite {
+
+  test("parseable oracle SQL agrees with the DataFrame implementation") {
+    Catalog.registerViews(spark, sfDir)
+    var parity = 0
+    var skipped = 0
+    val mismatches = Seq.newBuilder[String]
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
+      val viaSql =
+        try Some(spark.sql(sql).collect().map(_.toSeq).toSeq)
+        catch { case _: Throwable => None }
+      viaSql match {
+        case None => skipped += 1
+        case Some(rows) =>
+          val viaDf = SparkEntry.queries(name)(spark, sfDir)
+            .collect().map(_.toSeq).toSeq
+          if (rows.sortBy(_.mkString("|")) == viaDf.sortBy(_.mkString("|"))) parity += 1
+          else mismatches += name
+      }
+    }
+    assert(mismatches.result().isEmpty,
+      s"SQL/DataFrame mismatch: ${mismatches.result()}")
+    // the relational core should all be ANSI-parseable on Spark
+    assert(parity >= 12, s"only $parity oracle SQLs ran on Spark SQL ($skipped skipped)")
+    info(s"three-way parity: $parity queries, $skipped DuckDB-specific skipped")
+  }
+}
