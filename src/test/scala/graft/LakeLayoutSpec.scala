@@ -93,6 +93,20 @@ class LakeLayoutSpec extends SparkSuite {
     assert(merged.count() == 2)
   }
 
+  test("ORC round-trip with explicit schema") {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/ev"
+    val src = graft.sources.Tables.load(spark, sfDir, "events")
+    src.write.orc(out)
+    val back = spark.read
+      .schema(graft.sources.Tables.schemaOf("events"))
+      .orc(out)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    val a = src.orderBy("event_id").limit(1).collect().head
+    val b = back.orderBy("event_id").limit(1).collect().head
+    assert(a == b)
+  }
+
   test("CSV round-trip with explicit schema") {
     val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/ev"
     val src = graft.sources.Tables.load(spark, sfDir, "events")
