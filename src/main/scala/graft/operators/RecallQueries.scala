@@ -146,9 +146,7 @@ object RecallQueries {
     * `collect_list(struct(...))` form of ContextPacket (reference
     * `schemas.py:25-57`, SURVEY §1.1). sort_array over (negated conf,
     * doc_id) keys gives a deterministic candidate order without relying
-    * on collect_list's input ordering (which shuffles at scale).
-    * Rows-only check: nested arrays-of-structs don't round-trip
-    * hash-comparably through the parquet/DuckDB boundary. */
+    * on collect_list's input ordering (which shuffles at scale). */
   def r12EnvelopePerSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Window top-k BEFORE collect_list so the aggregation buffer holds at
@@ -178,17 +176,49 @@ object RecallQueries {
       .orderBy($"source")
   }
 
+  /** The verify-facing shape of R12: assemble the envelope exactly as
+    * [[r12EnvelopePerSource]], then posexplode the candidate array back to
+    * one scalar row per (source, rank). The explode proves the array's
+    * deterministic internal ordering (pos ↔ rank), and scalar columns let
+    * the driver hash-compare against a DuckDB window-top-k oracle —
+    * nested arrays-of-structs don't survive its pandas sort. */
+  def r12EnvelopeFlat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    r12EnvelopePerSource(s, dir)
+      .select($"source", $"top_confidence", $"threshold_met",
+        $"candidate_count", posexplode($"candidates"))
+      .select($"source", ($"pos" + 1).cast("bigint").as("rank"),
+        $"col.id".as("id"), $"col.confidence".as("confidence"),
+        $"top_confidence", $"threshold_met", $"candidate_count")
+      .orderBy($"source", $"rank")
+  }
+
+  val r12Sql: String =
+    s"""WITH ranked AS (
+         SELECT source, doc_id, $confSql AS confidence,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY $confSql DESC, doc_id) AS BIGINT) AS rank,
+           MAX($confSql) OVER (PARTITION BY source) AS top_confidence,
+           COUNT(*) OVER (PARTITION BY source) AS candidate_count
+         FROM documents)
+       SELECT source, rank, doc_id AS id, confidence, top_confidence,
+         top_confidence >= ${Defaults.Threshold} AS threshold_met,
+         candidate_count
+       FROM ranked WHERE rank <= ${Defaults.TopK}
+       ORDER BY source, rank"""
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_topk_memory" -> (r4TopkMemory _),
     "r7_rerank_boost" -> (r7RerankBoost _),
     "r9_branch_per_source" -> (r9BranchPerSource _),
     "r11_confidence_summary" -> (r11ConfidenceSummary _),
-    "r12_envelope_per_source" -> (r12EnvelopePerSource _))
+    "r12_envelope_per_source" -> (r12EnvelopeFlat _))
 
   val oracle: Map[String, String] = Map(
     "r4_topk_memory" -> r4Sql,
     "r7_rerank_boost" -> r7Sql,
     "r9_branch_per_source" -> r9Sql,
-    "r11_confidence_summary" -> r11Sql)
+    "r11_confidence_summary" -> r11Sql,
+    "r12_envelope_per_source" -> r12Sql)
 }

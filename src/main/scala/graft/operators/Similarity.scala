@@ -48,11 +48,20 @@ object Similarity {
       .limit(10)
   }
 
+  /** Mirrors the Spark side's NaN/zero-norm guard: rows whose embedding
+    * has zero norm (or a NULL-poisoned similarity) are excluded before
+    * ranking on BOTH engines, so a degenerate vector in a future corpus
+    * can't rank NaN rows at the top of the oracle only. */
   val sCosineTopkSql: String =
-    s"""WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = $ProbeId)
-       SELECT vec_id, label,
-         round(list_cosine_similarity(embedding::DOUBLE[], p.p), 3) AS sim
-       FROM embeddings, p WHERE vec_id <> $ProbeId
+    s"""WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = $ProbeId),
+       scored AS (
+         SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], p.p), 3) AS sim
+         FROM embeddings, p
+         WHERE vec_id <> $ProbeId
+           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+       SELECT vec_id, label, sim FROM scored
+       WHERE sim IS NOT NULL AND NOT isnan(sim)
        ORDER BY sim DESC, vec_id LIMIT 10"""
 
   // ------------------------------------------------------- near-dup pairs
@@ -85,10 +94,18 @@ object Similarity {
       .limit(20)
   }
 
+  /** Zero-norm guard on both sides, mirroring the Spark `nrm > 0`
+    * pre-filter (see [[sCosineTopkSql]]). */
   val sNeardupPairsSql: String =
-    """SELECT a.vec_id AS i, b.vec_id AS j,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
-       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    """WITH nz AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       scored AS (
+         SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
+         FROM nz a JOIN nz b ON a.vec_id < b.vec_id)
+       SELECT i, j, sim FROM scored
+       WHERE sim IS NOT NULL AND NOT isnan(sim)
        ORDER BY sim DESC, i, j LIMIT 20"""
 
   // ----------------------------------------------------------- LSH path

@@ -15,28 +15,37 @@ import org.apache.spark.sql.functions._
   * rows across `factor` tasks. Row multiplicity is preserved exactly
   * (each large-side row matches exactly one replica).
   *
-  * The salt mixes row content (xxhash64) with a per-row monotonic id so
-  * even byte-identical duplicate rows of the hot key spread across
-  * tasks (a content-only hash would send identical rows to one task —
-  * the exact case salting targets). Join RESULTS are deterministic
-  * regardless of salt values — salting only relocates rows, the output
-  * multiset is unchanged.
+  * The salt must be DETERMINISTIC per row: a non-deterministic source
+  * (monotonically_increasing_id, rand) feeding the shuffle key means a
+  * partially re-executed map stage (shuffle-fetch failure → task retry)
+  * can re-salt rows differently and duplicate/lose them — exactly the
+  * fault profile of a 1000-executor run. So the salt is a content hash:
+  * pass `uniqueCol` (a stable row-unique column, e.g. the fact table's
+  * primary key) to spread byte-identical duplicate rows of the hot key;
+  * without it the hash covers all columns, and fully identical duplicate
+  * rows share one sub-key (documented trade-off, still correct).
   */
 object SkewJoin {
 
   /** Join `large` ⋈ `small` on `key`, salting `large` into `factor`
-    * sub-keys. Inner join only (outer variants need null-side care). */
+    * sub-keys. Inner join only (outer variants need null-side care).
+    * @param uniqueCol stable row-unique column of `large` to derive the
+    *   salt from (retry-safe AND spreads identical-content duplicates);
+    *   None → deterministic hash of all columns. */
   def saltedJoin(
       large: DataFrame,
       small: DataFrame,
       key: String,
-      factor: Int = 8): DataFrame = {
+      factor: Int = 8,
+      uniqueCol: Option[String] = None): DataFrame = {
     require(factor >= 1)
     require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
       "__salt column name is reserved by saltedJoin")
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*))
-        + monotonically_increasing_id(), lit(factor)))
+    val saltSource = uniqueCol match {
+      case Some(c) => xxhash64(col(c))
+      case None    => xxhash64(struct(large.columns.map(col): _*))
+    }
+    val salted = large.withColumn("__salt", pmod(saltSource, lit(factor)))
     val salts = (0 until factor).map(i => lit(i))
     val replicated = small.withColumn("__salt",
       explode(array(salts: _*)))

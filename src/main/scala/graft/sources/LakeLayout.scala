@@ -60,8 +60,13 @@ object LakeLayout {
       partitionCol: String,
       targetFileMB: Int = 128): Unit = {
     val df = spark.read.parquet(inPath)
-    val bytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f)).length()).sum
+    // Hadoop FileSystem API, not java.io.File: input files are URIs and
+    // must size correctly on hdfs://s3a:// layouts, not just file://.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     // deterministic content-hash salt (not spark_partition_id) so the
     // compacted layout is reproducible for identical input data
