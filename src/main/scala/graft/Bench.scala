@@ -21,7 +21,13 @@ object Bench {
     // compilation (~1-2s/query); min reflects steady-state throughput.
     // Failures surface as -1, never as a plausible time-to-fail; fatal
     // errors (OOM etc.) propagate and crash the run as they should.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (local iteration); the driver
+    // passes none and benches everything
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(wanted).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double =
         try {
           val t0 = System.nanoTime()
