@@ -22,8 +22,10 @@ object AdvancedQueries {
   // ---------------------------------------------------------------- q7
   /** TPC-H Q7-shaped bidirectional trade volume between two nations:
     * supplier nation ↔ customer nation per ship-year. Exercises a
-    * disjunctive join predicate over two broadcast dims + a two-level
-    * grouping. */
+    * disjunctive join predicate over two dims + a two-level grouping.
+    * Only nation (bounded cardinality) keeps a broadcast hint; the
+    * SF-proportional supplier/customer sides are left to size-based
+    * planning + AQE so they flip to shuffle joins at scale. */
   def q7NationTrade(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n1 = "NATION_1"
@@ -36,8 +38,8 @@ object AdvancedQueries {
       .select($"c_custkey", $"n_name".as("cust_nation"))
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .filter(($"supp_nation" === n1 && $"cust_nation" === n2) ||
         ($"supp_nation" === n2 && $"cust_nation" === n1))
       .withColumn("l_year", year($"l_shipdate").cast("bigint"))
@@ -313,7 +315,7 @@ object AdvancedQueries {
     val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
     val c = t(s, dir, "customer").select($"c_custkey", $"c_name", $"c_nationkey")
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"c_custkey")
@@ -365,7 +367,7 @@ object AdvancedQueries {
       .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1997-02-01").cast("timestamp"))
     val p = t(s, dir, "part").select($"p_partkey", $"p_type")
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    l.join(p, $"l_partkey" === $"p_partkey")
       .agg(
         (dsum(when($"p_type" === "PROMO",
             $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0), 4) * 100.0 /

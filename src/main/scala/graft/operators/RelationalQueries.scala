@@ -62,9 +62,12 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q3
   /** TPC-H Q3-shaped shipping priority: selective dim filter joined into
-    * two fact tables, then top-10 by revenue. customer is broadcast
-    * (small side); orders⋈lineitem is the shuffle join on l_orderkey.
-    * Final top-k is TakeOrderedAndProject — no global sort. */
+    * two fact tables, then top-10 by revenue. customer is SF-proportional,
+    * so it carries NO broadcast hint — size-based planning (file stats /
+    * ANALYZE + AQE) broadcasts it while it fits and flips to shuffle join
+    * at scale instead of OOMing on a forced hint. orders⋈lineitem is the
+    * shuffle join on l_orderkey. Final top-k is TakeOrderedAndProject —
+    * no global sort. */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cut = lit("1997-01-01").cast("timestamp")
@@ -75,7 +78,7 @@ object RelationalQueries {
     val l = t(s, dir, "lineitem").filter($"l_shipdate" > cut)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
       .select($"l_orderkey", unix_timestamp($"o_orderdate").as("o_orderdate_epoch"), $"revenue")
@@ -96,10 +99,12 @@ object RelationalQueries {
        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
   // ---------------------------------------------------------------- q5
-  /** TPC-H Q5-shaped local supplier volume: 6-way join. region/nation/
-    * supplier/customer are all broadcast-size; only orders⋈lineitem
-    * shuffles. The c_nationkey = s_nationkey condition is the "local"
-    * co-location predicate. */
+  /** TPC-H Q5-shaped local supplier volume: 6-way join. Only region and
+    * nation are genuinely bounded (fixed cardinality at any SF) and keep
+    * explicit broadcast hints; supplier and customer grow with SF, so
+    * their join strategy is left to size-based planning + AQE — broadcast
+    * while small, graceful sort-merge at 100×. The c_nationkey =
+    * s_nationkey condition is the "local" co-location predicate. */
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r = t(s, dir, "region").filter($"r_name" === "ASIA")
@@ -111,8 +116,8 @@ object RelationalQueries {
         $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
     val l = t(s, dir, "lineitem")
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(sp), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(c),
+      .join(sp, $"l_suppkey" === $"s_suppkey")
+      .join(c,
         $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{RecallQueries, RelationalQueries, Similarity}
+import graft.operators.{AdvancedQueries, RecallQueries, RelationalQueries, Similarity}
 
 /** Physical-plan shape assertions — the scale posture as executable
   * checks. If a refactor drops a pushed filter, un-broadcasts a dim, or
@@ -18,17 +18,39 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), "expect partial+final hash aggregation")
   }
 
-  test("q3: dims broadcast, top-10 is TakeOrderedAndProject not a global sort") {
-    val p = plan(RelationalQueries.q3ShippingPriority(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"))
+  /** Broadcast hints rendered into the optimized logical plan — an
+    * SF-proportional side (customer/supplier/part) must never carry one,
+    * or a 100× scale-up turns the hint into an executor OOM instead of a
+    * graceful sort-merge flip. */
+  private def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+    "strategy=broadcast".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+
+  test("q3: customer broadcasts by size (no hint), top-10 is TakeOrderedAndProject") {
+    val df = RelationalQueries.q3ShippingPriority(spark, sfDir)
+    assert(hintCount(df) === 0, "q3 must not hint its SF-scaled customer side")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "size-based planning should still broadcast small customer at test SF")
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q5: six-way join uses broadcasts for every dim side") {
-    val p = plan(RelationalQueries.q5LocalSupplier(spark, sfDir))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
-      "region/nation/customer/supplier should all broadcast")
+  test("q5: only bounded region/nation are hinted; supplier/customer by size") {
+    val df = RelationalQueries.q5LocalSupplier(spark, sfDir)
+    assert(hintCount(df) === 2,
+      "exactly region+nation may carry broadcast hints — never SF-scaled supplier/customer")
+    assert("BroadcastHashJoin".r.findAllIn(plan(df)).size >= 4,
+      "at test SF size-based planning should still broadcast all four dim sides")
+  }
+
+  test("q7/q10/q14: no broadcast hints on SF-scaled supplier/customer/part sides") {
+    // q7's two inner nation joins are the only allowed hints
+    assert(hintCount(AdvancedQueries.q7NationTrade(spark, sfDir)) === 2,
+      "q7 may hint only its two bounded nation sides")
+    assert(hintCount(AdvancedQueries.q10ReturnedRevenue(spark, sfDir)) === 0,
+      "q10 must not hint customer")
+    assert(hintCount(AdvancedQueries.q14TypeShare(spark, sfDir)) === 0,
+      "q14 must not hint part")
   }
 
   test("r4: top-k memory search compiles to TakeOrderedAndProject over a pruned scan") {
