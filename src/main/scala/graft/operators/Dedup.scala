@@ -264,16 +264,32 @@ object Dedup {
     // small shared vocabulary every doc has near-identical token SETS,
     // so unigram SimHash cannot discriminate (measured: 35k pairs at
     // Hamming<=3 even with 32-bit signatures). 3-gram shingles restore
-    // discrimination. Per-doc distinct is map-side, no global shuffle.
-    val toks = shingles(s, dir)
-      .withColumn("h", md5($"sh"))
-    val bitSums = (0 until bits).map { j =>
-      sum(when(substring($"h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"s$j")
+    // discrimination.
+    //
+    // FUSED map-side (same shape as the MinHash signatures): the whole
+    // signature is computed per document over the in-row shingle array —
+    // no explode, no `bits`-column aggregation shuffle. Bit j is the
+    // sign of Σ(±1) over shingles (+1 iff md5 hex nibble j ≥ '8'), which
+    // is equivalent to 2·count_high > n; md5 hex is lowercase so the
+    // one-char compare ≥ '8' covers exactly {8,9,a..f}.
+    val withShingles = d(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .withColumn("shs", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+    // Cache boundary: without it project-collapse inlines the md5
+    // transform into each of the `bits` counting passes below
+    // (`bits` digests per shingle instead of 1).
+    val hashed = withShingles
+      .select($"doc_id", size($"shs").cast("bigint").as("n"),
+        transform($"shs", x => md5(x)).as("hs"))
+      .cache()
+    val bcols = (0 until bits).map { j =>
+      when(aggregate($"hs", lit(0),
+        (acc, c) => acc + when(substring(c, j + 1, 1) >= "8", 1).otherwise(0))
+        .cast("bigint") * 2 > $"n", "1").otherwise("0")
     }
-    val sums = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val bcols = (0 until bits).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
-    sums.select($"doc_id", concat(bcols: _*).as("simhash"))
+    hashed.select($"doc_id", concat(bcols: _*).as("simhash"))
   }
 
   def dSimhashClusters(s: SparkSession, dir: String): DataFrame = {
