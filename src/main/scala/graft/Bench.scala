@@ -17,13 +17,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // noop sink materializes every column — count() would let Catalyst
     // prune the computed columns out of projection-only queries and time
-    // an empty scan. Best-of-2 runs: the first run pays one-shot codegen
-    // compilation (~1-2s/query); min reflects steady-state throughput.
+    // an empty scan. One discarded warmup run pays the one-shot codegen
+    // compilation (~1-2s/query) and fills the query's internal caches;
+    // the reported number is the MEDIAN of 3 timed runs — robust to a
+    // single contention spike, unlike best-of-2 (round-2's bench swung
+    // 1.5× round-over-round with zero plan changes).
     // Failures surface as -1, never as a plausible time-to-fail; fatal
     // errors (OOM etc.) propagate and crash the run as they should.
     // optional args = query-name filter (local iteration); the driver
-    // passes none and benches everything
+    // passes none and benches everything. Unknown names are an error —
+    // a silent empty selection would print a plausible total=0.
     val wanted = args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query names: ${unknown.mkString(", ")}; " +
+        s"valid: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(wanted).toMap
@@ -37,11 +45,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      val (a, b) = (once(), once())
+      val runs = Seq(once()) ++ (1 to 3).map(_ => once()) // head = warmup
+      val timed = runs.tail
       // release caches pinned by the query's internal .cache() calls so
       // storage-memory pressure from one query never skews the next
       spark.catalog.clearCache()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val median = timed.sorted.apply(timed.size / 2)
+      name -> (if (runs.exists(_ < 0)) -1.0 else median)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
