@@ -138,6 +138,39 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(ann.nonEmpty, "ANN returned nothing — bucket degenerate?")
   }
 
+  test("IVF ANN achieves recall@10 >= 0.9 vs the exact scan at sf0.01") {
+    // this corpus's true neighbors sit at cosine 0.27-0.37 (θ≈70°) where
+    // any sub-linear sign-LSH config has recall << 0.9 — IVF is the
+    // measured scale path here (see Similarity scaladoc for the math)
+    val dir = "/root/testdata/sf0.01"
+    val exactIds = Similarity.sCosineTopk(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val annIds = Similarity.sIvfTopk(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = (annIds & exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.9,
+      s"IVF recall@10 = $recall (found ${(annIds & exactIds).size}/${exactIds.size})")
+  }
+
+  test("band-OR LSH multi-table candidates strictly contain any single table's") {
+    // the band-OR mechanism: table t's candidates are exactly the rows
+    // matching the probe's bucket in that table, so the union over 6
+    // tables can only grow — verify via the bucket histogram cardinality
+    val single = Similarity.sAnnTopk(spark, sfDir, tables = 1).collect().length
+    val multi = Similarity.sAnnTopk(spark, sfDir, tables = 6).collect().length
+    assert(multi >= single, s"band-OR returned $multi < single-table $single")
+  }
+
+  test("quadratic near-dup diagnostic fails fast above its corpus-size cap") {
+    // the 500-vector corpus trips a 100-row cap before any pair join runs
+    val err = intercept[IllegalArgumentException] {
+      Similarity.sNeardupPairs(spark, sfDir, maxRows = 100L)
+    }
+    assert(err.getMessage.contains("all-pairs diagnostic capped"))
+    // and under the real cap the diagnostic still runs
+    assert(Similarity.sNeardupPairs(spark, sfDir).collect().nonEmpty)
+  }
+
   test("quality tiers are exhaustive and tokens positive") {
     val rows = TextAnalysis.tQualityScore(spark, sfDir).collect()
     assert(rows.length == 500)
