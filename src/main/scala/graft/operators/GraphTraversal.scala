@@ -22,13 +22,26 @@ object GraphTraversal {
     * the two directions can't collide, as in bipartite key spaces).
     * Returns (node, dist) for every node within maxHops of the seed set.
     * Frontier and visited sets stay distributed; per hop: one join, one
-    * union, one min-aggregate. */
+    * union, one min-aggregate.
+    *
+    * Iterative-state hygiene: each hop's frontier is EAGERLY
+    * `checkpoint()`ed — lineage is truncated to a disk snapshot (the
+    * GraphX/Pregel pattern), so a k-hop run never builds a 2^k plan and,
+    * unlike the previous per-hop `.cache()` chain, pins NOTHING in the
+    * BlockManager: the adjacency cache is released before returning and
+    * the result reads only checkpoint files. On a cluster, point
+    * `sparkContext.setCheckpointDir` at durable storage; a local temp
+    * dir is installed here only if the caller never set one. */
   def bfs(
       edges: DataFrame, // columns: src, dst (directed adjacency)
       seeds: DataFrame, // column: node
       maxHops: Int): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-bfs-ckpt").toString)
     val adj = edges.cache()
-    var reached = seeds.select(col("node"), lit(0).as("dist")).cache()
+    var reached = seeds.select(col("node"), lit(0).as("dist")).checkpoint()
     var frontier = reached
     for (hop <- 1 to maxHops) {
       // dataset aliases break the self-join lineage ambiguity (frontier
@@ -39,10 +52,14 @@ object GraphTraversal {
         .join(reached.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .distinct()
-        .cache()
-      reached = reached.union(next).cache()
+        .checkpoint() // eager: one materialized job per hop
+      // union of checkpointed hops — flat lineage, no cache to retire
+      reached = reached.union(next)
       frontier = next
     }
+    // every hop is materialized on disk; the in-memory adjacency cache
+    // is no longer load-bearing for the returned plan
+    adj.unpersist(blocking = false)
     reached.groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
 

@@ -35,6 +35,14 @@ class CapabilitiesSpec extends SparkSuite {
       .foreach(r => assert(r.getAs[Long]("node") < GraphTraversal.CustOffset))
   }
 
+  test("P3: BFS leaves no cached blocks behind (checkpointed hops, adj released)") {
+    spark.catalog.clearCache() // isolate from other suites' pinned state
+    GraphTraversal.qGraph2Hop(spark, sfDir).collect()
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.isEmpty,
+      s"BFS should unpersist its adjacency cache; still pinned: ${persisted.values.map(_.name)}")
+  }
+
   test("P6: hybrid score stays in [0,1] and ranks by the weighted sum") {
     val rows = HybridRetrieval.p6HybridScore(spark, sfDir).collect()
     assert(rows.length == 10)
