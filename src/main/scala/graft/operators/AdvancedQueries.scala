@@ -98,7 +98,9 @@ object AdvancedQueries {
   def tTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count() // tiny scalar; at scale: a broadcast agg
+    // corpus size as a 1-row broadcast aggregate INSIDE the plan — no
+    // driver-side count() job, the whole query stays a single job
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs
       .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
@@ -107,8 +109,9 @@ object AdvancedQueries {
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tfidf".desc, $"term")
     tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        $"tf".cast("double") * nDocs.toDouble / $"df".cast("double"))
+        $"tf".cast("double") * $"n_docs" / $"df".cast("double"))
       .filter($"doc_id" < 20)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter($"rank" <= 3)
