@@ -233,6 +233,42 @@ object RelationalQueries {
          CAST(SUM(CASE WHEN prev_ns IS NULL OR ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
        FROM x GROUP BY user_id ORDER BY user_id"""
 
+  /** Sessionization with BOUNDED per-key sort width — the adversarial-
+    * single-key scale variant. The plain form sorts ALL of a user's
+    * events in one window partition; a key with billions of rows becomes
+    * one executor's unbounded sort/spill. Here the heavy window runs per
+    * (user, day) — sort width capped at one day of one user — then a
+    * second, tiny window over the per-day summaries (O(active days) rows
+    * per user) subtracts one session for every day boundary whose gap is
+    * within the session gap. Produces EXACTLY the same rows as
+    * [[qSessionizeEvents]] (same oracle SQL hash-checks both):
+    * n_sessions = Σ day-sessions − #(merged boundaries). */
+  def qSessionizeEventsScaled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gap = 1800L * 1000000000L
+    val dayNs = 86400L * 1000000000L
+    val wDay = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    val perDay = t(s, dir, "events")
+      // integral floor-div (ts > 0): `/` on columns is double division
+      .withColumn("day", expr(s"ts div ${dayNs}L"))
+      .withColumn("prev_ns", lag($"ts", 1).over(wDay))
+      .withColumn("is_new",
+        when($"prev_ns".isNull || $"ts" - $"prev_ns" > gap, 1L).otherwise(0L))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"), sum($"is_new").as("n_sessions"),
+        min($"ts").as("first_ns"), max($"ts").as("last_ns"))
+    val wUser = Window.partitionBy($"user_id").orderBy($"day")
+    perDay
+      .withColumn("prev_last", lag($"last_ns", 1).over(wUser))
+      .withColumn("merged",
+        when($"prev_last".isNotNull && $"first_ns" - $"prev_last" <= gap, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"n_events").as("n_events"),
+        (sum($"n_sessions") - sum($"merged")).as("n_sessions"))
+      .orderBy($"user_id")
+  }
+
   // ---------------------------------------------------------- hourly agg
   /** Tumbling-window (hourly) event rollup — the batch twin of the
     * Structured Streaming slice. Exact count distinct here; the approx
@@ -364,6 +400,7 @@ object RelationalQueries {
     "q_rollup_region_nation" -> (qRollupRegionNation _),
     "q_topk_events_per_user" -> (qTopkEventsPerUser _),
     "q_sessionize_events" -> (qSessionizeEvents _),
+    "q_sessionize_events_scaled" -> (qSessionizeEventsScaled _),
     "q_hourly_events" -> (qHourlyEvents _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_anti_no_orders" -> (qAntiNoOrders _),
@@ -379,6 +416,8 @@ object RelationalQueries {
     "q_rollup_region_nation" -> qRollupSql,
     "q_topk_events_per_user" -> qTopkSql,
     "q_sessionize_events" -> qSessionizeSql,
+    // the scaled variant computes the SAME result with bounded sort width
+    "q_sessionize_events_scaled" -> qSessionizeSql,
     "q_hourly_events" -> qHourlySql,
     "q_set_intersect" -> qSetIntersectSql,
     "q_anti_no_orders" -> qAntiSql,

@@ -60,39 +60,118 @@ object EventsStream {
 
   /** P4 session/repeat memory (SURVEY §2.C): per-user state maintained
     * with mapGroupsWithState — running event count and gap-based session
-    * count survive across micro-batches. Production hardening: switch
-    * NoTimeout to EventTimeTimeout so idle users' state is GC'd at the
-    * watermark; state then stays bounded by the active-user set. */
+    * count survive across micro-batches.
+    *
+    * State GC: EventTimeTimeout. A user's state carries a timeout at
+    * (last activity + session gap); once the WATERMARK passes it, the
+    * next trigger emits the final totals one last time and REMOVES the
+    * state — so state size is bounded by the watermark-recent active-user
+    * set, not by every user ever seen (the property that keeps an
+    * unbounded run alive). A user returning after GC starts a fresh
+    * activity epoch. */
   final case class UserState(lastNs: Long, nEvents: Long, nSessions: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+  val SessionGapNs: Long = 1800L * 1000000000L
+
   def sessionMemory(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapNs = 1800L * 1000000000L
-    events.selectExpr("user_id", "ts")
-      .as[(Long, Long)]
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapNs = SessionGapNs
+    events
+      .withWatermark("event_time", "10 minutes")
+      // event_time stays in the projection so the watermark attribute
+      // survives into the stateful operator's child plan
+      .selectExpr("user_id", "ts", "event_time")
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(Long.MinValue, 0L, 0L))
-          var last = prev.lastNs
-          var n = prev.nEvents
-          var sessions = prev.nSessions
-          // late events (older than the carried state) are DROPPED, not
-          // applied — applying them would regress `last` and corrupt gap
-          // math for every subsequent on-time event. Production variant:
-          // EventTimeTimeout + watermark instead of silent drop.
-          rows.toSeq.sortBy(_._2).foreach { case (_, ns) =>
-            if (last == Long.MinValue || ns > last) {
-              if (last == Long.MinValue || ns - last > gapNs) sessions += 1
-              last = ns
-              n += 1
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            // idle past watermark + gap: final emit, then drop the state
+            val fin = state.get
+            state.remove()
+            UserSessions(user, fin.nEvents, fin.nSessions)
+          } else {
+            val prev = state.getOption.getOrElse(UserState(Long.MinValue, 0L, 0L))
+            var last = prev.lastNs
+            var n = prev.nEvents
+            var sessions = prev.nSessions
+            // events older than the carried state are DROPPED, not
+            // applied — applying them would regress `last` and corrupt
+            // gap math for every subsequent on-time event (the watermark
+            // already filters rows older than its horizon upstream).
+            rows.toSeq.sortBy(_._2).foreach { case (_, ns, _) =>
+              if (last == Long.MinValue || ns > last) {
+                if (last == Long.MinValue || ns - last > gapNs) sessions += 1
+                last = ns
+                n += 1
+              }
             }
+            state.update(UserState(last, n, sessions))
+            // GC horizon: when the watermark passes last activity + gap
+            // the session can no longer be extended. Timeout timestamps
+            // must sit strictly above the current watermark.
+            state.setTimeoutTimestamp(
+              math.max(last / 1000000L + gapNs / 1000000L,
+                state.getCurrentWatermarkMs + 1L))
+            UserSessions(user, n, sessions)
           }
-          val next = UserState(last, n, sessions)
-          state.update(next)
-          UserSessions(user, n, sessions)
+      }
+      .toDF()
+  }
+
+  /** Streaming sessionization (the exact streaming twin of the batch
+    * `q_sessionize_events` semantics): APPEND-mode emission of CLOSED
+    * sessions via flatMapGroupsWithState. A session closes either when a
+    * later event of the same user arrives past the 30-min gap (emitted
+    * immediately) or when the watermark passes (last event + gap) — the
+    * EventTimeTimeout path, which also removes the state, so open-session
+    * state is O(active users). On a drained finite stream the emitted
+    * sessions are exactly the batch sessions except each user's trailing
+    * open session, which no watermark can close. */
+  final case class OpenSession(startNs: Long, lastNs: Long, nEvents: Long)
+  final case class ClosedSession(user_id: Long, session_start_ns: Long,
+      session_end_ns: Long, n_events: Long)
+
+  def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapNs = SessionGapNs
+    events
+      .withWatermark("event_time", "10 minutes")
+      .selectExpr("user_id", "ts", "event_time")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator(ClosedSession(user, open.startNs, open.lastNs, open.nEvents))
+          } else {
+            val closed = scala.collection.mutable.Buffer.empty[ClosedSession]
+            var open = state.getOption.orNull
+            rows.toSeq.sortBy(_._2).foreach { case (_, ns, _) =>
+              open match {
+                case null =>
+                  open = OpenSession(ns, ns, 1L)
+                case o if ns <= o.lastNs => // stale/dup row: ignore
+                case o if ns - o.lastNs > gapNs =>
+                  closed += ClosedSession(user, o.startNs, o.lastNs, o.nEvents)
+                  open = OpenSession(ns, ns, 1L)
+                case o =>
+                  open = OpenSession(o.startNs, ns, o.nEvents + 1L)
+              }
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(
+              math.max(open.lastNs / 1000000L + gapNs / 1000000L,
+                state.getCurrentWatermarkMs + 1L))
+            closed.iterator
+          }
       }
       .toDF()
   }

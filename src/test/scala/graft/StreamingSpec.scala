@@ -86,6 +86,105 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("idle-key session state is dropped once the watermark passes last+gap") {
+    import org.apache.spark.sql.functions._
+    // two files, processed as two micro-batches (maxFilesPerTrigger=1):
+    // user 1 is active only in file A (hour 0); file B (hour 3) advances
+    // the watermark far past user 1's (last event + 30-min gap) timeout,
+    // so the timeout batch must emit user 1's finals and REMOVE its state
+    // — leaving only user 2's state resident.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gc-events")
+    val h = 3600L * 1000000000L // ns per hour
+    def write(name: String, userId: Long, baseNs: Long): Unit =
+      spark.range(0, 5).select(
+        (col("id") + userId * 1000).as("event_id"),
+        (lit(baseNs) + col("id") * 60L * 1000000000L).as("ts"),
+        lit(userId).as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"),
+        lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    write("a", userId = 1L, baseNs = h)
+    Thread.sleep(1100) // distinct mtimes => deterministic file order a, b
+    write("b", userId = 2L, baseNs = 4 * h)
+    val src = spark.readStream
+      .schema(graft.sources.Tables.events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.runToMemory(
+      EventsStream.sessionMemory(spark, src), "gc_sessions", outputMode = "update")
+    try {
+      // the timeout fires in a no-data micro-batch right after the data
+      // drains — poll briefly for its progress entry
+      def stateRows: Long = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (stateRows != 1L && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      assert(stateRows == 1L,
+        s"expected only user 2's state resident after GC, found $stateRows rows")
+      // the timeout emission carried user 1's final totals
+      val u1 = spark.sql(
+        """SELECT max(n_events), max(n_sessions) FROM gc_sessions WHERE user_id = 1""")
+        .collect().head
+      assert(u1.getLong(0) == 5L && u1.getLong(1) == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits exactly the non-trailing batch sessions") {
+    import org.apache.spark.sql.functions._
+    val src = EventsStream.source(spark, eventsDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.sessionizeStream(spark, src), "closed_sessions", "append")
+    try {
+      // batch twin: per-session rows derived the q_sessionize_events way
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = EventsStream.SessionGapNs
+      val batchSessions = graft.sources.Tables.load(spark, sfDir, "events")
+        .withColumn("prev_ns", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ns").isNull || col("ts") - col("prev_ns") > gap, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Long.MinValue, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start_ns"),
+          max(col("ts")).as("session_end_ns"),
+          count(lit(1)).as("n_events"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ns")) ->
+          (r.getAs[Long]("session_end_ns"), r.getAs[Long]("n_events"))).toMap
+      val lastPerUser = batchSessions.keys.groupBy(_._1)
+        .view.mapValues(_.map(_._2).max).toMap
+      val streamed = spark.sql(
+        """SELECT user_id, session_start_ns, session_end_ns, n_events
+           FROM closed_sessions""").collect()
+      assert(streamed.nonEmpty, "no sessions emitted")
+      streamed.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(batchSessions.contains(key), s"phantom session $key")
+        assert(batchSessions(key) == (r.getLong(2), r.getLong(3)),
+          s"session $key end/count mismatch")
+      }
+      // everything withheld must be a user's trailing session (the open
+      // one no watermark can close on a finite stream)
+      val emitted = streamed.map(r => (r.getLong(0), r.getLong(1))).toSet
+      (batchSessions.keySet -- emitted).foreach { case (u, start) =>
+        assert(start == lastPerUser(u),
+          s"non-trailing session (user=$u, start=$start) missing from stream")
+      }
+    } finally q.stop()
+  }
+
+  test("scaled (user,day) sessionization equals the plain form exactly") {
+    val plain = RelationalQueries.qSessionizeEvents(spark, sfDir).collect()
+    val scaled = RelationalQueries.qSessionizeEventsScaled(spark, sfDir).collect()
+    assert(plain.map(_.toString).toSeq == scaled.map(_.toString).toSeq)
+  }
+
   test("session memory state matches the batch sessionization") {
     val src = EventsStream.source(spark, eventsDir)
     val q = EventsStream.runToMemory(
