@@ -194,28 +194,72 @@ object Dedup {
       // consumed twice below (candidate-doc projection + semi filter);
       // caching stops the banding subtree from running twice
       .cache()
-    val sizes = mh.select($"doc_id", $"n")
-    // Verification touches only candidate docs: semi-join BEFORE the
-    // shingle explode, so only the (tiny) LSH candidate set is ever
-    // exploded into rows — the rest of the corpus never leaves its
-    // array form.
-    val candDocs = cand.select($"i".as("doc_id"))
-      .union(cand.select($"j".as("doc_id"))).distinct()
-    val toksC = hashed
+    verifyCandidates(hashed, mh.select($"doc_id", $"n"), cand)
+  }
+
+  /** True-Jaccard verification over LSH candidate pairs only: semi-join
+    * BEFORE the shingle explode, so only the (tiny) candidate set is
+    * ever exploded into rows — the rest of the corpus never leaves its
+    * array form. Shared by the md5 (oracle) and xxhash64 (production)
+    * MinHash variants, which therefore emit IDENTICAL (i, j, jaccard)
+    * rows whenever their banding surfaces the same candidates. */
+  private def verifyCandidates(docsWithShingles: DataFrame,
+      sizes: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("i").as("doc_id"))
+      .union(cand.select(col("j").as("doc_id"))).distinct()
+    val toksC = docsWithShingles
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select($"doc_id", explode($"shs").as("tok"))
-    val common = toksC.select($"doc_id".as("i"), $"tok")
-      .join(toksC.select($"doc_id".as("j"), $"tok"), Seq("tok"))
+      .select(col("doc_id"), explode(col("shs")).as("tok"))
+    val common = toksC.select(col("doc_id").as("i"), col("tok"))
+      .join(toksC.select(col("doc_id").as("j"), col("tok")), Seq("tok"))
       .join(cand, Seq("i", "j"), "left_semi")
-      .groupBy($"i", $"j").agg(count(lit(1)).as("common"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
     common
-      .join(sizes.select($"doc_id".as("i"), $"n".as("ni")), "i")
-      .join(sizes.select($"doc_id".as("j"), $"n".as("nj")), "j")
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
       .withColumn("jaccard",
-        $"common".cast("double") / ($"ni" + $"nj" - $"common"))
-      .filter($"jaccard" >= 0.5)
-      .select($"i", $"j", $"jaccard")
-      .orderBy($"i", $"j")
+        col("common").cast("double") / (col("ni") + col("nj") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** PRODUCTION MinHash: same fused map-side plan as [[dMinhashLsh]]
+    * with the portable md5-hex machinery swapped for native `xxhash64`
+    * — one 64-bit hash per (shingle, function-index) instead of hex
+    * digests and substring mins, and band keys are a single xxhash64
+    * over the band's signature longs. No DuckDB oracle (xxhash64 is
+    * Spark-local) → rows-only driver check; the cross-checking spec
+    * asserts it finds EXACTLY the md5 variant's verified pairs. At
+    * billions of docs the 64-bit min-hash space never saturates, unlike
+    * 20-bit hex slices. */
+  def dMinhashLshX64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withShingles = d(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .withColumn("shs", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .cache() // consumed by the 12 signature mins AND the verification explode
+    val mhCols = (0 until MinHashFns).map(h =>
+      array_min(transform($"shs", x => xxhash64(x, lit(h)))).as(s"mh$h"))
+    val mh = withShingles.select(
+      (Seq($"doc_id", size($"shs").cast("bigint").as("n")) ++ mhCols): _*)
+      .cache()
+    val nBands = MinHashFns / MinHashBandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (0 until MinHashBandRows).map(r => col(s"mh${b * MinHashBandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    val bands = mh.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+      .cache()
+    verifyCandidates(withShingles, mh.select($"doc_id", $"n"), cand)
   }
 
   val dMinhashLshSql: String = {
@@ -380,12 +424,83 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- registry
+  // ------------------------------------------- 64-bit production simhash
+  /** PRODUCTION SimHash: 64-bit signatures as a single LONG from native
+    * `xxhash64` bits — no hex strings anywhere. Same fused map-side
+    * shape as [[simhashSigs]]: bit j of the signature is set iff more
+    * than half the doc's shingle hashes have bit j set. */
+  private def simhashSig64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withShingles = d(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .withColumn("shs", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+    val hashed = withShingles
+      .select($"doc_id", size($"shs").cast("bigint").as("n"),
+        transform($"shs", x => xxhash64(x)).as("hs"))
+      .cache() // boundary: keep the hash transform out of the 64 counting passes
+    val sig = (0 until 64).map { j =>
+      val cnt = aggregate($"hs", lit(0L),
+        (acc, c) => acc + shiftright(c, j).bitwiseAND(lit(1L)))
+      when(cnt * 2 > $"n", shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    hashed.select($"doc_id", sig.as("sig"))
+  }
+
+  /** Near-dup pairs over 64-bit signatures via banded LSH with
+    * pigeonhole-EXACT recall: `maxHamming + 1` bands tile the 64 bits,
+    * so ≤ maxHamming differing bits always leave at least one band
+    * intact. Hamming verification is one `bit_count(xor)` per candidate
+    * — no per-position string compares — and random pairs sit at
+    * Hamming ≈ 32 ± 4, so a threshold of 10 admits essentially zero
+    * false candidates into the verified output.
+    *
+    * The threshold is CORPUS-DEPENDENT, not a constant of the
+    * algorithm: this corpus plants near-dups at Jaccard ≈ 0.8, which
+    * lands at 64-bit Hamming up to 10 (measured), hence 11 bands of
+    * 5-6 bits. A web-dedup deployment hunting 0.95+ similarity uses
+    * Hamming ≤ 3 → 4 bands of 16 bits with far sparser buckets
+    * (Manku et al.'s geometry); narrower targets ⇒ wider bands ⇒
+    * better bucket selectivity at scale. Rows-only driver check; the
+    * cross-checking spec asserts every planted pair the md5 variant
+    * finds is recovered. */
+  def dSimhashPairsX64(s: SparkSession, dir: String,
+      maxHamming: Int = 10): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSig64(s, dir).cache()
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val widths = Seq.tabulate(nBands)(b => if (b < 64 % nBands) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"sig", offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1L)).as("key"))
+    }
+    val bands = sigs.select($"doc_id", $"sig",
+        explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+        $"a.sig".as("sa"), $"b.sig".as("sb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")).cast("bigint"))
+      .filter($"hamming" <= maxHamming)
+      .select($"i", $"j", $"hamming")
+      .orderBy($"i", $"j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_stats" -> (dExactStats _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_minhash_lsh_x64" -> (dMinhashLshX64 _),
     "d_simhash_clusters" -> (dSimhashClusters _),
-    "d_simhash_pairs" -> (dSimhashPairs _))
+    "d_simhash_pairs" -> (dSimhashPairs _),
+    "d_simhash_pairs_x64" -> ((s: SparkSession, dir: String) => dSimhashPairsX64(s, dir)))
 
   val oracle: Map[String, String] = Map(
     "d_exact_stats" -> dExactStatsSql,
