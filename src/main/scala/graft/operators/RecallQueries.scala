@@ -213,12 +213,19 @@ object RecallQueries {
     "r7_rerank_boost" -> (r7RerankBoost _),
     "r9_branch_per_source" -> (r9BranchPerSource _),
     "r11_confidence_summary" -> (r11ConfidenceSummary _),
-    "r12_envelope_per_source" -> (r12EnvelopeFlat _))
+    // name ↔ shape: _per_source is the real nested-envelope operator
+    // (rows-only — nested arrays-of-structs don't survive the driver's
+    // pandas sort); _flat is its posexploded scalar twin that DOES
+    // hash-compare, proving the array's deterministic internal order.
+    // (Round-2 bench note: r12_envelope_per_source timed the flat shape
+    // that round; from round 3 the names match the shapes.)
+    "r12_envelope_per_source" -> (r12EnvelopePerSource _),
+    "r12_envelope_flat" -> (r12EnvelopeFlat _))
 
   val oracle: Map[String, String] = Map(
     "r4_topk_memory" -> r4Sql,
     "r7_rerank_boost" -> r7Sql,
     "r9_branch_per_source" -> r9Sql,
     "r11_confidence_summary" -> r11Sql,
-    "r12_envelope_per_source" -> r12Sql)
+    "r12_envelope_flat" -> r12Sql)
 }

@@ -41,15 +41,22 @@ object SkewJoin {
     require(factor >= 1)
     require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
       "__salt column name is reserved by saltedJoin")
-    val saltSource = uniqueCol match {
-      case Some(c) => xxhash64(col(c))
-      case None    => xxhash64(struct(large.columns.map(col): _*))
-    }
-    val salted = large.withColumn("__salt", pmod(saltSource, lit(factor)))
+    val salted = withSalt(large, factor, uniqueCol)
     val salts = (0 until factor).map(i => lit(i))
     val replicated = small.withColumn("__salt",
       explode(array(salts: _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The salting step itself, shared with tests so they observe the
+    * REAL salt distribution rather than re-deriving the expression. */
+  private[graft] def withSalt(large: DataFrame, factor: Int,
+      uniqueCol: Option[String]): DataFrame = {
+    val saltSource = uniqueCol match {
+      case Some(c) => xxhash64(col(c))
+      case None    => xxhash64(struct(large.columns.map(col): _*))
+    }
+    large.withColumn("__salt", pmod(saltSource, lit(factor)))
   }
 
   /** Diagnostic: per-key row counts on the top-N heaviest keys — what

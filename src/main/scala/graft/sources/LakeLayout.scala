@@ -62,11 +62,12 @@ object LakeLayout {
     val df = spark.read.parquet(inPath)
     // Hadoop FileSystem API, not java.io.File: input files are URIs and
     // must size correctly on hdfs://s3a:// layouts, not just file://.
+    // ONE recursive getContentSummary RPC for the whole tree — a
+    // per-file getFileStatus loop is O(files) driver round-trips, which
+    // on an object-store layout with 10⁵ fragments dominates the job.
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val bytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
-    }.sum
+    val root = new org.apache.hadoop.fs.Path(inPath)
+    val bytes = root.getFileSystem(hadoopConf).getContentSummary(root).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     // deterministic content-hash salt (not spark_partition_id) so the
     // compacted layout is reproducible for identical input data

@@ -29,11 +29,33 @@ class SkewJoinSpec extends SparkSuite {
     val dim = Seq((42L, "x")).toDF("k", "v")
     val joined = SkewJoin.saltedJoin(hot, dim, "k", factor = 8)
     assert(joined.count() == 10000)
-    // the salt distribution should use most of the 8 sub-keys
-    val salts = hot.withColumn("__salt",
-      pmod(xxhash64(struct(hot.columns.map(col): _*)), lit(8)))
+    // observe the IMPLEMENTATION's salt (shared withSalt step), not a
+    // re-derived expression that could silently diverge
+    val salts = SkewJoin.withSalt(hot, 8, uniqueCol = None)
       .groupBy("__salt").count().collect()
     assert(salts.length >= 6, s"only ${salts.length} of 8 salts used")
+  }
+
+  test("uniqueCol spreads byte-identical duplicate rows; all-columns hash cannot") {
+    import spark.implicits._
+    // 10k rows of ONE hot key whose content is fully identical except a
+    // stable unique id — the adversarial shape for content-hash salting
+    val hot = spark.range(10000)
+      .select(lit(42L).as("k"), lit("same-payload").as("payload"), $"id".as("uid"))
+    // all-columns hash over only (k, payload) — byte-identical rows
+    // collapse onto a single sub-key (the documented trade-off)
+    val collapsed = SkewJoin.withSalt(hot.drop("uid"), 8, uniqueCol = None)
+      .groupBy("__salt").count().collect()
+    assert(collapsed.length == 1, "identical rows must share one content-hash salt")
+    // uniqueCol derives the salt from the stable unique id → spreads
+    val spread = SkewJoin.withSalt(hot, 8, uniqueCol = Some("uid"))
+      .groupBy("__salt").count().collect()
+    assert(spread.length == 8, s"only ${spread.length} of 8 salts used with uniqueCol")
+    // and the join itself stays multiplicity-exact with uniqueCol
+    val dim = Seq((42L, "x")).toDF("k", "v")
+    val joined = SkewJoin.saltedJoin(hot, dim, "k", factor = 8, uniqueCol = Some("uid"))
+    assert(joined.count() == 10000)
+    assert(joined.columns.count(_ == "__salt") == 0, "salt column must not leak")
   }
 
   test("skew profile surfaces the heaviest keys first") {
