@@ -205,10 +205,15 @@ object Dedup {
     * rows whenever their banding surfaces the same candidates. */
   private def verifyCandidates(docsWithShingles: DataFrame,
       sizes: DataFrame, cand: DataFrame): DataFrame = {
+    // no broadcast HINT on candDocs: the candidate-doc set is
+    // proportional to near-dup volume, not bounded — size-based planning
+    // broadcasts it while small and flips to a shuffled semi-join when a
+    // dup-heavy corpus outgrows the threshold (same rule as the TPC-H
+    // dimension sides)
     val candDocs = cand.select(col("i").as("doc_id"))
       .union(cand.select(col("j").as("doc_id"))).distinct()
     val toksC = docsWithShingles
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(col("shs")).as("tok"))
     val common = toksC.select(col("doc_id").as("i"), col("tok"))
       .join(toksC.select(col("doc_id").as("j"), col("tok")), Seq("tok"))
