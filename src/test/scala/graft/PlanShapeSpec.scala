@@ -65,6 +65,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Broadcast"), "probe side should broadcast")
   }
 
+  test("q7 at sf0.1: AQE broadcasts the unhinted dims at runtime; only fact⋈fact sort-merges") {
+    // static planning is conservative about join-output stats, so the
+    // enriched supplier/customer sides may plan as sort-merge — the
+    // contract is that AQE flips them to broadcast once actual sizes are
+    // known, leaving only lineitem⋈orders shuffling
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = AdvancedQueries.q7NationTrade(spark, "/root/testdata/sf0.1")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan
+      .asInstanceOf[AdaptiveSparkPlanExec].executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).size >= 3,
+      "AQE should broadcast nation + both enriched dim sides")
+    assert("SortMergeJoin".r.findAllIn(finalPlan).size <= 1,
+      "only lineitem JOIN orders may sort-merge at sf0.1")
+  }
+
   test("whole-stage codegen covers the relational aggregation path") {
     // AQE shows codegen spans only in the finalized plan — execute first
     val df = RelationalQueries.q1PricingSummary(spark, sfDir)
