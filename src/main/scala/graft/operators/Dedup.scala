@@ -70,6 +70,20 @@ object Dedup {
        FROM c"""
 
   // ----------------------------------------------------- shingle helpers
+  /** Per-doc distinct word-3-gram shingle ARRAY (doc_id, shs) — map-side
+    * only, no explode. Shared by every signature family (MinHash/SimHash,
+    * md5 and xxhash64 variants) so a tokenization change lands in exactly
+    * one place; the DuckDB mirror is [[shinglesSqlCte]]. */
+  private def withShingleArrays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    d(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shs"))
+  }
+
   /** Distinct word-3-gram shingles per doc: (doc_id, shingle), with
     * stop-shingles removed by a windowless two-pass (count per shingle,
     * filter, semi-join back). */
@@ -157,11 +171,7 @@ object Dedup {
     // mins over the in-row array. 20-bit slices are plenty for
     // min-selection over ~10²-10³ shingles, and candidates are verified
     // against true Jaccard anyway.
-    val withShingles = d(s, dir)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .withColumn("shs", array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+    val withShingles = withShingleArrays(s, dir)
     // This cache is load-bearing twice over: (a) without it,
     // project-collapse inlines the md5 transform into EACH of the 12
     // array_min expressions below (24 digests per shingle instead of 2);
@@ -240,11 +250,7 @@ object Dedup {
     * 20-bit hex slices. */
   def dMinhashLshX64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withShingles = d(s, dir)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .withColumn("shs", array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+    val withShingles = withShingleArrays(s, dir)
       .cache() // consumed by the 12 signature mins AND the verification explode
     val mhCols = (0 until MinHashFns).map(h =>
       array_min(transform($"shs", x => xxhash64(x, lit(h)))).as(s"mh$h"))
@@ -321,15 +327,10 @@ object Dedup {
     // sign of Σ(±1) over shingles (+1 iff md5 hex nibble j ≥ '8'), which
     // is equivalent to 2·count_high > n; md5 hex is lowercase so the
     // one-char compare ≥ '8' covers exactly {8,9,a..f}.
-    val withShingles = d(s, dir)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .withColumn("shs", array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
     // Cache boundary: without it project-collapse inlines the md5
     // transform into each of the `bits` counting passes below
     // (`bits` digests per shingle instead of 1).
-    val hashed = withShingles
+    val hashed = withShingleArrays(s, dir)
       .select($"doc_id", size($"shs").cast("bigint").as("n"),
         transform($"shs", x => md5(x)).as("hs"))
       .cache()
@@ -436,12 +437,7 @@ object Dedup {
     * than half the doc's shingle hashes have bit j set. */
   private def simhashSig64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withShingles = d(s, dir)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .withColumn("shs", array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-    val hashed = withShingles
+    val hashed = withShingleArrays(s, dir)
       .select($"doc_id", size($"shs").cast("bigint").as("n"),
         transform($"shs", x => xxhash64(x)).as("hs"))
       .cache() // boundary: keep the hash transform out of the 64 counting passes

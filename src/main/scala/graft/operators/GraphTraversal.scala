@@ -37,9 +37,17 @@ object GraphTraversal {
       seeds: DataFrame, // column: node
       maxHops: Int): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
+    if (sc.getCheckpointDir.isEmpty) {
+      // a driver-local temp dir is only valid when executors share the
+      // driver's filesystem — on a real cluster a silent local default
+      // would write checkpoint partitions to per-executor /tmp and fail
+      // unreadably on the next stage, so refuse instead
+      require(sc.master.startsWith("local"),
+        "bfs needs sparkContext.setCheckpointDir pointing at shared storage " +
+          "(HDFS/S3) on a non-local master")
       sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-bfs-ckpt").toString)
+    }
     val adj = edges.cache()
     var reached = seeds.select(col("node"), lit(0).as("dist")).checkpoint()
     var frontier = reached
@@ -47,12 +55,15 @@ object GraphTraversal {
       // dataset aliases break the self-join lineage ambiguity (frontier
       // descends from the adjacency list after the first hop)
       val f = frontier.select(col("node")).as("f")
-      val next = f.join(adj.as("u"), col("f.node") === col("u.src"))
+      val staged = f.join(adj.as("u"), col("f.node") === col("u.src"))
         .select(col("u.dst").as("node"), lit(hop).as("dist"))
         .join(reached.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .distinct()
-        .checkpoint() // eager: one materialized job per hop
+        .cache() // checkpoint(eager) runs a count job AND a write job —
+      // without this cache the whole hop recomputes for the write
+      val next = staged.checkpoint() // eager: materialized to disk
+      staged.unpersist(blocking = false) // disk snapshot now owns the data
       // union of checkpointed hops — flat lineage, no cache to retire
       reached = reached.union(next)
       frontier = next

@@ -257,12 +257,20 @@ object Similarity {
     var cents: Array[Array[Double]] = unitVecs.orderBy($"vec_id").limit(cells)
       .collect().map(_.getAs[scala.collection.Seq[Double]]("u").toArray)
     for (_ <- 0 until iters) {
+      // argmax sims rounded to 9dp: sub-ulp dot-product wobble must not
+      // flip a near-tie assignment between runs (struct compare then
+      // tie-breaks on the cell index deterministically)
       val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(VectorFunctions.dot($"u", array(c.map(lit): _*)).as("sim"),
+        struct(round(VectorFunctions.dot($"u", array(c.map(lit): _*)), 9).as("sim"),
           lit(i).as("cell"))
       }: _*))
+      // exact DECIMAL sums (order-independent, per the repo-wide dsum
+      // rule) — a raw double avg() merges partials in shuffle-arrival
+      // order and would bake nondeterministic centroids into the plan
       val sums = unitVecs.select(best.getField("cell").as("cell"), posexplode($"u"))
-        .groupBy($"cell", $"pos").agg(avg($"col").as("m"))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"col".cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          / count(lit(1))).cast("double").as("m"))
         .collect()
       val byCell = sums.groupBy(_.getAs[Int]("cell"))
       cents = cents.zipWithIndex.map { case (old, i) =>
@@ -298,7 +306,7 @@ object Similarity {
       .map { case (c, i) => (c.zip(probeU).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
     val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.dot($"embedding", array(c.map(lit): _*)).as("sim"),
+      struct(round(VectorFunctions.dot($"embedding", array(c.map(lit): _*)), 9).as("sim"),
         lit(i).as("cell"))
     }: _*))
     val probeVec = e(s, dir).filter($"vec_id" === ProbeId)

@@ -62,12 +62,24 @@ object LakeLayout {
     val df = spark.read.parquet(inPath)
     // Hadoop FileSystem API, not java.io.File: input files are URIs and
     // must size correctly on hdfs://s3a:// layouts, not just file://.
-    // ONE recursive getContentSummary RPC for the whole tree — a
-    // per-file getFileStatus loop is O(files) driver round-trips, which
-    // on an object-store layout with 10⁵ fragments dominates the job.
+    // ONE listStatus RPC per distinct parent DIRECTORY (not per file),
+    // summing only the files actually in the scan — glob input paths
+    // resolve through df.inputFiles, and _SUCCESS/_spark_metadata or
+    // stale files never inflate the size the way a recursive
+    // getContentSummary over the root would.
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(inPath)
-    val bytes = root.getFileSystem(hadoopConf).getContentSummary(root).getLength
+    // compare by the URI path component: inputFiles renders file:///p
+    // while FileStatus renders file:/p for the same file
+    val inputSet = df.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val bytes = df.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent)
+      .distinct
+      .flatMap { parent =>
+        parent.getFileSystem(hadoopConf).listStatus(parent)
+          .filter(st => inputSet.contains(st.getPath.toUri.getPath))
+          .map(_.getLen)
+      }.sum
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     // deterministic content-hash salt (not spark_partition_id) so the
     // compacted layout is reproducible for identical input data

@@ -58,22 +58,58 @@ object EventsStream {
       .withWatermark("event_time", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** One not-yet-released session interval held in state. */
+  final case class OpenSession(startNs: Long, lastNs: Long, nEvents: Long)
+  final case class ClosedSession(user_id: Long, session_start_ns: Long,
+      session_end_ns: Long, n_events: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+  /** sessionMemory state: lifetime totals + the open session intervals. */
+  final case class MemoryState(nEvents: Long, nClosed: Long,
+      open: Seq[OpenSession])
+  /** sessionizeStream state: just the open session intervals. */
+  final case class SessionList(open: Seq[OpenSession])
+
+  val SessionGapNs: Long = 1800L * 1000000000L
+
+  /** Merge session intervals with incoming single-event intervals under
+    * the gap rule: sort by start and fold — intervals whose start is
+    * within `gap` of the accumulated end coalesce. Because this re-merges
+    * the FULL held set every batch, an out-of-order event that arrives
+    * within the watermark and bridges two previously-separate intervals
+    * correctly collapses them (eager gap-break emission cannot do that —
+    * it would have already emitted a phantom session). */
+  private def mergeSessions(xs: Seq[OpenSession], gapNs: Long): Seq[OpenSession] =
+    xs.sortBy(o => (o.startNs, o.lastNs)).foldLeft(List.empty[OpenSession]) {
+      case (cur :: rest, next) if next.startNs - cur.lastNs <= gapNs =>
+        OpenSession(cur.startNs, math.max(cur.lastNs, next.lastNs),
+          cur.nEvents + next.nEvents) :: rest
+      case (acc, next) => next :: acc
+    }.reverse
+
+  /** A session is releasable once the watermark passes (last + gap): no
+    * event the watermark still admits can extend or merge it. */
+  private def releasable(o: OpenSession, gapNs: Long, wmMs: Long): Boolean =
+    o.lastNs / 1000000L + gapNs / 1000000L < wmMs
+
+  private def nextTimeoutMs(open: Seq[OpenSession], gapNs: Long, wmMs: Long): Long =
+    math.max(wmMs + 1L,
+      open.map(o => o.lastNs / 1000000L + gapNs / 1000000L).min)
+
   /** P4 session/repeat memory (SURVEY §2.C): per-user state maintained
     * with mapGroupsWithState — running event count and gap-based session
     * count survive across micro-batches.
     *
-    * State GC: EventTimeTimeout. A user's state carries a timeout at
-    * (last activity + session gap); once the WATERMARK passes it, the
-    * next trigger emits the final totals one last time and REMOVES the
-    * state — so state size is bounded by the watermark-recent active-user
-    * set, not by every user ever seen (the property that keeps an
-    * unbounded run alive). A user returning after GC starts a fresh
-    * activity epoch. */
-  final case class UserState(lastNs: Long, nEvents: Long, nSessions: Long)
-  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
-
-  val SessionGapNs: Long = 1800L * 1000000000L
-
+    * Watermark-correct under disorder: state holds the OPEN session
+    * intervals (not just a high-water timestamp), and every batch
+    * re-merges them with the incoming events, so a late-but-in-watermark
+    * event that lands inside or between held intervals updates the
+    * counts exactly; the session count can legitimately DECREASE when a
+    * late event bridges two intervals. Intervals are released (counted
+    * as closed, dropped from state) once the watermark passes their
+    * (last + gap); when nothing is left open the final totals are
+    * emitted once and the state is REMOVED — state size stays bounded by
+    * the watermark-recent active-user set. A user returning after GC
+    * starts a fresh activity epoch. */
   def sessionMemory(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -87,54 +123,35 @@ object EventsStream {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[UserState]) =>
-          if (state.hasTimedOut) {
-            // idle past watermark + gap: final emit, then drop the state
-            val fin = state.get
-            state.remove()
-            UserSessions(user, fin.nEvents, fin.nSessions)
-          } else {
-            val prev = state.getOption.getOrElse(UserState(Long.MinValue, 0L, 0L))
-            var last = prev.lastNs
-            var n = prev.nEvents
-            var sessions = prev.nSessions
-            // events older than the carried state are DROPPED, not
-            // applied — applying them would regress `last` and corrupt
-            // gap math for every subsequent on-time event (the watermark
-            // already filters rows older than its horizon upstream).
-            rows.toSeq.sortBy(_._2).foreach { case (_, ns, _) =>
-              if (last == Long.MinValue || ns > last) {
-                if (last == Long.MinValue || ns - last > gapNs) sessions += 1
-                last = ns
-                n += 1
-              }
-            }
-            state.update(UserState(last, n, sessions))
-            // GC horizon: when the watermark passes last activity + gap
-            // the session can no longer be extended. Timeout timestamps
-            // must sit strictly above the current watermark.
-            state.setTimeoutTimestamp(
-              math.max(last / 1000000L + gapNs / 1000000L,
-                state.getCurrentWatermarkMs + 1L))
-            UserSessions(user, n, sessions)
+         state: GroupState[MemoryState]) =>
+          val wmMs = state.getCurrentWatermarkMs
+          val incoming = rows.map(t => OpenSession(t._2, t._2, 1L)).toSeq
+          val prior = state.getOption.getOrElse(MemoryState(0L, 0L, Seq.empty))
+          val merged = mergeSessions(prior.open ++ incoming, gapNs)
+          val (released, open) = merged.partition(releasable(_, gapNs, wmMs))
+          val totals = MemoryState(prior.nEvents + incoming.size,
+            prior.nClosed + released.size, open)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(totals)
+            state.setTimeoutTimestamp(nextTimeoutMs(open, gapNs, wmMs))
           }
+          UserSessions(user, totals.nEvents, totals.nClosed + open.size)
       }
       .toDF()
   }
 
   /** Streaming sessionization (the exact streaming twin of the batch
     * `q_sessionize_events` semantics): APPEND-mode emission of CLOSED
-    * sessions via flatMapGroupsWithState. A session closes either when a
-    * later event of the same user arrives past the 30-min gap (emitted
-    * immediately) or when the watermark passes (last event + gap) — the
-    * EventTimeTimeout path, which also removes the state, so open-session
-    * state is O(active users). On a drained finite stream the emitted
-    * sessions are exactly the batch sessions except each user's trailing
-    * open session, which no watermark can close. */
-  final case class OpenSession(startNs: Long, lastNs: Long, nEvents: Long)
-  final case class ClosedSession(user_id: Long, session_start_ns: Long,
-      session_end_ns: Long, n_events: Long)
-
+    * sessions via flatMapGroupsWithState. Sessions are emitted ONLY when
+    * the watermark passes their (last + gap) — never eagerly on a gap
+    * break, which would emit phantom sessions that a late-but-in-
+    * watermark event could still merge. Emission also removes the
+    * released intervals from state, so open state is O(sessions inside
+    * the watermark horizon) per active user. On a drained finite stream
+    * the emitted sessions are exactly the batch sessions except those
+    * close enough to the stream's end that no watermark could release
+    * them. */
   def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -146,32 +163,19 @@ object EventsStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val open = state.get
-            state.remove()
-            Iterator(ClosedSession(user, open.startNs, open.lastNs, open.nEvents))
-          } else {
-            val closed = scala.collection.mutable.Buffer.empty[ClosedSession]
-            var open = state.getOption.orNull
-            rows.toSeq.sortBy(_._2).foreach { case (_, ns, _) =>
-              open match {
-                case null =>
-                  open = OpenSession(ns, ns, 1L)
-                case o if ns <= o.lastNs => // stale/dup row: ignore
-                case o if ns - o.lastNs > gapNs =>
-                  closed += ClosedSession(user, o.startNs, o.lastNs, o.nEvents)
-                  open = OpenSession(ns, ns, 1L)
-                case o =>
-                  open = OpenSession(o.startNs, ns, o.nEvents + 1L)
-              }
-            }
-            state.update(open)
-            state.setTimeoutTimestamp(
-              math.max(open.lastNs / 1000000L + gapNs / 1000000L,
-                state.getCurrentWatermarkMs + 1L))
-            closed.iterator
+         state: GroupState[SessionList]) =>
+          val wmMs = state.getCurrentWatermarkMs
+          val incoming = rows.map(t => OpenSession(t._2, t._2, 1L)).toSeq
+          val prior = state.getOption.map(_.open).getOrElse(Seq.empty)
+          val merged = mergeSessions(prior ++ incoming, gapNs)
+          val (released, open) = merged.partition(releasable(_, gapNs, wmMs))
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionList(open))
+            state.setTimeoutTimestamp(nextTimeoutMs(open, gapNs, wmMs))
           }
+          released.sortBy(_.startNs).iterator
+            .map(o => ClosedSession(user, o.startNs, o.lastNs, o.nEvents))
       }
       .toDF()
   }

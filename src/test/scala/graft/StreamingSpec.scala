@@ -157,8 +157,6 @@ class StreamingSpec extends SparkSuite {
         .collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ns")) ->
           (r.getAs[Long]("session_end_ns"), r.getAs[Long]("n_events"))).toMap
-      val lastPerUser = batchSessions.keys.groupBy(_._1)
-        .view.mapValues(_.map(_._2).max).toMap
       val streamed = spark.sql(
         """SELECT user_id, session_start_ns, session_end_ns, n_events
            FROM closed_sessions""").collect()
@@ -169,13 +167,58 @@ class StreamingSpec extends SparkSuite {
         assert(batchSessions(key) == (r.getLong(2), r.getLong(3)),
           s"session $key end/count mismatch")
       }
-      // everything withheld must be a user's trailing session (the open
-      // one no watermark can close on a finite stream)
+      // everything withheld must be unreleasable: the finite stream's
+      // final watermark (max event time - 10 min) never passed the
+      // session's (end + gap), so no emission was permitted
+      val maxNs = graft.sources.Tables.load(spark, sfDir, "events")
+        .agg(max(col("ts"))).collect().head.getLong(0)
+      val finalWmMs = maxNs / 1000000L - 600000L
       val emitted = streamed.map(r => (r.getLong(0), r.getLong(1))).toSet
       (batchSessions.keySet -- emitted).foreach { case (u, start) =>
-        assert(start == lastPerUser(u),
-          s"non-trailing session (user=$u, start=$start) missing from stream")
+        val (endNs, _) = batchSessions((u, start))
+        assert(endNs / 1000000L + gap / 1000000L >= finalWmMs - 1L,
+          s"releasable session (user=$u, start=$start) missing from stream")
       }
+    } finally q.stop()
+  }
+
+  test("late bridging event merges two held intervals instead of emitting a phantom session") {
+    import org.apache.spark.sql.functions._
+    // batch 1: user 7 at 12:00 and 12:45 — a 45-min gap, two intervals.
+    // batch 2: user 7 at 12:20, OUT OF ORDER — within 30 min of both, so
+    // the true sessionization is ONE session [12:00, 12:45] of 3 events.
+    // batch 3: user 99 at 16:00 pushes the watermark far enough to
+    // release user 7's merged session. Eager gap-break emission would
+    // have emitted a phantom [12:00, 12:00] session in batch 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-events")
+    val h12 = 12L * 3600L * 1000000000L
+    def write(name: String, userId: Long, tsNs: Seq[Long]): Unit = {
+      import spark.implicits._
+      tsNs.zipWithIndex.map { case (ns, i) =>
+        (userId * 100 + i, ns, userId, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    }
+    write("a", 7L, Seq(h12, h12 + 45L * 60L * 1000000000L))
+    Thread.sleep(1100)
+    write("b", 7L, Seq(h12 + 20L * 60L * 1000000000L))
+    Thread.sleep(1100)
+    write("c", 99L, Seq(16L * 3600L * 1000000000L))
+    val src = spark.readStream
+      .schema(graft.sources.Tables.events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.runToMemory(
+      EventsStream.sessionizeStream(spark, src), "ooo_sessions", "append")
+    try {
+      val u7 = spark.sql(
+        """SELECT session_start_ns, session_end_ns, n_events
+           FROM ooo_sessions WHERE user_id = 7""").collect()
+      assert(u7.length == 1, s"expected ONE merged session, got ${u7.toSeq}")
+      assert(u7.head.getLong(0) == h12)
+      assert(u7.head.getLong(1) == h12 + 45L * 60L * 1000000000L)
+      assert(u7.head.getLong(2) == 3L, "late bridging event must be counted")
     } finally q.stop()
   }
 
