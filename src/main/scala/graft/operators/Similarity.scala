@@ -257,26 +257,31 @@ object Similarity {
     var cents: Array[Array[Double]] = unitVecs.orderBy($"vec_id").limit(cells)
       .collect().map(_.getAs[scala.collection.Seq[Double]]("u").toArray)
     for (_ <- 0 until iters) {
-      // argmax sims rounded to 9dp: sub-ulp dot-product wobble must not
-      // flip a near-tie assignment between runs (struct compare then
-      // tie-breaks on the cell index deterministically)
+      // no rounding needed in the argmax: VecDot folds the array in
+      // index order, so with DETERMINISTIC centroid literals (see the
+      // fixed-point mean below) each row's 16 sims are bit-identical
+      // every run; struct compare tie-breaks equal sims by cell index
       val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(round(VectorFunctions.dot($"u", array(c.map(lit): _*)), 9).as("sim"),
+        struct(VectorFunctions.dot($"u", array(c.map(lit): _*)).as("sim"),
           lit(i).as("cell"))
       }: _*))
-      // exact DECIMAL sums (order-independent, per the repo-wide dsum
-      // rule) — a raw double avg() merges partials in shuffle-arrival
-      // order and would bake nondeterministic centroids into the plan
+      // order-independent mean via exact scaled-integer sums — a raw
+      // double avg() merges partials in shuffle-arrival order and would
+      // bake nondeterministic centroids into the plan. Unit components
+      // are in [-1,1], so a 1e7 fixed-point long is exact under addition
+      // up to ~9·10¹¹ training rows per cell and costs one primitive
+      // sum (DECIMAL sums measured ~2× the whole query's time)
       val sums = unitVecs.select(best.getField("cell").as("cell"), posexplode($"u"))
         .groupBy($"cell", $"pos")
-        .agg((sum($"col".cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          / count(lit(1))).cast("double").as("m"))
+        .agg(sum(round($"col" * 1e7).cast("long")).as("fx"),
+          count(lit(1)).as("cnt"))
         .collect()
       val byCell = sums.groupBy(_.getAs[Int]("cell"))
       cents = cents.zipWithIndex.map { case (old, i) =>
         byCell.get(i).fold(old) { rows =>
           val v = new Array[Double](old.length)
-          rows.foreach(r => v(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+          rows.foreach(r => v(r.getAs[Int]("pos")) =
+            r.getAs[Long]("fx").toDouble / (1e7 * r.getAs[Long]("cnt")))
           val n = math.sqrt(v.map(x => x * x).sum)
           if (n > 0) v.map(_ / n) else old
         }
@@ -306,7 +311,7 @@ object Similarity {
       .map { case (c, i) => (c.zip(probeU).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
     val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(round(VectorFunctions.dot($"embedding", array(c.map(lit): _*)), 9).as("sim"),
+      struct(VectorFunctions.dot($"embedding", array(c.map(lit): _*)).as("sim"),
         lit(i).as("cell"))
     }: _*))
     val probeVec = e(s, dir).filter($"vec_id" === ProbeId)
