@@ -29,8 +29,10 @@ class SqlParitySpec extends SparkSuite {
     }
     assert(mismatches.result().isEmpty,
       s"SQL/DataFrame mismatch: ${mismatches.result()}")
-    // the relational core should all be ANSI-parseable on Spark
-    assert(parity >= 12, s"only $parity oracle SQLs ran on Spark SQL ($skipped skipped)")
+    // the relational core should all be ANSI-parseable on Spark; 23 as
+    // of round 3 — a drop means an oracle SQL regressed into a dialect
+    // Spark can't parse (or a query lost its oracle entirely)
+    assert(parity >= 23, s"only $parity oracle SQLs ran on Spark SQL ($skipped skipped)")
     info(s"three-way parity: $parity queries, $skipped DuckDB-specific skipped")
   }
 }
