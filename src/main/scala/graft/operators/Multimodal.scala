@@ -74,6 +74,89 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------ resize (image)
+  /** One sampled video frame: payload slice + its index. A real decoder
+    * yields pixel buffers; the slicing/batching/flatMap shape is what
+    * survives the swap. */
+  final case class VideoFrame(asset_id: Long, frame_idx: Long,
+      frame_payload: Array[Byte])
+
+  /** Stub "frame" width in bytes — stands in for a decoded frame. */
+  val FrameBytes = 256
+
+  /** Frame sampling over video assets: every `stride`-th frame of the
+    * payload, map-side 1→N flatMap (payloads never shuffle; the row
+    * explosion happens inside the partition, exactly where a keyframe
+    * extractor would run). Last frame may be partial. */
+  def sampleFrames(assets: Dataset[Asset], stride: Int = 4): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "video").mapPartitions { it =>
+      it.flatMap { a =>
+        val nFrames = (a.payload.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val start = i * FrameBytes
+          val end = math.min(a.payload.length, start + FrameBytes)
+          VideoFrame(a.asset_id, i.toLong,
+            java.util.Arrays.copyOfRange(a.payload, start, end))
+        }
+      }
+    }
+  }
+
+  /** Resize over image assets: STUB decimation keeps every `factor`-th
+    * payload byte (a real implementation decodes pixels and pools;
+    * same in-partition 1→1 shape) and tags the metadata. */
+  def resizeAssets(assets: Dataset[Asset], factor: Int = 2): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    require(factor >= 1)
+    assets.filter(_.modality == "image").mapPartitions { it =>
+      it.map { a =>
+        val resized = Array.tabulate((a.payload.length + factor - 1) / factor)(
+          i => a.payload(i * factor))
+        a.copy(payload = resized, meta = a.meta + ("resized" -> s"1/$factor"))
+      }
+    }
+  }
+
+  /** Oracle-checked rollup over the REAL frame-sample operator: per
+    * video asset, how many frames were sampled and how many bytes they
+    * carry. The stub's arithmetic (256-byte frames, stride 4, partial
+    * tail) is mirrored exactly in the DuckDB SQL. */
+  def mFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(assetTable(s, dir)).toDF()
+      .groupBy($"asset_id")
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(length($"frame_payload")).as("bytes_sampled"))
+      .orderBy($"asset_id")
+  }
+
+  val mFrameSampleSql: String =
+    s"""WITH v AS (
+         SELECT doc_id AS asset_id, octet_length(encode(text)) AS len
+         FROM documents WHERE doc_id % 3 = 2),
+       f AS (
+         SELECT asset_id, i, len FROM v,
+           UNNEST(generate_series(0, (len + ${FrameBytes - 1}) // $FrameBytes - 1)) AS t(i)
+         WHERE i % 4 = 0)
+       SELECT asset_id, COUNT(*) AS n_frames_sampled,
+         CAST(SUM(LEAST($FrameBytes, len - i * $FrameBytes)) AS BIGINT) AS bytes_sampled
+       FROM f GROUP BY asset_id ORDER BY asset_id"""
+
+  /** Oracle-checked rollup over the REAL resize operator: count and
+    * total bytes of the decimated image payloads (ceil(len/2) each). */
+  def mResizeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resizeAssets(assetTable(s, dir)).toDF()
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length($"payload")).as("resized_bytes"))
+  }
+
+  val mResizeStatsSql: String =
+    """SELECT COUNT(*) AS n_assets,
+       CAST(SUM((octet_length(encode(text)) + 1) // 2) AS BIGINT) AS resized_bytes
+       FROM documents WHERE doc_id % 3 = 0"""
+
   /** Metadata-only rollup — demonstrates that analytic queries over the
     * asset table never deserialize payloads (column pruning drops the
     * binary column at the scan). */
@@ -102,10 +185,14 @@ object Multimodal {
        FROM a GROUP BY modality ORDER BY modality"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_modality_stats" -> (modalityStats _))
+    "m_modality_stats" -> (modalityStats _),
+    "m_frame_sample" -> (mFrameSample _),
+    "m_resize_stats" -> (mResizeStats _))
 
   val oracle: Map[String, String] = Map(
-    "m_modality_stats" -> modalityStatsSql)
+    "m_modality_stats" -> modalityStatsSql,
+    "m_frame_sample" -> mFrameSampleSql,
+    "m_resize_stats" -> mResizeStatsSql)
 }
 
 /** The stubbed codec boundary. Deterministic fakes, clearly marked:

@@ -91,4 +91,46 @@ class PlanDiffMultimodalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("payload"), "payload column should be pruned from the scan")
   }
+
+  test("frame sampling slices stride-aligned frames with an exact partial tail") {
+    val frames = Multimodal.sampleFrames(Multimodal.assetTable(spark, sfDir))
+      .collect()
+    assert(frames.nonEmpty)
+    // every sampled index is stride-aligned and every full-width frame
+    // is exactly FrameBytes; at most the asset's LAST sampled frame may
+    // be shorter
+    frames.groupBy(_.asset_id).values.foreach { fs =>
+      fs.foreach(f => assert(f.frame_idx % 4 == 0, "stride alignment"))
+      val maxIdx = fs.map(_.frame_idx).max
+      fs.filter(_.frame_idx != maxIdx)
+        .foreach(f => assert(f.frame_payload.length == Multimodal.FrameBytes))
+      fs.foreach(f => assert(f.frame_payload.length > 0 &&
+        f.frame_payload.length <= Multimodal.FrameBytes))
+    }
+    // slices are the payload's actual bytes, not copies of the head
+    val asset = Multimodal.assetTable(spark, sfDir)
+      .filter(_.modality == "video").head()
+    val sampled = frames.filter(_.asset_id == asset.asset_id)
+      .sortBy(_.frame_idx)
+    sampled.foreach { f =>
+      val start = f.frame_idx.toInt * Multimodal.FrameBytes
+      assert(f.frame_payload.toSeq ==
+        asset.payload.slice(start, start + Multimodal.FrameBytes).toSeq)
+    }
+  }
+
+  test("resize decimates payloads by the factor and tags the metadata") {
+    val resized = Multimodal.resizeAssets(Multimodal.assetTable(spark, sfDir))
+      .collect()
+    assert(resized.nonEmpty)
+    val originals = Multimodal.assetTable(spark, sfDir)
+      .filter(_.modality == "image").collect()
+      .map(a => a.asset_id -> a.payload).toMap
+    resized.foreach { a =>
+      val orig = originals(a.asset_id)
+      assert(a.payload.length == (orig.length + 1) / 2, "ceil(len/2) bytes")
+      a.payload.zipWithIndex.foreach { case (b, i) => assert(b == orig(i * 2)) }
+      assert(a.meta("resized") == "1/2")
+    }
+  }
 }
