@@ -181,16 +181,76 @@ object TextAnalysis {
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
        FROM documents ORDER BY doc_id"""
 
+  // ----------------------------------------------------------- winnowing
+  /** Winnowing window width (documents ≥ WinnowW+2 tokens participate). */
+  val WinnowW = 4
+
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash
+    * every POSITIONAL word-3-gram (ordered, not deduped — winnowing
+    * needs document order), then take the minimum hash of each sliding
+    * window of [[WinnowW]] consecutive shingles; the distinct window
+    * minima are the document's fingerprint set. Guarantees any shared
+    * substring of ≥ w+2 tokens contributes a shared fingerprint — the
+    * rolling local-sampling property that makes fuzzy-overlap detection
+    * work at corpus scale with ~1/w of the hashes. All map-side array
+    * HOFs (no explode, no shuffle before the final projection); md5 hex
+    * minima compare lexicographically identically on both engines. */
+  /** Core winnowing projection: (doc_id, text) → (doc_id, fps) where
+    * fps is the distinct fingerprint ARRAY. Kept separate so overlap
+    * detection (fingerprint-join two corpora) and the property test can
+    * reuse it. */
+  def winnowFps(docs: DataFrame): DataFrame = {
+    val w = WinnowW
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("wt"))
+      .withColumn("h", expr(
+        "transform(sequence(0, size(wt)-3), i -> md5(concat_ws(' ', wt[i], wt[i+1], wt[i+2])))"))
+      .filter(size(col("h")) >= w)
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(0, size(h)-$w), i -> array_min(slice(h, i+1, $w))))"))
+      .select(col("doc_id"), col("fps"))
+  }
+
+  def tWinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    winnowFps(d(s, dir))
+      .select($"doc_id", size($"fps").cast("bigint").as("n_fingerprints"),
+        array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+      .filter($"doc_id" < 50)
+      .orderBy($"doc_id")
+  }
+
+  val tWinnowSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS wt
+         FROM documents),
+       hs AS (
+         SELECT doc_id,
+           list_transform(generate_series(1, len(wt) - 2),
+             i -> md5(wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS h
+         FROM toks WHERE len(wt) >= 3),
+       fp AS (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(h) - ${WinnowW - 1}),
+             i -> list_min(h[i:i+${WinnowW - 1}]))) AS fps
+         FROM hs WHERE len(h) >= $WinnowW)
+       SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         list_min(fps) AS min_fp, list_max(fps) AS max_fp
+       FROM fp WHERE doc_id < 50 ORDER BY doc_id"""
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tTokenStats _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
-    "t_fingerprint" -> (tFingerprint _))
+    "t_fingerprint" -> (tFingerprint _),
+    "t_winnow_fingerprints" -> (tWinnowFingerprints _))
 
   val oracle: Map[String, String] = Map(
     "t_token_stats" -> tTokenStatsSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
-    "t_fingerprint" -> tFingerprintSql)
+    "t_fingerprint" -> tFingerprintSql,
+    "t_winnow_fingerprints" -> tWinnowSql)
 }

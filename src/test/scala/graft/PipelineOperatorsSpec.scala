@@ -203,6 +203,27 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(Similarity.sNeardupPairs(spark, sfDir).collect().nonEmpty)
   }
 
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared tail one two"),
+      (2L, s"zeta eta theta iota $shared other ending words"),
+      (3L, "completely unrelated text with nothing in common at all here today")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFps(docs).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[String]]("fps").toSet).toMap
+    // the SWA guarantee: a shared run of >= WinnowW+2 tokens yields at
+    // least one common window minimum
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+    // density: winnowing keeps ~1/w of the shingle hashes, never all
+    val nShingles1 = docs.filter($"doc_id" === 1L).select(
+      size(TextAnalysis.tokens($"text"))).head().getInt(0) - 2
+    assert(fps(1L).size < nShingles1, "fingerprints must subsample the shingles")
+  }
+
   test("quality tiers are exhaustive and tokens positive") {
     val rows = TextAnalysis.tQualityScore(spark, sfDir).collect()
     assert(rows.length == 500)
