@@ -494,8 +494,129 @@ object Dedup {
       .orderBy($"i", $"j")
   }
 
+  // ------------------------------------------------- winnow overlap
+  /** Fuzzy cross-document overlap via winnowing fingerprints (the
+    * decontamination shape: find training docs sharing long runs with a
+    * benchmark set). Inverted fingerprint index + doc-frequency cap —
+    * the same quadratic-blowup guard as [[ShingleDocCap]] — then pairs
+    * scored by shared-fingerprint count. Winnowing keeps ~1/w of the
+    * shingle hashes, so the index is w× smaller than the n-gram Jaccard
+    * index for the same recall of ≥(w+2)-token runs. */
+  def dWinnowOverlap(s: SparkSession, dir: String,
+      minShared: Int = 3, fpDocCap: Int = 100): DataFrame = {
+    import s.implicits._
+    // cache boundary: the fingerprint rows feed the doc-frequency cap
+    // AND both sides of the pair join — without it the whole winnowing
+    // HOF chain re-runs once per consumer (measured 4×)
+    val ex = TextAnalysis.winnowFps(d(s, dir))
+      .select($"doc_id", explode($"fps").as("fp"))
+      .cache()
+    val rare = ex.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= fpDocCap).select($"fp")
+    val exr = ex.join(rare, "fp")
+    exr.select($"doc_id".as("i"), $"fp")
+      .join(exr.select($"doc_id".as("j"), $"fp"), Seq("fp"))
+      .filter($"i" < $"j")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= minShared)
+      .orderBy($"i", $"j")
+  }
+
+  val dWinnowOverlapSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS wt
+         FROM documents),
+       hs AS (
+         SELECT doc_id,
+           list_transform(generate_series(1, len(wt) - 2),
+             i -> md5(wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS h
+         FROM toks WHERE len(wt) >= 3),
+       fps AS (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(h) - ${TextAnalysis.WinnowW - 1}),
+             i -> list_min(h[i:i+${TextAnalysis.WinnowW - 1}]))) AS fps
+         FROM hs WHERE len(h) >= ${TextAnalysis.WinnowW}),
+       ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+       rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
+       exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
+       pairs AS (
+         SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+         FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT i, j, CAST(shared AS BIGINT) AS shared_fps FROM pairs
+       WHERE shared >= 3 ORDER BY i, j"""
+
+  // ---------------------------------------------------- cleaning funnel
+  /** Minimum token count for the funnel's quality gate (corpus median is
+    * ~56 tokens; 30 keeps prose-length docs, drops fragments). */
+  val FunnelMinTokens = 30L
+
+  /** The composed corpus-cleaning funnel a training pipeline runs before
+    * tokenization: NEAR-dedup survivors (the lower doc_id of every
+    * winnowing-overlap pair wins — the same [[dWinnowOverlap]] operator,
+    * composed rather than re-implemented) → length-based quality gate →
+    * language gate. One aggregated row of per-stage survivor counts.
+    * (Exact-fingerprint and tier gates are deliberately NOT the stages:
+    * this corpus plants near-dups, not byte-dups, and its synthetic prose
+    * is tier-uniform — the stages chosen are the ones with real
+    * selectivity, each checked standalone by its own oracle query.) */
+  def dCorpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = d(s, dir).select($"doc_id", $"lang",
+      size(TextAnalysis.tokens($"text")).cast("bigint").as("n_tokens"))
+    val dupJ = dWinnowOverlap(s, dir)
+      .select($"j".as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    docs.join(dupJ, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"is_dup".isNull, 1L).otherwise(0L)).as("n_unique"),
+        sum(when($"is_dup".isNull && $"n_tokens" >= FunnelMinTokens, 1L)
+          .otherwise(0L)).as("n_quality"),
+        sum(when($"is_dup".isNull && $"n_tokens" >= FunnelMinTokens &&
+          $"lang" === "en", 1L).otherwise(0L)).as("n_final"))
+  }
+
+  val dCorpusFunnelSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS wt
+         FROM documents),
+       hs AS (
+         SELECT doc_id,
+           list_transform(generate_series(1, len(wt) - 2),
+             i -> md5(wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS h
+         FROM toks WHERE len(wt) >= 3),
+       fps AS (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(h) - ${TextAnalysis.WinnowW - 1}),
+             i -> list_min(h[i:i+${TextAnalysis.WinnowW - 1}]))) AS fps
+         FROM hs WHERE len(h) >= ${TextAnalysis.WinnowW}),
+       ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+       rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
+       exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
+       pairs AS (
+         SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+         FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       dupj AS (SELECT DISTINCT j AS doc_id FROM pairs WHERE shared >= 3),
+       ann AS (
+         SELECT t.doc_id, d.lang, len(t.wt) AS n_tokens,
+           (dupj.doc_id IS NOT NULL) AS is_dup
+         FROM toks t
+         JOIN documents d ON t.doc_id = d.doc_id
+         LEFT JOIN dupj ON t.doc_id = dupj.doc_id)
+       SELECT COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         CAST(SUM(CASE WHEN NOT is_dup AND n_tokens >= $FunnelMinTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(SUM(CASE WHEN NOT is_dup AND n_tokens >= $FunnelMinTokens AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       FROM ann"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_stats" -> (dExactStats _),
+    "d_winnow_overlap" -> ((s: SparkSession, dir: String) => dWinnowOverlap(s, dir)),
+    "d_corpus_funnel" -> (dCorpusFunnel _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_minhash_lsh_x64" -> (dMinhashLshX64 _),
@@ -505,6 +626,8 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d_exact_stats" -> dExactStatsSql,
+    "d_winnow_overlap" -> dWinnowOverlapSql,
+    "d_corpus_funnel" -> dCorpusFunnelSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_simhash_clusters" -> dSimhashClustersSql,

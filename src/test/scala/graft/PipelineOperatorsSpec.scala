@@ -224,6 +224,23 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(fps(1L).size < nShingles1, "fingerprints must subsample the shingles")
   }
 
+  test("winnow overlap recovers the planted near-dup pairs; funnel is monotone") {
+    val planted = Dedup.dNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val overlap = Dedup.dWinnowOverlap(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(overlap.nonEmpty)
+    // winnowing guarantees shared >=(w+2)-token runs surface; jaccard-0.8
+    // planted dups are full near-copies, so they must all appear
+    assert(planted.subsetOf(overlap), s"missed planted pairs: ${planted -- overlap}")
+    val r = Dedup.dCorpusFunnel(spark, sfDir).collect().head
+    val (t, u, n, f) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_unique"),
+      r.getAs[Long]("n_quality"), r.getAs[Long]("n_final"))
+    assert(t >= u && u >= n && n >= f, s"funnel must shrink: $t >= $u >= $n >= $f")
+    assert(u < t, "near-dedup stage must remove the planted dup partners")
+    assert(f > 0, "the en/length/unique intersection should be non-empty")
+  }
+
   test("quality tiers are exhaustive and tokens positive") {
     val rows = TextAnalysis.tQualityScore(spark, sfDir).collect()
     assert(rows.length == 500)
