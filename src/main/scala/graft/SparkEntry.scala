@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.queries ++ RecallQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ HybridRetrieval.queries ++
-      GraphTraversal.queries ++ AdvancedQueries.queries ++ AsOfJoin.queries
+      GraphTraversal.queries ++ AdvancedQueries.queries ++
+      AsOfJoin.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ RecallQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ HybridRetrieval.oracle ++
-      GraphTraversal.oracle ++ AdvancedQueries.oracle ++ AsOfJoin.oracle
+      GraphTraversal.oracle ++ AdvancedQueries.oracle ++
+      AsOfJoin.oracle ++ Sampling.oracle
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling/splitting for training-data pipelines
+  * (north-star mandate, SURVEY §2.D adjacents). Every assignment is a
+  * pure function of the row's key via md5 — NO rand(): a re-run, a task
+  * retry, or a different executor count yields byte-identical splits
+  * (the same determinism rule that governs the whole engine), and the
+  * oracle can recompute the assignment in DuckDB.
+  *
+  * Scale notes: both queries are map-side assignment + one partial
+  * aggregation — no shuffle of payloads, no global sort, no sampling
+  * collect. At 100 TB the split column would be written back as a
+  * partition column so downstream training readers prune to their split
+  * at the FileIndex.
+  */
+object Sampling {
+
+  private def d(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** First hex nibble of md5(doc_id) → 16 deterministic buckets:
+    * 12 train / 2 val / 2 test (75/12.5/12.5). */
+  private val TrainNibbles = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+  private val ValNibbles = Seq("c", "d")
+
+  /** Deterministic train/val/test split accounting per language:
+    * documents land in a split by hashing their KEY (not their position
+    * or a RNG), so the split survives reshuffles and incremental
+    * appends. Emits (lang, split, n_docs). */
+  def dHashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    d(s, dir)
+      .withColumn("nib", substring(md5($"doc_id".cast("string")), 1, 1))
+      .withColumn("split",
+        when($"nib".isin(TrainNibbles: _*), "train")
+          .when($"nib".isin(ValNibbles: _*), "val")
+          .otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"split")
+  }
+
+  val dHashSplitSql: String = {
+    val train = TrainNibbles.map(n => s"'$n'").mkString(", ")
+    val vall = ValNibbles.map(n => s"'$n'").mkString(", ")
+    s"""WITH a AS (
+         SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ($train) THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ($vall) THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+       SELECT lang, split, COUNT(*) AS n_docs
+       FROM a GROUP BY lang, split ORDER BY lang, split"""
+  }
+
+  /** Stratified deterministic sample: ~1/`rate` of each language stratum
+    * by hashing the key into `rate` buckets and keeping bucket 0 — the
+    * reproducible replacement for per-stratum rand() sampling. Emits per
+    * stratum the population, the sample size, and the realized rate, so
+    * a drifting stratum is visible immediately. */
+  val SampleBuckets = 8
+
+  def dStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // md5 first 4 hex chars → 16-bit int, mod buckets: deterministic and
+    // oracle-portable (DuckDB parses the same hex substring)
+    val bucket = expr(
+      s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $SampleBuckets")
+    d(s, dir)
+      .withColumn("in_sample", (bucket === 0).cast("int").cast("bigint"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"in_sample").as("n_sampled"),
+        (sum($"in_sample").cast("double") / count(lit(1))).as("rate"))
+      .orderBy($"lang")
+  }
+
+  val dStratifiedSampleSql: String =
+    s"""WITH a AS (
+         SELECT lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % $SampleBuckets = 0
+                THEN 1 ELSE 0 END AS in_sample
+         FROM documents)
+       SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(in_sample) AS BIGINT) AS n_sampled,
+         CAST(SUM(in_sample) AS DOUBLE) / COUNT(*) AS rate
+       FROM a GROUP BY lang ORDER BY lang"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_hash_split" -> (dHashSplit _),
+    "d_stratified_sample" -> (dStratifiedSample _))
+
+  val oracle: Map[String, String] = Map(
+    "d_hash_split" -> dHashSplitSql,
+    "d_stratified_sample" -> dStratifiedSampleSql)
+}

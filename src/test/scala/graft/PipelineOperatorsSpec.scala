@@ -241,6 +241,25 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(f > 0, "the en/length/unique intersection should be non-empty")
   }
 
+  test("hash split and stratified sample are deterministic and near their nominal rates") {
+    val rows = graft.operators.Sampling.dHashSplit(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // nominal 75/12.5/12.5 — at 500 docs allow generous binomial slack
+    assert(bySplit("train").toDouble / total > 0.6 &&
+      bySplit("train").toDouble / total < 0.9, s"train share ${bySplit("train")}/$total")
+    // identical re-run (hash-of-key assignment, no RNG anywhere)
+    val again = graft.operators.Sampling.dHashSplit(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val samp = graft.operators.Sampling.dStratifiedSample(spark, sfDir).collect()
+    samp.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.02 && rate < 0.35, s"stratum ${r.getAs[String]("lang")} rate $rate")
+    }
+  }
+
   test("quality tiers are exhaustive and tokens positive") {
     val rows = TextAnalysis.tQualityScore(spark, sfDir).collect()
     assert(rows.length == 500)
