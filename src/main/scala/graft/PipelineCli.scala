@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation drive — the COMPOSED form of the
+  * operators the driver checks individually (`d_winnow_overlap`,
+  * `d_corpus_funnel`, `d_hash_split`):
+  *
+  *   documents → near-dedup (winnowing overlap, lower doc_id wins)
+  *             → token-length quality gate → language gate
+  *             → deterministic hash split
+  *             → parquet partitioned by split
+  *
+  * then reads the written corpus back, prints the per-split inventory,
+  * cross-checks the survivor count against `d_corpus_funnel`'s n_final,
+  * and proves split pruning (a train-only read plans a PartitionFilter,
+  * so a training job never scans val/test files).
+  *
+  * args: [sfDir] [outDir]
+  */
+object PipelineCli {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val outDir =
+      if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-clean-corpus").toString
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dupJ = Dedup.dWinnowOverlap(spark, sfDir)
+      .select($"j".as("doc_id")).distinct()
+    val cleaned = docs
+      .join(dupJ, Seq("doc_id"), "left_anti")
+      .filter(size(TextAnalysis.tokens($"text")) >= Dedup.FunnelMinTokens)
+      .filter($"lang" === "en")
+      .withColumn("split", Sampling.splitCol($"doc_id"))
+    cleaned.write.mode("overwrite").partitionBy("split").parquet(outDir)
+
+    val back = spark.read.parquet(outDir)
+    val funnel = Dedup.dCorpusFunnel(spark, sfDir).collect().head
+    println(s"input_docs   = ${docs.count()}")
+    println(s"cleaned_docs = ${back.count()}")
+    println(s"funnel_final = ${funnel.getAs[Long]("n_final")} " +
+      s"(match=${funnel.getAs[Long]("n_final") == back.count()})")
+    back.groupBy($"split").count().orderBy($"split").collect()
+      .foreach(r => println(f"  split ${r.getString(0)}%-6s = ${r.getLong(1)}"))
+    val trainPlan = back.filter($"split" === "train")
+      .queryExecution.executedPlan.toString
+    println(s"train_read_partition_pruned = ${
+      trainPlan.contains("PartitionFilters: [isnotnull(split") ||
+        trainPlan.contains("PartitionFilters: [(split")}")
+    println(s"out_dir = $outDir")
+    spark.stop()
+  }
+}

@@ -27,6 +27,15 @@ object Sampling {
   private val TrainNibbles = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
   private val ValNibbles = Seq("c", "d")
 
+  /** Deterministic split assignment as a pure Column over the row key —
+    * reused by [[dHashSplit]] and the end-to-end PipelineCli. */
+  def splitCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nib = substring(md5(key.cast("string")), 1, 1)
+    when(nib.isin(TrainNibbles: _*), "train")
+      .when(nib.isin(ValNibbles: _*), "val")
+      .otherwise("test")
+  }
+
   /** Deterministic train/val/test split accounting per language:
     * documents land in a split by hashing their KEY (not their position
     * or a RNG), so the split survives reshuffles and incremental
@@ -34,11 +43,7 @@ object Sampling {
   def dHashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     d(s, dir)
-      .withColumn("nib", substring(md5($"doc_id".cast("string")), 1, 1))
-      .withColumn("split",
-        when($"nib".isin(TrainNibbles: _*), "train")
-          .when($"nib".isin(ValNibbles: _*), "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol($"doc_id"))
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"split")
