@@ -38,8 +38,11 @@ object PipelineCli {
     import spark.implicits._
 
     val docs = Tables.load(spark, sfDir, "documents")
-    val dupJ = Dedup.dWinnowOverlap(spark, sfDir)
-      .select($"j".as("doc_id")).distinct()
+    // the overlap self-join is the drive's dominant cost — compute it
+    // ONCE and share it with both the cleaning anti-join and the funnel
+    // cross-check
+    val overlap = Dedup.dWinnowOverlap(spark, sfDir).cache()
+    val dupJ = overlap.select($"j".as("doc_id")).distinct()
     val cleaned = docs
       .join(dupJ, Seq("doc_id"), "left_anti")
       .filter(size(TextAnalysis.tokens($"text")) >= Dedup.FunnelMinTokens)
@@ -48,11 +51,13 @@ object PipelineCli {
     cleaned.write.mode("overwrite").partitionBy("split").parquet(outDir)
 
     val back = spark.read.parquet(outDir)
-    val funnel = Dedup.dCorpusFunnel(spark, sfDir).collect().head
+    val nBack = back.count()
+    val funnel = Dedup.dCorpusFunnel(spark, sfDir, Some(overlap)).collect().head
+    overlap.unpersist(blocking = false)
     println(s"input_docs   = ${docs.count()}")
-    println(s"cleaned_docs = ${back.count()}")
+    println(s"cleaned_docs = $nBack")
     println(s"funnel_final = ${funnel.getAs[Long]("n_final")} " +
-      s"(match=${funnel.getAs[Long]("n_final") == back.count()})")
+      s"(match=${funnel.getAs[Long]("n_final") == nBack})")
     back.groupBy($"split").count().orderBy($"split").collect()
       .foreach(r => println(f"  split ${r.getString(0)}%-6s = ${r.getLong(1)}"))
     val trainPlan = back.filter($"split" === "train")

@@ -523,20 +523,7 @@ object Dedup {
   }
 
   val dWinnowOverlapSql: String =
-    s"""WITH toks AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS wt
-         FROM documents),
-       hs AS (
-         SELECT doc_id,
-           list_transform(generate_series(1, len(wt) - 2),
-             i -> md5(wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS h
-         FROM toks WHERE len(wt) >= 3),
-       fps AS (
-         SELECT doc_id,
-           list_distinct(list_transform(generate_series(1, len(h) - ${TextAnalysis.WinnowW - 1}),
-             i -> list_min(h[i:i+${TextAnalysis.WinnowW - 1}]))) AS fps
-         FROM hs WHERE len(h) >= ${TextAnalysis.WinnowW}),
+    s"""WITH ${TextAnalysis.winnowFpsSqlCte},
        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
        rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
        exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
@@ -561,11 +548,14 @@ object Dedup {
     * this corpus plants near-dups, not byte-dups, and its synthetic prose
     * is tier-uniform — the stages chosen are the ones with real
     * selectivity, each checked standalone by its own oracle query.) */
-  def dCorpusFunnel(s: SparkSession, dir: String): DataFrame = {
+  def dCorpusFunnel(s: SparkSession, dir: String,
+      overlap: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val docs = d(s, dir).select($"doc_id", $"lang",
       size(TextAnalysis.tokens($"text")).cast("bigint").as("n_tokens"))
-    val dupJ = dWinnowOverlap(s, dir)
+    // callers that already computed the (expensive) overlap pass it in;
+    // the registry entry computes it fresh
+    val dupJ = overlap.getOrElse(dWinnowOverlap(s, dir))
       .select($"j".as("doc_id")).distinct()
       .withColumn("is_dup", lit(1L))
     docs.join(dupJ, Seq("doc_id"), "left")
@@ -579,20 +569,7 @@ object Dedup {
   }
 
   val dCorpusFunnelSql: String =
-    s"""WITH toks AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS wt
-         FROM documents),
-       hs AS (
-         SELECT doc_id,
-           list_transform(generate_series(1, len(wt) - 2),
-             i -> md5(wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS h
-         FROM toks WHERE len(wt) >= 3),
-       fps AS (
-         SELECT doc_id,
-           list_distinct(list_transform(generate_series(1, len(h) - ${TextAnalysis.WinnowW - 1}),
-             i -> list_min(h[i:i+${TextAnalysis.WinnowW - 1}]))) AS fps
-         FROM hs WHERE len(h) >= ${TextAnalysis.WinnowW}),
+    s"""WITH ${TextAnalysis.winnowFpsSqlCte},
        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
        rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
        exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
@@ -616,7 +593,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_stats" -> (dExactStats _),
     "d_winnow_overlap" -> ((s: SparkSession, dir: String) => dWinnowOverlap(s, dir)),
-    "d_corpus_funnel" -> (dCorpusFunnel _),
+    "d_corpus_funnel" -> ((s: SparkSession, dir: String) => dCorpusFunnel(s, dir)),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_minhash_lsh_x64" -> (dMinhashLshX64 _),

@@ -207,6 +207,11 @@ object TextAnalysis {
     // digests per doc (measured 18 s vs ~2 s at sf0.1).
     val hashed = docs
       .select(col("doc_id"), tokens(col("text")).as("wt"))
+      // BEFORE the transform: under ANSI mode a <3-token doc makes
+      // sequence(0, size-3) descend and wt[i+2] throws
+      // INVALID_ARRAY_INDEX (and a 0-token doc would otherwise emit
+      // bogus md5('') fingerprints the oracle never sees)
+      .filter(size(col("wt")) >= 3)
       .withColumn("h", expr(
         "transform(sequence(0, size(wt)-3), i -> md5(concat_ws(' ', wt[i], wt[i+1], wt[i+2])))"))
       .filter(size(col("h")) >= w)
@@ -227,8 +232,12 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val tWinnowSql: String =
-    s"""WITH toks AS (
+  /** Shared DuckDB CTE chain for winnowing fingerprints — the SQL twin
+    * of [[winnowFps]], interpolated into every winnowing oracle (same
+    * single-source pattern as Dedup's `shinglesSqlCte`). Yields a `fps`
+    * relation of (doc_id, fps). */
+  val winnowFpsSqlCte: String =
+    s"""toks AS (
          SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS wt
          FROM documents),
@@ -237,14 +246,17 @@ object TextAnalysis {
            list_transform(generate_series(1, len(wt) - 2),
              i -> md5(wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS h
          FROM toks WHERE len(wt) >= 3),
-       fp AS (
+       fps AS (
          SELECT doc_id,
            list_distinct(list_transform(generate_series(1, len(h) - ${WinnowW - 1}),
              i -> list_min(h[i:i+${WinnowW - 1}]))) AS fps
-         FROM hs WHERE len(h) >= $WinnowW)
+         FROM hs WHERE len(h) >= $WinnowW)"""
+
+  val tWinnowSql: String =
+    s"""WITH $winnowFpsSqlCte
        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
          list_min(fps) AS min_fp, list_max(fps) AS max_fp
-       FROM fp WHERE doc_id < 50 ORDER BY doc_id"""
+       FROM fps WHERE doc_id < 50 ORDER BY doc_id"""
 
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -184,14 +184,18 @@ class StreamingSpec extends SparkSuite {
 
   test("late bridging event merges two held intervals instead of emitting a phantom session") {
     import org.apache.spark.sql.functions._
-    // batch 1: user 7 at 12:00 and 12:45 — a 45-min gap, two intervals.
-    // batch 2: user 7 at 12:20, OUT OF ORDER — within 30 min of both, so
-    // the true sessionization is ONE session [12:00, 12:45] of 3 events.
+    // batch 1: user 7 at 12:00 and 12:36 — a 36-min gap, two intervals;
+    // the operative watermark after batch 1 is 12:36 - 10min = 12:26.
+    // batch 2: user 7 at 12:28, OUT OF ORDER but ABOVE that watermark
+    // (so it is genuinely in-horizon, not surviving on late-filter
+    // grace) and within 30 min of both intervals — true sessionization
+    // is ONE session [12:00, 12:36] of 3 events.
     // batch 3: user 99 at 16:00 pushes the watermark far enough to
     // release user 7's merged session. Eager gap-break emission would
     // have emitted a phantom [12:00, 12:00] session in batch 1.
     val dir = java.nio.file.Files.createTempDirectory("graft-ooo-events")
     val h12 = 12L * 3600L * 1000000000L
+    val min = 60L * 1000000000L
     def write(name: String, userId: Long, tsNs: Seq[Long]): Unit = {
       import spark.implicits._
       tsNs.zipWithIndex.map { case (ns, i) =>
@@ -199,9 +203,9 @@ class StreamingSpec extends SparkSuite {
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(s"$dir/$name")
     }
-    write("a", 7L, Seq(h12, h12 + 45L * 60L * 1000000000L))
+    write("a", 7L, Seq(h12, h12 + 36L * min))
     Thread.sleep(1100)
-    write("b", 7L, Seq(h12 + 20L * 60L * 1000000000L))
+    write("b", 7L, Seq(h12 + 28L * min))
     Thread.sleep(1100)
     write("c", 99L, Seq(16L * 3600L * 1000000000L))
     val src = spark.readStream
@@ -217,7 +221,7 @@ class StreamingSpec extends SparkSuite {
            FROM ooo_sessions WHERE user_id = 7""").collect()
       assert(u7.length == 1, s"expected ONE merged session, got ${u7.toSeq}")
       assert(u7.head.getLong(0) == h12)
-      assert(u7.head.getLong(1) == h12 + 45L * 60L * 1000000000L)
+      assert(u7.head.getLong(1) == h12 + 36L * min)
       assert(u7.head.getLong(2) == 3L, "late bridging event must be counted")
     } finally q.stop()
   }
