@@ -12,7 +12,8 @@ object ExplainAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "r4_topk_memory",
-        "s_cosine_topk", "q_topk_events_per_user")
+        "s_cosine_topk", "q_topk_events_per_user", "d_winnow_overlap",
+        "d_hash_split", "s_ivf_topk")
     for (n <- names) {
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
