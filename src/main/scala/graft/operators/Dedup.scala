@@ -327,19 +327,52 @@ object Dedup {
     // sign of Σ(±1) over shingles (+1 iff md5 hex nibble j ≥ '8'), which
     // is equivalent to 2·count_high > n; md5 hex is lowercase so the
     // one-char compare ≥ '8' covers exactly {8,9,a..f}.
-    // Cache boundary: without it project-collapse inlines the md5
-    // transform into each of the `bits` counting passes below
-    // (`bits` digests per shingle instead of 1).
-    val hashed = withShingleArrays(s, dir)
-      .select($"doc_id", size($"shs").cast("bigint").as("n"),
-        transform($"shs", x => md5(x)).as("hs"))
-      .cache()
-    val bcols = (0 until bits).map { j =>
-      when(aggregate($"hs", lit(0),
-        (acc, c) => acc + when(substring(c, j + 1, 1) >= "8", 1).otherwise(0))
-        .cast("bigint") * 2 > $"n", "1").otherwise("0")
+    val bcols = (0 until bits).map(j =>
+      when(simhashBitCond(j), "1").otherwise("0"))
+    simhashHashed(s, dir, bits)
+      .select($"doc_id", concat(bcols: _*).as("simhash"))
+  }
+
+  /** Packed nibble chunks shared by the signature builders: each md5's
+    * first `bits` hex nibbles as 8-nibble (32-bit) integer chunks —
+    * `conv` of 8 hex chars stays positive in a bigint cast, and nibble
+    * j's high bit (the exact meaning of the oracle's
+    * `substr(h, j+1, 1) >= '8'` on lowercase hex) becomes one
+    * shift+mask. The cache boundary also keeps the md5/conv transforms
+    * out of the per-bit counting passes (project-collapse would inline
+    * them per pass). */
+  private def simhashHashed(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    import s.implicits._
+    val nChunks = (bits + 7) / 8
+    val chunkCols = (0 until nChunks).map { k =>
+      transform($"shs",
+        x => conv(substring(md5(x), k * 8 + 1, 8), 16, 10).cast("long"))
+        .as(s"hv$k")
     }
-    hashed.select($"doc_id", concat(bcols: _*).as("simhash"))
+    withShingleArrays(s, dir)
+      .select(($"doc_id" +: size($"shs").cast("bigint").as("n") +: chunkCols): _*)
+      .cache()
+  }
+
+  /** Majority condition for signature bit j over the packed chunks:
+    * more than half the doc's shingle hashes have nibble j ≥ 8. */
+  private def simhashBitCond(j: Int): Column = {
+    val (k, i) = (j / 8, j % 8)
+    val cnt = aggregate(col(s"hv$k"), lit(0L),
+      (acc, v) => acc + shiftright(v, 4 * (7 - i) + 3).bitwiseAND(lit(1L)))
+    cnt * 2 > col("n")
+  }
+
+  /** 32-bit signature packed into ONE long (bit j of the bit-string at
+    * position 31-j, so the string's band b = the long's byte 3-b): the
+    * pairs query bands with shift+mask and verifies Hamming with a
+    * single bit_count(xor) instead of 32 per-position string compares. */
+  private def simhashSig32Long(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = (0 until 32).map(j =>
+      when(simhashBitCond(j), lit(1L << (31 - j))).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    simhashHashed(s, dir, 32).select($"doc_id", sig.as("sig"))
   }
 
   def dSimhashClusters(s: SparkSession, dir: String): DataFrame = {
@@ -380,23 +413,20 @@ object Dedup {
     * same plan. */
   def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = simhashSigs(s, dir, bits = 32).cache()
+    val sigs = simhashSig32Long(s, dir).cache()
     val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"), substring($"simhash", b * 8 + 1, 8).as("key")))
-    val bands = sigs.select($"doc_id", $"simhash",
+      struct(lit(b).as("band"),
+        shiftright($"sig", 8 * (3 - b)).bitwiseAND(lit(0xFFL)).as("key")))
+    val bands = sigs.select($"doc_id", $"sig",
         explode(array(bandStructs: _*)).as("bk"))
-      .select($"doc_id", $"simhash", $"bk.band".as("band"), $"bk.key".as("key"))
+      .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.key".as("key"))
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
-        $"a.simhash".as("sa"), $"b.simhash".as("sb"))
+        $"a.sig".as("sa"), $"b.sig".as("sb"))
       .distinct()
-    val hamming = (0 until 32)
-      .map(p => when(substring($"sa", p + 1, 1) === substring($"sb", p + 1, 1), 0)
-        .otherwise(1))
-      .reduce[org.apache.spark.sql.Column](_ + _)
-    cand.withColumn("hamming", hamming.cast("bigint"))
+    cand.withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")).cast("bigint"))
       .filter($"hamming" <= 3)
       .select($"i", $"j", $"hamming")
       .orderBy($"i", $"j")
