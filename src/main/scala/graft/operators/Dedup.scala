@@ -305,14 +305,13 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- simhash
-  /** 16-bit SimHash from md5 nibbles of distinct tokens: bit j is the
-    * sign of Σ(±1) where +1 iff nibble j of md5(token) ≥ 8. Identical
-    * signatures form near-dup clusters. 16 bits is deliberately small so
-    * clustering is visible at test scale; production widens to 64 bits
-    * via xxhash64 without changing the plan. */
-  /** Per-doc SimHash signatures at `bits` width (16 for the cluster
-    * demo, 32 — one bit per md5 nibble — for the pairs query; shared
-    * construction). */
+  /** Per-doc SimHash signatures as a BIT STRING at `bits` width: bit j
+    * is the sign of Σ(±1) over the doc's shingle hashes, +1 iff md5
+    * nibble j ≥ 8. Used by [[dSimhashClusters]] (bits=16 — deliberately
+    * small so clustering is visible at test scale, and the string form
+    * is what its oracle compares); [[dSimhashPairs]] bands on the packed
+    * LONG form from [[simhashSig32Long]] instead, and production widens
+    * to 64-bit xxhash64 in [[dSimhashPairsX64]]. */
   private def simhashSigs(s: SparkSession, dir: String, bits: Int): DataFrame = {
     import s.implicits._
     // SHINGLES, not unigram tokens — same lesson as MinHash: over a
