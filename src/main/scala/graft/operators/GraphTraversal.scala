@@ -60,6 +60,10 @@ object GraphTraversal {
         .join(reached.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .distinct()
+        // narrow-coalesce before snapshotting: a frontier is usually far
+        // smaller than the shuffle partitioning that produced it, and
+        // checkpoint writes one file per partition
+        .coalesce(math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 4))
         .cache() // checkpoint(eager) runs a count job AND a write job —
       // without this cache the whole hop recomputes for the write
       val next = staged.checkpoint() // eager: materialized to disk
