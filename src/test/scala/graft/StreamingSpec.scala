@@ -130,6 +130,25 @@ class StreamingSpec extends SparkSuite {
         """SELECT max(n_events), max(n_sessions) FROM gc_sessions WHERE user_id = 1""")
         .collect().head
       assert(u1.getLong(0) == 5L && u1.getLong(1) == 1L)
+      // post-GC return: user 1 reappears at hour 8 with THREE events — a
+      // fresh activity epoch whose totals restart, never resuming the
+      // dropped (5, 1) state into (8, 2)
+      spark.range(0, 3).select(
+          (col("id") + 9000L).as("event_id"),
+          (lit(8 * h) + col("id") * 60L * 1000000000L).as("ts"),
+          lit(1L).as("user_id"),
+          lit("click").as("event_type"),
+          lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$dir/c")
+      q.processAllAvailable()
+      val epochs = spark.sql(
+        """SELECT DISTINCT n_events, n_sessions FROM gc_sessions
+           WHERE user_id = 1""").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(epochs.contains((3L, 1L)), s"fresh epoch totals missing: $epochs")
+      assert(!epochs.exists(_._1 > 5L),
+        s"dropped state must not resume into cumulative totals: $epochs")
     } finally q.stop()
   }
 
