@@ -193,6 +193,30 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(multi >= single, s"band-OR returned $multi < single-table $single")
   }
 
+  test("persisted IVF index serves the same top-k as the in-query path, pruning to nprobe cells") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    IvfIndex.build(spark, sfDir, idx)
+    val probe = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val served = IvfIndex.probeTopK(spark, idx, probe,
+      excludeId = Some(Similarity.ProbeId))
+    // identical centroids (deterministic training) → identical candidate
+    // cells → identical exact-cosine top-k
+    val inQuery = Similarity.sIvfTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val fromIndex = served.collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(fromIndex == inQuery, s"index=$fromIndex vs query=$inQuery")
+    // and the serving scan is partition-pruned to the probe's cells
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "probe read must prune cell partitions at the FileIndex")
+  }
+
   test("quadratic near-dup diagnostic fails fast above its corpus-size cap") {
     // the 500-vector corpus trips a 100-row cap before any pair join runs
     val err = intercept[IllegalArgumentException] {
