@@ -179,9 +179,18 @@ object Similarity {
     * probe's buckets, deduped, then scored with exact cosine. The
     * distinct and the scoring touch only candidates — the corpus never
     * shuffles, so the plan shape is the same at 100 TB with bucket
-    * occupancy scaled by 2^bits. */
+    * occupancy scaled by 2^bits.
+    *
+    * `probeFlips = 1` enables MULTI-PROBE (Lv et al. 2007): the probe
+    * also queries every bucket at Hamming distance 1 in each table —
+    * T×(bits+1) bucket keys instead of T, the cheap recall lever when a
+    * corpus sits between the near-dup regime (plain band-OR suffices)
+    * and the wide-angle regime (use IVF). The probe's own bucket keys
+    * are BOUNDED model state (T rows), collected and expanded on the
+    * driver. */
   def sAnnTopk(s: SparkSession, dir: String, k: Int = 10,
-               tables: Int = AnnTables, bits: Int = AnnBitsPerTable): DataFrame = {
+               tables: Int = AnnTables, bits: Int = AnnBitsPerTable,
+               probeFlips: Int = 0): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
     val dim = embeddingDim(s, dir)
@@ -194,8 +203,16 @@ object Similarity {
         }): _*)
       }: _*)
     val ex = e(s, dir).select($"vec_id", explode(bucketArr($"embedding")).as("bkt"))
-    val probeBuckets = ex.filter($"vec_id" === ProbeId).select($"bkt")
-    val candIds = ex.join(broadcast(probeBuckets), "bkt")
+    val probeBkts = ex.filter($"vec_id" === ProbeId)
+      .select($"bkt").collect().map(_.getString(0)).toSeq
+    val expanded =
+      if (probeFlips == 0) probeBkts
+      else probeBkts.flatMap { b =>
+        val (pre, rest) = b.splitAt(b.indexOf(':') + 1)
+        b +: rest.indices.map(i =>
+          pre + rest.updated(i, if (rest(i) == '1') '0' else '1'))
+      }
+    val candIds = ex.filter($"bkt".isin(expanded: _*))
       .filter($"vec_id" =!= ProbeId)
       .select($"vec_id").distinct()
     val probeVec = e(s, dir).filter($"vec_id" === ProbeId)

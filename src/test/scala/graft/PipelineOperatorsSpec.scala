@@ -184,6 +184,22 @@ class PipelineOperatorsSpec extends SparkSuite {
       s"IVF recall@10 = $recall (found ${(annIds & exactIds).size}/${exactIds.size})")
   }
 
+  test("multi-probe LSH recall is monotone over the plain band-OR probe") {
+    val dir = "/root/testdata/sf0.01"
+    val exactIds = Similarity.sCosineTopk(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def recall(flips: Int): Double = {
+      val ids = Similarity.sAnnTopk(spark, dir, probeFlips = flips).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      (ids & exactIds).size.toDouble / exactIds.size
+    }
+    val (plain, mp) = (recall(0), recall(1))
+    // Hamming-1 expansion only ADDS buckets, so the candidate set — and
+    // therefore recall against the exact scan — can only grow
+    assert(mp >= plain, s"multi-probe recall $mp < plain $plain")
+    info(f"recall@10: plain=$plain%.2f multi-probe=$mp%.2f (wide-angle corpus; IVF is the 0.9+ path)")
+  }
+
   test("band-OR LSH multi-table candidates strictly contain any single table's") {
     // the band-OR mechanism: table t's candidates are exactly the rows
     // matching the probe's bucket in that table, so the union over 6
