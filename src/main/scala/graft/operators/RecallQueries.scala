@@ -193,6 +193,20 @@ object RecallQueries {
       .orderBy($"source", $"rank")
   }
 
+  /** Driver-facing form of [[r12EnvelopePerSource]]: same envelope, with the
+    * candidates array serialized to a canonical JSON string at the output
+    * boundary. The driver's rows-only harness sorts results in pandas, which
+    * cannot sort (or even hash-count) array-of-struct cells — round-3's
+    * CORRECTNESS run proved it with a numpy `unhashable type` crash — so
+    * every registered query must emit scalar columns only. Library users
+    * call [[r12EnvelopePerSource]] for the true nested shape;
+    * [[r12EnvelopeFlat]] remains the hash-compared scalar twin. */
+  def r12EnvelopeJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    r12EnvelopePerSource(s, dir)
+      .withColumn("candidates", to_json($"candidates"))
+  }
+
   val r12Sql: String =
     s"""WITH ranked AS (
          SELECT source, doc_id, $confSql AS confidence,
@@ -213,13 +227,14 @@ object RecallQueries {
     "r7_rerank_boost" -> (r7RerankBoost _),
     "r9_branch_per_source" -> (r9BranchPerSource _),
     "r11_confidence_summary" -> (r11ConfidenceSummary _),
-    // name ↔ shape: _per_source is the real nested-envelope operator
-    // (rows-only — nested arrays-of-structs don't survive the driver's
-    // pandas sort); _flat is its posexploded scalar twin that DOES
-    // hash-compare, proving the array's deterministic internal order.
-    // (Round-2 bench note: r12_envelope_per_source timed the flat shape
-    // that round; from round 3 the names match the shapes.)
-    "r12_envelope_per_source" -> (r12EnvelopePerSource _),
+    // name ↔ shape: _per_source is the real nested-envelope operator,
+    // registered through its JSON-serialized boundary form (rows-only —
+    // the driver's pandas harness can't sort/hash array cells); _flat is
+    // its posexploded scalar twin that DOES hash-compare, proving the
+    // array's deterministic internal order. (Round-2 bench note:
+    // r12_envelope_per_source timed the flat shape that round; from
+    // round 3 the names match the shapes.)
+    "r12_envelope_per_source" -> (r12EnvelopeJson _),
     "r12_envelope_flat" -> (r12EnvelopeFlat _))
 
   val oracle: Map[String, String] = Map(

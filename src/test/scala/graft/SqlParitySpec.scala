@@ -35,4 +35,20 @@ class SqlParitySpec extends SparkSuite {
     assert(parity >= 23, s"only $parity oracle SQLs ran on Spark SQL ($skipped skipped)")
     info(s"three-way parity: $parity queries, $skipped DuckDB-specific skipped")
   }
+
+  test("every registered query emits only driver-sortable scalar columns") {
+    // The driver's harness (rows-only included) loads results into pandas
+    // and sorts — array/map/struct cells crash it with numpy `unhashable
+    // type` (round-3 CORRECTNESS, r12_envelope_per_source). Nested shapes
+    // stay library API; registry entries serialize at the boundary.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = for {
+      (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      f <- q(spark, sfDir).schema.fields
+      if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType]
+    } yield s"$name.${f.name}: ${f.dataType.simpleString}"
+    assert(offenders.isEmpty, s"non-scalar columns in registry: $offenders")
+  }
 }
