@@ -250,10 +250,16 @@ object Dedup {
     * 20-bit hex slices. */
   def dMinhashLshX64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Cache boundary AFTER the string hash (mirrors the md5 twin's
+    // `hcats`): each shingle string is xxhash64'd exactly once; the 12
+    // signature functions then re-hash the cached 8-byte long — pennies
+    // next to 12 string digests per shingle, and hashing (not `a*v+b`
+    // arithmetic) sidesteps ANSI long-overflow semantics.
     val withShingles = withShingleArrays(s, dir)
+      .withColumn("hx", transform($"shs", x => xxhash64(x)))
       .cache() // consumed by the 12 signature mins AND the verification explode
     val mhCols = (0 until MinHashFns).map(h =>
-      array_min(transform($"shs", x => xxhash64(x, lit(h)))).as(s"mh$h"))
+      array_min(transform($"hx", v => xxhash64(v, lit(h)))).as(s"mh$h"))
     val mh = withShingles.select(
       (Seq($"doc_id", size($"shs").cast("bigint").as("n")) ++ mhCols): _*)
       .cache()
