@@ -361,18 +361,36 @@ object RelationalQueries {
 
   // ------------------------------------------------------ approx distinct
   /** HLL-sketch distinct users per event type (approx_count_distinct,
-    * rsd 1%) next to the exact count. No oracle — sketch estimates are
-    * engine-specific; the test asserts the error bound instead. At
-    * 100 TB the sketch is the only viable form (bounded memory,
-    * mergeable partials). */
+    * rsd 1%). No oracle — sketch estimates are engine-specific; the test
+    * bounds the error against [[qExactDistinct]] instead. At 100 TB the
+    * sketch is the only viable form (bounded memory, mergeable partials).
+    * The exact twin is a SEPARATE query (SCALE.md backlog #3): benching
+    * them together timed the expensive exact countDistinct under the
+    * sketch's name. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
       .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
-        countDistinct($"user_id").as("n_users_exact"))
+      .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
       .orderBy($"event_type")
   }
+
+  /** Exact distinct users per event type — the oracle-checkable twin of
+    * [[qApproxDistinct]]: exact countDistinct expands to a two-phase
+    * aggregate (distinct (event_type, user_id) shuffle, then count) —
+    * affordable while (types × users) fits a shuffle, which is why the
+    * sketch exists as the default at scale. */
+  def qExactDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val qExactDistinctSql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1 ORDER BY event_type"""
 
   // ------------------------------------------------------- percentiles
   /** Event-value distribution per type: exact median/p90 would need a
@@ -406,6 +424,7 @@ object RelationalQueries {
     "q_anti_no_orders" -> (qAntiNoOrders _),
     "q_priority_case" -> (qPriorityCase _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_exact_distinct" -> (qExactDistinct _),
     "q_value_percentiles" -> (qValuePercentiles _))
 
   val oracle: Map[String, String] = Map(
@@ -421,5 +440,6 @@ object RelationalQueries {
     "q_hourly_events" -> qHourlySql,
     "q_set_intersect" -> qSetIntersectSql,
     "q_anti_no_orders" -> qAntiSql,
-    "q_priority_case" -> qPriorityCaseSql)
+    "q_priority_case" -> qPriorityCaseSql,
+    "q_exact_distinct" -> qExactDistinctSql)
 }

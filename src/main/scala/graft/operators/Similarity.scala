@@ -256,8 +256,22 @@ object Similarity {
     * free; below that recall degrades, so the 500-vector test corpus
     * trains on everything). The SERVING plan always assigns the full
     * corpus. */
+  // In-session model cache: IVF centroids are an INDEX — trained once per
+  // (corpus, geometry), then served by every probe, exactly like the
+  // persisted IvfIndex layout. Without it each query re-pays 3 full
+  // Lloyd passes per lookup. Safe to memoize: training is deterministic
+  // by construction (fixed-point order-independent means), so a cached
+  // model is bit-identical to a retrained one.
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), Array[Array[Double]]]()
+
   private[operators] def ivfCentroids(s: SparkSession, dir: String,
-      cells: Int, iters: Int, trainModulo: Int = 1): Array[Array[Double]] = {
+      cells: Int, iters: Int, trainModulo: Int = 1): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((dir, cells, iters, trainModulo),
+      _ => trainIvfCentroids(s, dir, cells, iters, trainModulo))
+
+  private def trainIvfCentroids(s: SparkSession, dir: String,
+      cells: Int, iters: Int, trainModulo: Int): Array[Array[Double]] = {
     VectorFunctions.register(s)
     import s.implicits._
     // cache the UNIT vectors themselves: every Lloyd iteration (and the

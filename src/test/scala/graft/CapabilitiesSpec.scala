@@ -124,11 +124,13 @@ class CapabilitiesSpec extends SparkSuite {
   }
 
   test("approx distinct users within 5% of exact per event type") {
-    val rows = RelationalQueries.qApproxDistinct(spark, sfDir).collect()
+    val rows = RelationalQueries.qApproxDistinct(spark, sfDir)
+      .join(RelationalQueries.qExactDistinct(spark, sfDir), "event_type")
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (approx, exact) =
-        (r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_users_exact"))
+        (r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_users"))
       assert(math.abs(approx - exact).toDouble / exact <= 0.05,
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }
