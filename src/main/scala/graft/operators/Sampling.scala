@@ -95,11 +95,68 @@ object Sampling {
          CAST(SUM(in_sample) AS DOUBLE) / COUNT(*) AS rate
        FROM a GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------- shard packing
+  /** Token budget per training shard and the writer fan-out. Writers
+    * scale with the cluster (each packs independently — at 100 TB this
+    * is hundreds of writers, one per output task); the per-writer
+    * running sum is a window over docs/writers rows, so sort width per
+    * partition shrinks as writers grow. A single GLOBAL running sum
+    * would be one unbounded partition — the named anti-pattern. */
+  val ShardTokenBudget = 2048L
+  val ShardWriters = 4
+
+  /** Greedy token-budget shard packing — the "write the corpus as ~equal
+    * training shards" step of a data pipeline. Each doc is routed to a
+    * deterministic writer by key hash (retry/reshuffle-safe, same rule
+    * as the split), writers pack docs in doc_id order, and a doc opens a
+    * new shard when the running token count crosses the budget (shard =
+    * the budget-quotient of the tokens BEFORE the doc, so shard 0 always
+    * starts at offset 0 and docs may straddle the boundary — greedy
+    * fill, no lookahead, deterministic on both engines). Emits per-shard
+    * accounting: (writer, shard, n_docs, shard_tokens, first/last doc). */
+  def dShardPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"writer").orderBy($"doc_id")
+    d(s, dir)
+      .select($"doc_id",
+        size(TextAnalysis.tokens($"text")).cast("bigint").as("n_tokens"))
+      .withColumn("writer", expr(
+        s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $ShardWriters"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("shard", expr(s"(cum - n_tokens) div $ShardTokenBudget"))
+      .groupBy($"writer", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("shard_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"writer", $"shard")
+  }
+
+  val dShardPackSql: String =
+    s"""WITH t AS (
+         SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % $ShardWriters AS writer
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens, writer,
+           SUM(n_tokens) OVER (PARTITION BY writer ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+         FROM t)
+       SELECT writer, (cum - n_tokens) // $ShardTokenBudget AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM c GROUP BY 1, 2 ORDER BY writer, shard"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_hash_split" -> (dHashSplit _),
-    "d_stratified_sample" -> (dStratifiedSample _))
+    "d_stratified_sample" -> (dStratifiedSample _),
+    "d_shard_pack" -> (dShardPack _))
 
   val oracle: Map[String, String] = Map(
     "d_hash_split" -> dHashSplitSql,
-    "d_stratified_sample" -> dStratifiedSampleSql)
+    "d_stratified_sample" -> dStratifiedSampleSql,
+    "d_shard_pack" -> dShardPackSql)
 }

@@ -358,8 +358,97 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------- semantic dedup
+  /** Within-cluster similarity threshold for semantic dedup. This
+    * corpus has no planted embedding near-dups (max pairwise cosine
+    * 0.513 at sf0.01, θ ≈ 70° typical) — 0.45 sits at the top of the
+    * real distribution so the operator exercises both outcomes, the
+    * same percentile-style tuning the SemDeDup recipe prescribes. */
+  val SemDedupThreshold = 0.45
+
+  /** The dropped-vector set of [[sSemanticDedup]]: vectors that have a
+    * LOWER-id neighbor at cosine ≥ threshold within their own cell
+    * (greedy keep-lowest-id, the standard SemDeDup reduction). Exposed
+    * for the cross-check spec, which compares it against the exact
+    * quadratic ground truth. */
+  /** Clusters each vector joins under for semantic dedup: the top-N
+    * nearest cells, not just the argmax. At the wide angles this corpus
+    * lives at (true dups ≈ 0.45 cosine), a pair's endpoints frequently
+    * straddle a cell boundary — single-assignment measured recall 0.43;
+    * top-2 assignment roughly doubles candidate volume (still ∝ Σcellᵢ²,
+    * never n²) and lifts recall to every pair whose top-2 cell sets
+    * intersect. Same idea as the ANN path's multi-probe. */
+  val SemDedupAssign = 2
+
+  private[graft] def semanticDropSet(s: SparkSession, dir: String,
+      cells: Int, threshold: Double): (DataFrame, DataFrame) = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val cents = ivfCentroids(s, dir, cells, IvfIters)
+    // (sim, cell) structs sorted desc → top-N cell ids per vector;
+    // deterministic: fixed fold order in VecDot, struct compare
+    // tie-breaks equal sims by cell id
+    val simStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.dot($"u", array(c.map(lit): _*)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)
+    val topCells = transform(
+      slice(reverse(sort_array(simStructs)), 1, SemDedupAssign),
+      x => x.getField("cell"))
+    val assigned = e(s, dir)
+      .withColumn("nrm", VectorFunctions.l2Norm($"embedding"))
+      .filter($"nrm" > 0.0)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double") / $"nrm").as("u"))
+      .withColumn("cells", topCells)
+      // primary cell owns the vector for per-cell accounting
+      .withColumn("cell", element_at($"cells", 1))
+      // read by both sides of the pair join AND the size aggregate; the
+      // boundary also keeps the centroid ranking from re-running per use
+      .cache()
+    val a = assigned.select(explode($"cells").as("c"), $"vec_id".as("i"), $"u".as("ua"))
+    val b = assigned.select(explode($"cells").as("c"), $"vec_id".as("j"), $"u".as("ub"))
+    val dropped = a.join(b, Seq("c"))
+      .filter($"i" < $"j")
+      .withColumn("sim", round(VectorFunctions.dot($"ua", $"ub"), 3))
+      .filter($"sim" >= threshold)
+      // a pair can meet under both shared cells — account the DROP to
+      // the dropped vector's own primary cell, once
+      .select($"j".as("vec_id"))
+      .distinct()
+      .join(assigned.select($"vec_id", $"cell"), Seq("vec_id"))
+      .select($"cell", $"vec_id")
+    (assigned, dropped)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings (reusing the IVF centroid
+    * model), then search for near-duplicates ONLY within a cluster and
+    * greedily keep the lowest-id member of each duplicate pair. The
+    * cell equi-join is the bucketed not-all-pairs shape: candidate
+    * volume is Σ cellᵢ² instead of n² — with K scaled so cells hold
+    * ~corpus/K vectors, this is the form that runs at 100 TB (a
+    * runaway cell is the skew case: split it by re-clustering or salt
+    * the join, same playbook as SkewJoin). Emits per-cell accounting
+    * (n_vecs, n_dropped, n_kept). Rows-only driver check — centroids
+    * are engine-local; the spec cross-checks the dropped set against
+    * the exact quadratic ground truth instead. */
+  def sSemanticDedup(s: SparkSession, dir: String,
+      cells: Int = IvfCells,
+      threshold: Double = SemDedupThreshold): DataFrame = {
+    import s.implicits._
+    val (assigned, dropped) = semanticDropSet(s, dir, cells, threshold)
+    val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    val drops = dropped.groupBy($"cell").agg(count(lit(1)).as("n_dropped"))
+    sizes.join(drops, Seq("cell"), "left")
+      .withColumn("n_dropped", coalesce($"n_dropped", lit(0L)))
+      .withColumn("n_kept", $"n_vecs" - $"n_dropped")
+      .orderBy($"cell")
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_semantic_dedup" -> ((s: SparkSession, dir: String) => sSemanticDedup(s, dir)),
     "s_cosine_topk" -> (sCosineTopk _),
     "s_neardup_pairs" -> ((s: SparkSession, dir: String) => sNeardupPairs(s, dir)),
     "s_ann_lsh_buckets" -> (sAnnLshBuckets _),

@@ -258,8 +258,97 @@ object TextAnalysis {
          list_min(fps) AS min_fp, list_max(fps) AS max_fp
        FROM fps WHERE doc_id < 50 ORDER BY doc_id"""
 
+  // --------------------------------------------------- repetition stats
+  /** Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 use the
+    * same feature family — duplicate-n-gram fractions — as removal
+    * rules). Tuned to THIS corpus's measured distribution so both flag
+    * values are populated: distinct-token ratio p25 ≈ 0.36, top-bigram
+    * fraction p90 ≈ 0.07 → ~22% of docs flag repetitive. */
+  val RepetitionDistinctRatioMin = 0.35
+  val RepetitionTopBigramFracMax = 0.1
+
+  /** Per-document repetition features — the quality-filter family that
+    * removes degenerate/boilerplate text from a training corpus:
+    * distinct-token ratio (map-side `array_distinct`, no shuffle) and
+    * most-frequent-bigram fraction. The bigram mode is computed by
+    * explode → (doc_id, gram) partial-agg count → per-doc max: one
+    * shuffle of O(tokens) rows with map-side combine — the shape that
+    * survives long documents, unlike an O(grams²)/doc in-array
+    * frequency scan. Ratios are plain double divisions of exact ints
+    * (cross-engine deterministic); the `repetitive` flag is the ordered
+    * OR of the two Gopher-ish rules. */
+  def tRepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Cache boundary BEFORE the explode (the winnowing lesson): the
+    // Generate's implicit `size(grams) > 0` predicate otherwise pushes
+    // below this projection and INLINES the whole tokenize+gram chain —
+    // and inside the gram lambda `element_at(filter(split(...)), i)`
+    // re-tokenizes PER GRAM INDEX, O(tokens²)/doc (measured 13 s vs
+    // 0.9 s at sf0.1). The cache pins one evaluation per row that both
+    // the scalar projection and the explode read.
+    val toks = d(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("bigint"))
+      .withColumn("n_distinct", size(array_distinct($"toks")).cast("bigint"))
+      // guard: sequence(1, 0) DESCENDS in Spark, so an empty/1-token doc
+      // must short-circuit to an empty gram array explicitly
+      .withColumn("grams",
+        when(size($"toks") > 1,
+          transform(sequence(lit(1), size($"toks") - 1),
+            i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .cache()
+    val topGram = toks
+      .select($"doc_id", explode($"grams").as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bigram_n"))
+    toks.join(topGram, Seq("doc_id"), "left")
+      .withColumn("top_bigram_n", coalesce($"top_bigram_n", lit(0L)))
+      .withColumn("distinct_ratio",
+        when($"n_tokens" > 0, $"n_distinct".cast("double") / $"n_tokens")
+          .otherwise(lit(1.0)))
+      .withColumn("top_bigram_frac",
+        when($"n_tokens" > 1, $"top_bigram_n".cast("double") / ($"n_tokens" - 1))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive",
+        $"distinct_ratio" < RepetitionDistinctRatioMin ||
+          $"top_bigram_frac" > RepetitionTopBigramFracMax)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_bigram_n",
+        $"distinct_ratio", $"top_bigram_frac", $"repetitive")
+      .orderBy($"doc_id")
+  }
+
+  val tRepetitionSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       b AS (
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(toks) > 1 THEN
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             ELSE []::VARCHAR[] END AS grams
+         FROM t),
+       g AS (SELECT doc_id, unnest(grams) AS g FROM b),
+       gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+       topg AS (SELECT doc_id AS tg_id, MAX(c) AS top_bigram_n FROM gc GROUP BY 1),
+       f AS (
+         SELECT b.doc_id, n_tokens, n_distinct,
+           CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                ELSE 1.0 END AS distinct_ratio,
+           CASE WHEN n_tokens > 1 THEN CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1)
+                ELSE 0.0 END AS top_bigram_frac
+         FROM b LEFT JOIN topg ON b.doc_id = topg.tg_id)
+       SELECT doc_id, n_tokens, n_distinct, top_bigram_n, distinct_ratio,
+         top_bigram_frac,
+         distinct_ratio < $RepetitionDistinctRatioMin
+           OR top_bigram_frac > $RepetitionTopBigramFracMax AS repetitive
+       FROM f ORDER BY doc_id"""
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_repetition_stats" -> (tRepetitionStats _),
     "t_token_stats" -> (tTokenStats _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
@@ -267,6 +356,7 @@ object TextAnalysis {
     "t_winnow_fingerprints" -> (tWinnowFingerprints _))
 
   val oracle: Map[String, String] = Map(
+    "t_repetition_stats" -> tRepetitionSql,
     "t_token_stats" -> tTokenStatsSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,

@@ -308,6 +308,69 @@ class PipelineOperatorsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_tokens") > 0))
   }
 
+  test("repetition stats: both flag values populated, ratios consistent") {
+    val rows = TextAnalysis.tRepetitionStats(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val rep = rows.count(_.getAs[Boolean]("repetitive"))
+    assert(rep > 0 && rep < rows.length, s"degenerate flag split: $rep/500")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+      val dr = r.getAs[Double]("distinct_ratio")
+      assert(dr > 0.0 && dr <= 1.0, s"doc ${r.getAs[Long]("doc_id")}: $dr")
+      val bf = r.getAs[Double]("top_bigram_frac")
+      assert(bf >= 0.0 && bf <= 1.0)
+    }
+  }
+
+  test("shard packing: all writers used, shards consecutive, tokens conserved") {
+    import graft.operators.Sampling
+    val rows = Sampling.dShardPack(spark, sfDir).collect()
+    val byWriter = rows.groupBy(_.getAs[Long]("writer"))
+    assert(byWriter.keySet == (0L until Sampling.ShardWriters).toSet)
+    byWriter.foreach { case (w, ws) =>
+      // consecutive from 0 holds because every doc is far below the
+      // budget (max 99 tokens vs 2048); a doc larger than the budget
+      // would legitimately skip a shard index
+      val shards = ws.map(_.getAs[Long]("shard")).sorted.toSeq
+      assert(shards == (0L until shards.length.toLong),
+        s"writer $w shards not consecutive: $shards")
+      ws.foreach(r => assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc")))
+    }
+    val total = rows.map(_.getAs[Long]("shard_tokens")).sum
+    val expected = TextAnalysis.tTokenStats(spark, sfDir).collect()
+      .map(_.getAs[Long]("total_tokens")).sum
+    assert(total == expected, s"shard tokens $total != corpus tokens $expected")
+  }
+
+  test("semantic dedup: every drop is a true dup; recall vs quadratic truth measured") {
+    val dir = "/root/testdata/sf0.01"
+    VectorFunctions.register(spark)
+    val unit = graft.sources.Tables.load(spark, dir, "embeddings")
+      .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+    val a = unit.select(col("vec_id").as("i"), col("u").as("ua"))
+    val b = unit.select(col("vec_id").as("j"), col("u").as("ub"))
+    val trueDropIds = a.join(b, col("i") < col("j"))
+      .withColumn("sim", round(VectorFunctions.dot(col("ua"), col("ub")), 3))
+      .filter(col("sim") >= Similarity.SemDedupThreshold)
+      .select("j").collect().map(_.getLong(0)).toSet
+    assert(trueDropIds.nonEmpty, "threshold found no pairs — corpus drifted")
+    val (_, dropped) = Similarity.semanticDropSet(
+      spark, dir, Similarity.IvfCells, Similarity.SemDedupThreshold)
+    val got = dropped.collect().map(_.getAs[Long]("vec_id")).toSet
+    // precision 1.0 by construction: within-cell sims are exact
+    assert(got.subsetOf(trueDropIds), s"false drops: ${got -- trueDropIds}")
+    // recall is bounded by how often both endpoints share a top-2 cell —
+    // the SemDeDup tradeoff; measured 0.86 (12/14) at K=16/assign-2
+    // (single-assignment was 0.43), floor pinned just below
+    val recall = got.size.toDouble / trueDropIds.size
+    info(s"semantic-dedup recall vs quadratic truth: $recall " +
+      s"(${got.size}/${trueDropIds.size})")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("r4 topk honors anti-pushdown: low-confidence docs still reachable") {
     // the synthetic confidence spans [0,0.99]; top-5 must all be >= 0.95
     // while r9 per-source must still see sub-threshold rows
