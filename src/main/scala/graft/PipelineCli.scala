@@ -65,6 +65,18 @@ object PipelineCli {
     println(s"train_read_partition_pruned = ${
       trainPlan.contains("PartitionFilters: [isnotnull(split") ||
         trainPlan.contains("PartitionFilters: [(split")}")
+    // pack the train split into token-budget shards (the last step a
+    // training job needs before writing tokenized shards) and prove
+    // token conservation against the split's own accounting
+    val train = back.filter($"split" === "train")
+    val shards = Sampling.packShards(train).collect()
+    val shardTokens = shards.map(_.getAs[Long]("shard_tokens")).sum
+    val trainTokens = train
+      .agg(sum(size(TextAnalysis.tokens($"text"))).cast("bigint")).head().getLong(0)
+    println(s"train_shards = ${shards.length} " +
+      s"(writers=${shards.map(_.getAs[Long]("writer")).distinct.length}, " +
+      s"budget=${Sampling.ShardTokenBudget})")
+    println(s"shard_tokens = $shardTokens (match=${shardTokens == trainTokens})")
     println(s"out_dir = $outDir")
     spark.stop()
   }

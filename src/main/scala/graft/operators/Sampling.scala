@@ -114,24 +114,29 @@ object Sampling {
     * starts at offset 0 and docs may straddle the boundary — greedy
     * fill, no lookahead, deterministic on both engines). Emits per-shard
     * accounting: (writer, shard, n_docs, shard_tokens, first/last doc). */
-  def dShardPack(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Shard packing over ANY (doc_id, text) corpus — reused by the
+    * registered query (whole documents table) and PipelineCli (the
+    * cleaned train split). */
+  def packShards(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"writer").orderBy($"doc_id")
-    d(s, dir)
-      .select($"doc_id",
-        size(TextAnalysis.tokens($"text")).cast("bigint").as("n_tokens"))
+      .partitionBy(col("writer")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .withColumn("writer", expr(
         s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $ShardWriters"))
-      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("shard", expr(s"(cum - n_tokens) div $ShardTokenBudget"))
-      .groupBy($"writer", $"shard")
+      .groupBy(col("writer"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        sum($"n_tokens").as("shard_tokens"),
-        min($"doc_id").as("first_doc"),
-        max($"doc_id").as("last_doc"))
-      .orderBy($"writer", $"shard")
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("writer"), col("shard"))
   }
+
+  def dShardPack(s: SparkSession, dir: String): DataFrame =
+    packShards(d(s, dir))
 
   val dShardPackSql: String =
     s"""WITH t AS (

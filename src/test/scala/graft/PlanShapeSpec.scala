@@ -81,6 +81,33 @@ class PlanShapeSpec extends SparkSuite {
       "only lineitem JOIN orders may sort-merge at sf0.1")
   }
 
+  test("repetition stats: pruned scan, cached tokenization feeds the explode") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.tRepetitionStats(spark, sfDir))
+    assert(!p.contains("n_chars") && !p.contains("source#"),
+      "scan should read only doc_id + text")
+    // the cache boundary is what stops the Generate's pushed-down
+    // not-empty predicate from inlining the O(tokens²) re-tokenization
+    assert(p.contains("InMemoryTableScan"),
+      "tokenize/gram projection must be pinned behind a cache boundary")
+  }
+
+  test("shard pack: running sum shuffles by writer key, never one global partition") {
+    import graft.operators.Sampling
+    val df = Sampling.dShardPack(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("Window"), "expect a window for the running token sum")
+    assert(p.contains("hashpartitioning(writer"),
+      "window must partition by writer — a global running sum would be SinglePartition")
+    assert(!p.contains("SinglePartition"), "no stage may collapse to one partition")
+  }
+
+  test("semantic dedup: equi-join on cell key, no cartesian anywhere") {
+    val p = plan(Similarity.sSemanticDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must stay an equi-join on the cell key")
+  }
+
   test("whole-stage codegen covers the relational aggregation path") {
     // AQE shows codegen spans only in the finalized plan — execute first
     val df = RelationalQueries.q1PricingSummary(spark, sfDir)
