@@ -569,6 +569,87 @@ object Dedup {
        SELECT i, j, CAST(shared AS BIGINT) AS shared_fps FROM pairs
        WHERE shared >= 3 ORDER BY i, j"""
 
+  // ----------------------------------------------- incremental dedup
+  /** Hash-nibble partition standing in for "already ingested" (12/16 ≈
+    * 75%) vs "arriving batch" — key-hash routed like every split in this
+    * engine, so the partition survives reshuffles and replays. */
+  private val ExistingNibbles =
+    Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+
+  /** Incremental near-dedup — the accounting a daily-ingest pipeline
+    * runs: an arriving batch is deduplicated against the ALREADY-INGESTED
+    * corpus first (any batch doc winnow-paired with an existing doc is
+    * dropped), then within itself (lowest doc_id of an intra-batch pair
+    * wins). Built ON TOP of [[dWinnowOverlap]]'s pair list — the
+    * partition labels join onto the (tiny, ∝ near-dup volume) pair set,
+    * never the other way around, so the incremental layer adds only a
+    * map-side md5 per doc and two pair-sized joins to the overlap cost.
+    * Exact-fingerprint is deliberately NOT the signal: this corpus
+    * plants near-dups, not byte-dups (0 exact dups — measured). Emits
+    * one row: (n_batch, n_dup_vs_existing, n_intra_batch_dup, n_new). */
+  def dIncrementalDedup(s: SparkSession, dir: String,
+      minShared: Int = 3, fpDocCap: Int = 100): DataFrame = {
+    import s.implicits._
+    val parts = d(s, dir).select($"doc_id",
+      when(substring(md5($"doc_id".cast("string")), 1, 1)
+        .isin(ExistingNibbles: _*), "existing")
+        .otherwise("batch").as("part"))
+    val pairs = dWinnowOverlap(s, dir, minShared, fpDocCap)
+    val pp = pairs
+      .join(parts.select($"doc_id".as("i"), $"part".as("pi")), "i")
+      .join(parts.select($"doc_id".as("j"), $"part".as("pj")), "j")
+    val dupVsExisting = pp
+      .filter($"pi" === "existing" && $"pj" === "batch").select($"j".as("doc_id"))
+      .union(pp.filter($"pi" === "batch" && $"pj" === "existing").select($"i".as("doc_id")))
+      .distinct()
+    val intraBatch = pp
+      .filter($"pi" === "batch" && $"pj" === "batch").select($"j".as("doc_id"))
+      .distinct()
+      .join(dupVsExisting, Seq("doc_id"), "left_anti")
+    val nBatch = parts.filter($"part" === "batch")
+      .agg(count(lit(1)).as("n_batch"))
+    nBatch.crossJoin(dupVsExisting.agg(count(lit(1)).as("n_dup_vs_existing")))
+      .crossJoin(intraBatch.agg(count(lit(1)).as("n_intra_batch_dup")))
+      .withColumn("n_new",
+        $"n_batch" - $"n_dup_vs_existing" - $"n_intra_batch_dup")
+  }
+
+  val dIncrementalDedupSql: String = {
+    val ex = ExistingNibbles.map(n => s"'$n'").mkString(", ")
+    s"""WITH ${TextAnalysis.winnowFpsSqlCte},
+       ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+       rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
+       exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
+       pairs AS (
+         SELECT a.doc_id AS i, b.doc_id AS j
+         FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       parts AS (
+         SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ($ex)
+                THEN 'existing' ELSE 'batch' END AS part
+         FROM documents),
+       pp AS (
+         SELECT p.i, p.j, pi.part AS pi, pj.part AS pj
+         FROM pairs p
+         JOIN parts pi ON p.i = pi.doc_id
+         JOIN parts pj ON p.j = pj.doc_id),
+       dve AS (
+         SELECT j AS doc_id FROM pp WHERE pi = 'existing' AND pj = 'batch'
+         UNION
+         SELECT i FROM pp WHERE pi = 'batch' AND pj = 'existing'),
+       ib AS (
+         SELECT j AS doc_id FROM pp WHERE pi = 'batch' AND pj = 'batch'
+         EXCEPT SELECT doc_id FROM dve)
+       SELECT
+         (SELECT COUNT(*) FROM parts WHERE part = 'batch') AS n_batch,
+         (SELECT COUNT(*) FROM dve) AS n_dup_vs_existing,
+         (SELECT COUNT(*) FROM ib) AS n_intra_batch_dup,
+         (SELECT COUNT(*) FROM parts WHERE part = 'batch')
+           - (SELECT COUNT(*) FROM dve)
+           - (SELECT COUNT(*) FROM ib) AS n_new"""
+  }
+
   // ---------------------------------------------------- cleaning funnel
   /** Minimum token count for the funnel's quality gate (corpus median is
     * ~56 tokens; 30 keeps prose-length docs, drops fragments). */
@@ -629,6 +710,7 @@ object Dedup {
     "d_exact_stats" -> (dExactStats _),
     "d_winnow_overlap" -> ((s: SparkSession, dir: String) => dWinnowOverlap(s, dir)),
     "d_corpus_funnel" -> ((s: SparkSession, dir: String) => dCorpusFunnel(s, dir)),
+    "d_incremental_dedup" -> ((s: SparkSession, dir: String) => dIncrementalDedup(s, dir)),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_minhash_lsh_x64" -> (dMinhashLshX64 _),
@@ -640,6 +722,7 @@ object Dedup {
     "d_exact_stats" -> dExactStatsSql,
     "d_winnow_overlap" -> dWinnowOverlapSql,
     "d_corpus_funnel" -> dCorpusFunnelSql,
+    "d_incremental_dedup" -> dIncrementalDedupSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_simhash_clusters" -> dSimhashClustersSql,

@@ -371,6 +371,16 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("incremental dedup: accounting sums, both dup classes exercised at sf0.01") {
+    val r = Dedup.dIncrementalDedup(spark, "/root/testdata/sf0.01").collect().head
+    val (nb, dve, ib, nn) = (r.getAs[Long]("n_batch"),
+      r.getAs[Long]("n_dup_vs_existing"), r.getAs[Long]("n_intra_batch_dup"),
+      r.getAs[Long]("n_new"))
+    assert(nb == dve + ib + nn, s"accounting leak: $nb != $dve+$ib+$nn")
+    assert(dve > 0, "no cross-partition dups — planted pairs should straddle the 75/25 split")
+    assert(nn > 0 && nn < nb)
+  }
+
   test("r4 topk honors anti-pushdown: low-confidence docs still reachable") {
     // the synthetic confidence spans [0,0.99]; top-5 must all be >= 0.95
     // while r9 per-source must still see sub-threshold rows
