@@ -598,6 +598,10 @@ object Dedup {
     val pp = pairs
       .join(parts.select($"doc_id".as("i"), $"part".as("pi")), "i")
       .join(parts.select($"doc_id".as("j"), $"part".as("pj")), "j")
+      // tiny (∝ near-dup pairs) but expensive to produce — the winnow
+      // index join would otherwise re-run for each of the three
+      // accounting consumers below
+      .cache()
     val dupVsExisting = pp
       .filter($"pi" === "existing" && $"pj" === "batch").select($"j".as("doc_id"))
       .union(pp.filter($"pi" === "batch" && $"pj" === "existing").select($"i".as("doc_id")))

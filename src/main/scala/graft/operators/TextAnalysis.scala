@@ -346,9 +346,66 @@ object TextAnalysis {
            OR top_bigram_frac > $RepetitionTopBigramFracMax AS repetitive
        FROM f ORDER BY doc_id"""
 
+  // ------------------------------------------------------- chunk windows
+  /** RAG-ingestion chunk geometry: 32-token windows, stride 24 (8-token
+    * overlap) — overlap preserves cross-boundary context for retrieval,
+    * stride bounds the blowup to ~n/stride chunks per doc. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Fixed-size overlapping token windows per document — the chunking
+    * step a retrieval/embedding pipeline runs before vectorizing (the
+    * reference's corpus ingestion shape: docs → chunks → embeddings).
+    * Map-side 1→N: window starts come from an integer `sequence`, the
+    * chunk itself is a `slice` of the cached token array, and each chunk
+    * carries an md5 fingerprint (chunk-level dedup key) plus its token
+    * span. No shuffle until the final presentation sort; at 100 TB
+    * chunks write straight to a chunk table partitioned like the lake
+    * layout, so the sort disappears entirely. */
+  def tChunkWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cache boundary: doc_id/toks/n feed the start-sequence Generate AND
+    // the per-chunk slice projections — same inlining hazard as the
+    // repetition operator's gram chain
+    val toks = d(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n", size($"toks").cast("bigint"))
+      .filter($"n" > 0)
+      .cache()
+    toks
+      .select($"doc_id", $"toks", $"n",
+        posexplode(sequence(lit(0L), $"n" - 1, lit(ChunkStride.toLong))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_tok")
+      .withColumn("chunk_idx", $"chunk_idx".cast("bigint"))
+      .withColumn("chunk_toks",
+        slice($"toks", ($"start_tok" + 1).cast("int"), lit(ChunkSize)))
+      .select($"doc_id", $"chunk_idx", $"start_tok",
+        size($"chunk_toks").cast("bigint").as("n_chunk_tokens"),
+        md5(concat_ws(" ", $"chunk_toks")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val tChunkWindowsSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS BIGINT) AS n
+         FROM documents),
+       st AS (
+         SELECT doc_id, toks, n,
+           CAST(i.gen AS BIGINT) AS start_tok,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i.gen) - 1 AS BIGINT) AS chunk_idx
+         FROM t, UNNEST(generate_series(0, n - 1, $ChunkStride)) AS i(gen)
+         WHERE n > 0)
+       SELECT doc_id, chunk_idx, start_tok,
+         CAST(len(list_slice(toks, start_tok + 1, start_tok + $ChunkSize)) AS BIGINT) AS n_chunk_tokens,
+         md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + $ChunkSize), ' ')) AS chunk_fp
+       FROM st ORDER BY doc_id, chunk_idx"""
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_repetition_stats" -> (tRepetitionStats _),
+    "t_chunk_windows" -> (tChunkWindows _),
     "t_token_stats" -> (tTokenStats _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
@@ -357,6 +414,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t_repetition_stats" -> tRepetitionSql,
+    "t_chunk_windows" -> tChunkWindowsSql,
     "t_token_stats" -> tTokenStatsSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,

@@ -381,6 +381,36 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(nn > 0 && nn < nb)
   }
 
+  test("chunk windows tile every document: stride spacing, full token coverage") {
+    val rows = TextAnalysis.tChunkWindows(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTokens = TextAnalysis.tTokenStats(spark, sfDir)
+      .collect().map(_.getAs[Long]("total_tokens")).sum
+    assert(rows.nonEmpty)
+    var covered = 0L
+    rows.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_idx"))
+      val starts = sorted.map(_.getAs[Long]("start_tok"))
+      assert(starts.head == 0L, s"doc $doc first chunk must start at 0")
+      starts.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == TextAnalysis.ChunkStride)
+        case _ =>
+      }
+      val last = sorted.last
+      val n = last.getAs[Long]("start_tok") + last.getAs[Long]("n_chunk_tokens")
+      // stride < size ⇒ the final (possibly partial) window reaches the
+      // last token exactly
+      sorted.foreach { c =>
+        val expectLen = math.min(TextAnalysis.ChunkSize.toLong,
+          n - c.getAs[Long]("start_tok"))
+        assert(c.getAs[Long]("n_chunk_tokens") == expectLen)
+      }
+      covered += n
+    }
+    assert(covered == nTokens,
+      s"chunks cover $covered tokens, corpus has $nTokens")
+  }
+
   test("r4 topk honors anti-pushdown: low-confidence docs still reachable") {
     // the synthetic confidence spans [0,0.99]; top-5 must all be >= 0.95
     // while r9 per-source must still see sub-threshold rows
