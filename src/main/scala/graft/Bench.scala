@@ -56,10 +56,16 @@ object Bench {
       // three valid measurements
       name -> (if (timed.exists(_ < 0)) -1.0 else median)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3 decimals (ms precision): the harness noise floor is far above
+    // 1 ms, and a compact line matters — the driver archives only the
+    // LAST ~2000 chars of output, so "queries" comes FIRST and the
+    // headline metric/value LAST: if the line ever outgrows the window
+    // it truncates at the per-query detail, never the graded total
+    // (rounds 1-4 lost the headline to exactly this truncation).
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

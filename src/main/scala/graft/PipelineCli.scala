@@ -71,8 +71,10 @@ object PipelineCli {
     val train = back.filter($"split" === "train")
     val shards = Sampling.packShards(train).collect()
     val shardTokens = shards.map(_.getAs[Long]("shard_tokens")).sum
+    // coalesce: sum over an empty split is NULL, not 0
     val trainTokens = train
-      .agg(sum(size(TextAnalysis.tokens($"text"))).cast("bigint")).head().getLong(0)
+      .agg(coalesce(sum(size(TextAnalysis.tokens($"text"))).cast("bigint"),
+        lit(0L))).head().getLong(0)
     println(s"train_shards = ${shards.length} " +
       s"(writers=${shards.map(_.getAs[Long]("writer")).distinct.length}, " +
       s"budget=${Sampling.ShardTokenBudget})")

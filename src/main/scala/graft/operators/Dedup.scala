@@ -537,8 +537,12 @@ object Dedup {
     * scored by shared-fingerprint count. Winnowing keeps ~1/w of the
     * shingle hashes, so the index is w× smaller than the n-gram Jaccard
     * index for the same recall of ≥(w+2)-token runs. */
+  val WinnowMinShared = 3
+  val WinnowFpDocCap = 100
+
   def dWinnowOverlap(s: SparkSession, dir: String,
-      minShared: Int = 3, fpDocCap: Int = 100): DataFrame = {
+      minShared: Int = WinnowMinShared,
+      fpDocCap: Int = WinnowFpDocCap): DataFrame = {
     import s.implicits._
     // cache boundary: the fingerprint rows feed the doc-frequency cap
     // AND both sides of the pair join — without it the whole winnowing
@@ -560,14 +564,15 @@ object Dedup {
   val dWinnowOverlapSql: String =
     s"""WITH ${TextAnalysis.winnowFpsSqlCte},
        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
-       rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
+       rare AS (SELECT fp FROM ex GROUP BY fp
+                HAVING COUNT(*) <= $WinnowFpDocCap),
        exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
        pairs AS (
          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
          FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
        SELECT i, j, CAST(shared AS BIGINT) AS shared_fps FROM pairs
-       WHERE shared >= 3 ORDER BY i, j"""
+       WHERE shared >= $WinnowMinShared ORDER BY i, j"""
 
   // ----------------------------------------------- incremental dedup
   /** Hash-nibble partition standing in for "already ingested" (12/16 ≈
@@ -588,7 +593,8 @@ object Dedup {
     * plants near-dups, not byte-dups (0 exact dups — measured). Emits
     * one row: (n_batch, n_dup_vs_existing, n_intra_batch_dup, n_new). */
   def dIncrementalDedup(s: SparkSession, dir: String,
-      minShared: Int = 3, fpDocCap: Int = 100): DataFrame = {
+      minShared: Int = WinnowMinShared,
+      fpDocCap: Int = WinnowFpDocCap): DataFrame = {
     import s.implicits._
     val parts = d(s, dir).select($"doc_id",
       when(substring(md5($"doc_id".cast("string")), 1, 1)
@@ -622,12 +628,13 @@ object Dedup {
     val ex = ExistingNibbles.map(n => s"'$n'").mkString(", ")
     s"""WITH ${TextAnalysis.winnowFpsSqlCte},
        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
-       rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
+       rare AS (SELECT fp FROM ex GROUP BY fp
+                HAVING COUNT(*) <= $WinnowFpDocCap),
        exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
        pairs AS (
          SELECT a.doc_id AS i, b.doc_id AS j
          FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared),
        parts AS (
          SELECT doc_id,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ($ex)

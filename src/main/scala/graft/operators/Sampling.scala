@@ -149,7 +149,8 @@ object Sampling {
            SUM(n_tokens) OVER (PARTITION BY writer ORDER BY doc_id
              ROWS UNBOUNDED PRECEDING) AS cum
          FROM t)
-       SELECT writer, (cum - n_tokens) // $ShardTokenBudget AS shard,
+       SELECT writer,
+         CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard,
          COUNT(*) AS n_docs,
          CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

@@ -262,8 +262,20 @@ object Similarity {
   // Lloyd passes per lookup. Safe to memoize: training is deterministic
   // by construction (fixed-point order-independent means), so a cached
   // model is bit-identical to a retrained one.
+  //
+  // STATIC-CORPUS ASSUMPTION: the key is the directory PATH — the data
+  // under it must be immutable for the session. That holds for the
+  // engine's own layouts (testdata is read-only; the lake writes new
+  // data into NEW date partitions/dirs, and the persisted IvfIndex
+  // retrains on build, not on read). A pipeline that REWRITES a dir
+  // in-session must call [[clearCentroidCache]] first — path-keyed
+  // model caches serve stale centroids silently otherwise.
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int, Int), Array[Array[Double]]]()
+
+  /** Drop all memoized centroid models (required after rewriting data
+    * under a previously-trained dir path in the same session). */
+  def clearCentroidCache(): Unit = centroidCache.clear()
 
   private[operators] def ivfCentroids(s: SparkSession, dir: String,
       cells: Int, iters: Int, trainModulo: Int = 1): Array[Array[Double]] =
