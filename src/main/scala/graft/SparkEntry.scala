@@ -15,7 +15,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RecallQueries.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Components.queries ++
+      Similarity.queries ++
       Multimodal.queries ++ HybridRetrieval.queries ++
       GraphTraversal.queries ++ AdvancedQueries.queries ++
       AsOfJoin.queries ++ Sampling.queries
@@ -24,7 +25,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ RecallQueries.oracle ++
-      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      TextAnalysis.oracle ++ Dedup.oracle ++ Components.oracle ++
+      Similarity.oracle ++
       Multimodal.oracle ++ HybridRetrieval.oracle ++
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
       AsOfJoin.oracle ++ Sampling.oracle
