@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Locale-pinned 3-decimal formatting: the bench line is parsed as
+    * JSON by the driver, and a non-ROOT default locale would emit comma
+    * decimals ("0,123") — invalid JSON. Never use bare f"%.3f" here. */
+  def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Round to 3 decimals BEFORE summing, so the printed total is exactly
+    * the sum of the printed per-query values (previously the total was
+    * summed from unrounded medians and could disagree with the visible
+    * queries map in the last digit). */
+  def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+
+  def makeSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,19 +21,52 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Median-of-3-after-warmup timings for `selected` against one sf dir.
+    * Failures surface as -1, never as a plausible time-to-fail. */
+  def timeQueries(spark: SparkSession, sfDir: String,
+      selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      runs: Int = 3): Seq[(String, Double)] = {
     // Warm up the JVM/codegen/parquet-footer paths so the first timed
     // query doesn't absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // noop sink materializes every column — count() would let Catalyst
-    // prune the computed columns out of projection-only queries and time
-    // an empty scan. One discarded warmup run pays the one-shot codegen
-    // compilation (~1-2s/query) and fills the query's internal caches;
-    // the reported number is the MEDIAN of 3 timed runs — robust to a
-    // single contention spike, unlike best-of-2 (round-2's bench swung
-    // 1.5× round-over-round with zero plan changes).
-    // Failures surface as -1, never as a plausible time-to-fail; fatal
-    // errors (OOM etc.) propagate and crash the run as they should.
+    selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // noop sink materializes every column — count() would let Catalyst
+      // prune the computed columns out of projection-only queries and
+      // time an empty scan. One discarded warmup run pays the one-shot
+      // codegen compilation (~1-2s/query) and fills the query's internal
+      // caches; the reported number is the MEDIAN of the timed runs —
+      // robust to a single contention spike, unlike best-of-2 (round-2's
+      // bench swung 1.5× round-over-round with zero plan changes).
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      val warmup = once() // discarded: codegen + cache fill
+      val timed = (1 to runs).map(_ => once())
+      // release caches pinned by the query's internal .cache() calls so
+      // storage-memory pressure from one query never skews the next
+      spark.catalog.clearCache()
+      val median = timed.sorted.apply(timed.size / 2)
+      // only a TIMED failure poisons the result — the warmup exists to
+      // absorb one-shot flakiness, so its failure alone shouldn't
+      // discard the valid measurements
+      name -> (if (timed.exists(_ < 0)) -1.0 else r3(median))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = makeSession(cpus)
     // optional args = query-name filter (local iteration); the driver
     // passes none and benches everything. Unknown names are an error —
     // a silent empty selection would print a plausible total=0.
@@ -35,37 +78,72 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(wanted).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double =
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      val warmup = once() // discarded: codegen + cache fill
-      val timed = (1 to 3).map(_ => once())
-      // release caches pinned by the query's internal .cache() calls so
-      // storage-memory pressure from one query never skews the next
-      spark.catalog.clearCache()
-      val median = timed.sorted.apply(timed.size / 2)
-      // only a TIMED failure poisons the result — the warmup exists to
-      // absorb one-shot flakiness, so its failure alone shouldn't discard
-      // three valid measurements
-      name -> (if (timed.exists(_ < 0)) -1.0 else median)
-    }
+    val results = timeQueries(spark, sfDir, selected)
     // 3 decimals (ms precision): the harness noise floor is far above
     // 1 ms, and a compact line matters — the driver archives only the
     // LAST ~2000 chars of output, so "queries" comes FIRST and the
     // headline metric/value LAST: if the line ever outgrows the window
     // it truncates at the per-query detail, never the graded total
     // (rounds 1-4 lost the headline to exactly this truncation).
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${f3(total)}}""")
+    spark.stop()
+  }
+}
+
+/** Weak-scaling audit: times the full registry at several scale factors
+  * and fits a per-query growth exponent — `log(t_hi/t_lo)/log(sf_hi/
+  * sf_lo)` over the two LARGEST sfs (the smallest sf is reported but
+  * excluded from the fit: at sf0.001 fixed per-query overhead — job
+  * scheduling, codegen cache lookups — dominates wall-clock and would
+  * bias every exponent toward 0). An exponent ≲ 1 means the query
+  * scales at-worst linearly in data volume on this box; > 1.2 flags a
+  * super-linear shape (quadratic candidate blowup, unbounded sort)
+  * that a single-sf wall-clock can never reveal. Results land in
+  * SCALE.md via the caller; this main prints one JSON line per sf plus
+  * a final exponents line. */
+object BenchScaling {
+  import Bench.{f3, makeSession, timeQueries}
+
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIRS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(dirs.size >= 2, "scaling needs at least two sf dirs")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(wanted).toMap
+    val spark = makeSession(cpus)
+    val perSf: Seq[(String, Map[String, Double])] = dirs.map { d =>
+      val res = timeQueries(spark, d, selected).toMap
+      val qs = res.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+      println(s"""{"scaling_sf":"$d","queries":$qs}""")
+      d -> res
+    }
+    // sf value from the dir name (…/sfX.Y); exponent over the two
+    // largest sfs only — see scaladoc
+    def sfOf(d: String): Double =
+      d.split("/").last.stripPrefix("sf").toDouble
+    val bySf = perSf.sortBy { case (d, _) => sfOf(d) }
+    val (loDir, lo) = bySf(bySf.size - 2)
+    val (hiDir, hi) = bySf.last
+    val ratio = sfOf(hiDir) / sfOf(loDir)
+    val exps = selected.keys.toSeq.sorted.flatMap { q =>
+      (lo.get(q), hi.get(q)) match {
+        case (Some(a), Some(b)) if a > 0 && b > 0 =>
+          Some(q -> math.log(b / a) / math.log(ratio))
+        case _ => None
+      }
+    }
+    val expJson = exps.map { case (k, v) => s""""$k":${f3(v)}""" }
+      .mkString("{", ",", "}")
+    val flagged = exps.filter(_._2 > 1.2).map(_._1)
+    println(s"""{"metric":"scaling_exponent","lo":"$loDir","hi":"$hiDir","exponents":$expJson,"flagged":${flagged.map(q => s""""$q"""").mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

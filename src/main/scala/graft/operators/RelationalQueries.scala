@@ -409,6 +409,34 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** Exact-percentile twin of [[qValuePercentiles]] (same pattern as
+    * [[qExactDistinct]] vs [[qApproxDistinct]]): Spark's exact
+    * `percentile` buffers each group's values and interpolates at
+    * p·(n-1) — identical definition to DuckDB's `quantile_cont`, so the
+    * twin is oracle-checkable where the sketch is rows-only. Both sides
+    * round to 6 dp: interpolation `lo + (hi-lo)·frac` is the
+    * single-expression double arithmetic that differs by 1 ulp across
+    * engines. Affordable while per-group value sets fit an aggregation
+    * buffer — which is exactly why the t-digest sketch stays the 100 TB
+    * default and this twin exists for validation. */
+  def qValuePercentilesExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        round(percentile($"value", lit(0.5)), 6).as("p50"),
+        round(percentile($"value", lit(0.9)), 6).as("p90"),
+        min($"value").as("v_min"), max($"value").as("v_max"))
+      .orderBy($"event_type")
+  }
+
+  val qValuePercentilesExactSql: String =
+    """SELECT event_type,
+         ROUND(quantile_cont(value, 0.5), 6) AS p50,
+         ROUND(quantile_cont(value, 0.9), 6) AS p90,
+         MIN(value) AS v_min, MAX(value) AS v_max
+       FROM events GROUP BY 1 ORDER BY event_type"""
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -425,7 +453,8 @@ object RelationalQueries {
     "q_priority_case" -> (qPriorityCase _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_exact_distinct" -> (qExactDistinct _),
-    "q_value_percentiles" -> (qValuePercentiles _))
+    "q_value_percentiles" -> (qValuePercentiles _),
+    "q_value_percentiles_exact" -> (qValuePercentilesExact _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -441,5 +470,6 @@ object RelationalQueries {
     "q_set_intersect" -> qSetIntersectSql,
     "q_anti_no_orders" -> qAntiSql,
     "q_priority_case" -> qPriorityCaseSql,
-    "q_exact_distinct" -> qExactDistinctSql)
+    "q_exact_distinct" -> qExactDistinctSql,
+    "q_value_percentiles_exact" -> qValuePercentilesExactSql)
 }
