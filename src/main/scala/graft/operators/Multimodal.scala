@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * metadata, and run decode / feature-extract / resize / frame-sample as
   * partition-batched functions.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container — see `MultimodalStub`): a deterministic fake derives
-  * "pixels" from payload bytes, so the Spark-side plumbing — schema,
-  * batching, partitioning, output shape — is real and tested while the
-  * codec call is one function swap away.
+  * The IMAGE decode path is REAL: `javax.imageio` PNG encode/decode/
+  * resize via [[ImageCodec]] (see [[Multimodal.pngAssets]] and the
+  * `m_image_*` queries — pixel-exact, oracle-checked). Audio/video
+  * remain STUBBED ([[MultimodalStub]]) because the JDK ships no codec
+  * for them: a deterministic fake derives "pixels" from payload bytes,
+  * so the Spark-side plumbing — schema, batching, partitioning, output
+  * shape — is real and tested while the codec call is one function
+  * swap away. [[Multimodal.extractFeatures]] dispatches per row: a
+  * payload `ImageIO` recognizes takes the real path, anything else
+  * falls back to the stub.
   *
   * Scale notes: payloads never enter a shuffle — asset rows are
   * processed map-side with `mapPartitions`, metadata-only projections
@@ -56,23 +61,144 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** Decode + feature-extract over partition-local batches. The real
-    * pipeline would replace [[MultimodalStub.decodeToFeatures]] with a
-    * codec call (JNI/Arrow/external service); everything around it —
-    * batching, schema, partition shape — is production code. */
+  /** Decode + feature-extract over partition-local batches. Image
+    * payloads that `ImageIO` recognizes decode for REAL
+    * ([[ImageCodec.decodeGray]] → pooled-luminance features);
+    * unrecognized payloads (audio/video stubs, text stand-ins) fall
+    * back to [[MultimodalStub.decodeToFeatures]]. Everything around
+    * the codec — batching, schema, partition shape — is production
+    * code either way. */
   def extractFeatures(assets: Dataset[Asset], featureDim: Int = 8): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // batch boundary = what a vectorized decoder would receive
         batch.iterator.map { a =>
+          val features = ImageCodec.decodeGray(a.payload) match {
+            case Some(img) => ImageCodec.imageFeatures(img, featureDim)
+            case None => MultimodalStub.decodeToFeatures(a.payload, featureDim)
+          }
           AssetFeatures(a.asset_id, a.modality, a.payload.length.toLong,
-            MultimodalStub.checksum(a.payload),
-            MultimodalStub.decodeToFeatures(a.payload, featureDim))
+            MultimodalStub.checksum(a.payload), features)
         }
       }
     }
   }
+
+  // --------------------------------------------- real PNG asset table
+  /** Deterministic pixel function shared by the PNG generator and the
+    * DuckDB oracle: `pix(x, y) = (x·y + doc_id) mod 256`. Dims
+    * `8 + doc_id%9` × `8 + doc_id%7` — every asset a different shape,
+    * partial-window edge cases included. */
+  def pngDims(docId: Long): (Int, Int) =
+    (8 + (docId % 9).toInt, 8 + (docId % 7).toInt)
+
+  def pngPixel(docId: Long)(x: Int, y: Int): Int =
+    ((x.toLong * y + docId) % 256).toInt
+
+  /** REAL image assets: the image-modality slice of `documents`
+    * (doc_id % 3 = 0, same mapping as [[assetTable]]) with payload =
+    * an actual PNG encoded map-side from the deterministic pixel
+    * function. Generation, like decode, is per-row CPU inside
+    * `mapPartitions` — payloads are born and consumed inside the
+    * partition, never shuffled. */
+  def pngAssets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang")
+      .where($"doc_id" % 3 === 0)
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, source, lang) =>
+          val (w, h) = pngDims(docId)
+          Asset(docId, "image", "png",
+            ImageCodec.encodeGrayPng(w, h, pngPixel(docId)),
+            Map("source" -> source, "lang" -> lang))
+        }
+      }
+  }
+
+  /** Oracle-checked REAL decode: encode each asset's PNG, decode it
+    * back with `ImageIO`, and report integer-exact raster stats. The
+    * DuckDB oracle simulates the same pixels arithmetically — any
+    * codec dishonesty (wrong dims, color-space drift, sample
+    * truncation) breaks the hash. */
+  def mImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngAssets(s, dir)
+      .mapPartitions { it =>
+        it.map { a =>
+          val img = ImageCodec.decodeGray(a.payload).getOrElse(
+            sys.error(s"asset ${a.asset_id}: payload is not a decodable image"))
+          (a.asset_id, img.width, img.height,
+            img.samples.length.toLong, img.sumLum)
+        }
+      }
+      .toDF("asset_id", "width", "height", "n_pixels", "sum_lum")
+      .orderBy($"asset_id")
+  }
+
+  val mImageDecodeSql: String =
+    """WITH img AS (
+         SELECT doc_id AS asset_id,
+           8 + CAST(doc_id % 9 AS INTEGER) AS width,
+           8 + CAST(doc_id % 7 AS INTEGER) AS height,
+           doc_id AS d
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (
+         SELECT asset_id, width, height,
+           SUM((x.i * y.j + d) % 256) AS sum_lum
+         FROM img,
+           UNNEST(generate_series(0, width - 1)) AS x(i),
+           UNNEST(generate_series(0, height - 1)) AS y(j)
+         GROUP BY 1, 2, 3)
+       SELECT asset_id, width, height,
+         CAST(width * height AS BIGINT) AS n_pixels,
+         CAST(sum_lum AS BIGINT) AS sum_lum
+       FROM px ORDER BY asset_id"""
+
+  /** Oracle-checked decode→resize→encode→decode round trip: decode the
+    * PNG, nearest-neighbor downsample ×2 ([[ImageCodec.resizeNearest]]:
+    * `out(x,y) = in(2x,2y)`, dims `ceil(dim/2)`), re-encode to PNG,
+    * decode AGAIN, report stats of the second decode. Exercises writer
+    * and reader on every row; the oracle simulates
+    * `pix(2x, 2y) = (4xy + doc_id) mod 256` directly. */
+  def mImageResizeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngAssets(s, dir)
+      .mapPartitions { it =>
+        it.map { a =>
+          val img = ImageCodec.decodeGray(a.payload).getOrElse(
+            sys.error(s"asset ${a.asset_id}: payload is not a decodable image"))
+          val small = ImageCodec.resizeNearest(img, 2)
+          val reencoded = ImageCodec.encodeGrayPng(
+            small.width, small.height, small.apply)
+          val back = ImageCodec.decodeGray(reencoded).getOrElse(
+            sys.error(s"asset ${a.asset_id}: re-encoded PNG failed to decode"))
+          (a.asset_id, back.width, back.height, back.sumLum)
+        }
+      }
+      .toDF("asset_id", "width", "height", "sum_lum")
+      .orderBy($"asset_id")
+  }
+
+  val mImageResizeRoundtripSql: String =
+    """WITH img AS (
+         SELECT doc_id AS asset_id,
+           (8 + CAST(doc_id % 9 AS INTEGER) + 1) // 2 AS width,
+           (8 + CAST(doc_id % 7 AS INTEGER) + 1) // 2 AS height,
+           doc_id AS d
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (
+         SELECT asset_id, width, height,
+           SUM((4 * x.i * y.j + d) % 256) AS sum_lum
+         FROM img,
+           UNNEST(generate_series(0, width - 1)) AS x(i),
+           UNNEST(generate_series(0, height - 1)) AS y(j)
+         GROUP BY 1, 2, 3)
+       SELECT asset_id, width, height,
+         CAST(sum_lum AS BIGINT) AS sum_lum
+       FROM px ORDER BY asset_id"""
 
   // ------------------------------------------------------ resize (image)
   /** One sampled video frame: payload slice + its index. A real decoder
@@ -187,12 +313,16 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_modality_stats" -> (modalityStats _),
     "m_frame_sample" -> (mFrameSample _),
-    "m_resize_stats" -> (mResizeStats _))
+    "m_resize_stats" -> (mResizeStats _),
+    "m_image_decode" -> (mImageDecode _),
+    "m_image_resize_roundtrip" -> (mImageResizeRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "m_modality_stats" -> modalityStatsSql,
     "m_frame_sample" -> mFrameSampleSql,
-    "m_resize_stats" -> mResizeStatsSql)
+    "m_resize_stats" -> mResizeStatsSql,
+    "m_image_decode" -> mImageDecodeSql,
+    "m_image_resize_roundtrip" -> mImageResizeRoundtripSql)
 }
 
 /** The stubbed codec boundary. Deterministic fakes, clearly marked:
