@@ -392,8 +392,16 @@ object Similarity {
     * intersect. Same idea as the ANN path's multi-probe. */
   val SemDedupAssign = 2
 
+  /** Per-task pair budget for the within-cell join: a cell whose
+    * exploded membership exceeds this splits into `ceil(m / target)`
+    * hash blocks, bounding any one join task at ~target² comparisons
+    * no matter how runaway the cell (the skew case the IVF shape can't
+    * prevent — a dense corpus region lands everything in one cell). */
+  val HotCellTarget = 2048
+
   private[graft] def semanticDropSet(s: SparkSession, dir: String,
-      cells: Int, threshold: Double): (DataFrame, DataFrame) = {
+      cells: Int, threshold: Double,
+      hotCellTarget: Int = HotCellTarget): (DataFrame, DataFrame) = {
     VectorFunctions.register(s)
     import s.implicits._
     val cents = ivfCentroids(s, dir, cells, IvfIters)
@@ -418,15 +426,41 @@ object Similarity {
       // read by both sides of the pair join AND the size aggregate; the
       // boundary also keeps the centroid ranking from re-running per use
       .cache()
-    val a = assigned.select(explode($"cells").as("c"), $"vec_id".as("i"), $"u".as("ua"))
-    val b = assigned.select(explode($"cells").as("c"), $"vec_id".as("j"), $"u".as("ub"))
-    val dropped = a.join(b, Seq("c"))
-      .filter($"i" < $"j")
+    // Hot-cell mitigation (the runaway-cell skew case): triangular
+    // block decomposition of each cell's all-pairs. Members hash into
+    // nb = ceil(m/target) blocks; the a-side serves block-pair tasks
+    // (blk, q ≥ blk), the b-side tasks (p ≤ blk, blk), so an unordered
+    // cross-block pair meets at exactly ONE (c, p, q) key and a
+    // same-block pair at (c, x, x) twice (once per orientation — the
+    // i<j filter keeps one). Join-task work is bounded at (m/nb)² ≈
+    // target² however large the cell; total candidate volume is
+    // UNCHANGED (this fixes the straggler/OOM, not the pair count, and
+    // therefore provably preserves the drop set — see the equivalence
+    // spec). Normal cells get nb = 1 and degenerate to the plain
+    // cell equi-join. Same playbook as [[SkewJoin]], specialized to a
+    // self-join's triangle.
+    val exploded = assigned.select(explode($"cells").as("c"), $"vec_id", $"u")
+    val cellBlocks = exploded.groupBy($"c")
+      .agg(count(lit(1)).as("m"))
+      .select($"c", greatest(lit(1),
+        ceil($"m" / lit(hotCellTarget.toDouble))).cast("int").as("nb"))
+    val aSide = exploded.join(broadcast(cellBlocks), Seq("c"))
+      .withColumn("blk", pmod(xxhash64($"vec_id"), $"nb").cast("int"))
+      .select($"c", $"blk".as("p"),
+        explode(sequence($"blk", $"nb" - 1)).as("q"),
+        $"vec_id".as("i"), $"u".as("ua"))
+    val bSide = exploded.join(broadcast(cellBlocks), Seq("c"))
+      .withColumn("blk", pmod(xxhash64($"vec_id"), $"nb").cast("int"))
+      .select($"c", explode(sequence(lit(0), $"blk")).as("p"),
+        $"blk".as("q"), $"vec_id".as("j"), $"u".as("ub"))
+    val dropped = aSide.join(bSide, Seq("c", "p", "q"))
+      .filter($"p" =!= $"q" || $"i" < $"j")
       .withColumn("sim", round(VectorFunctions.dot($"ua", $"ub"), 3))
       .filter($"sim" >= threshold)
-      // a pair can meet under both shared cells — account the DROP to
-      // the dropped vector's own primary cell, once
-      .select($"j".as("vec_id"))
+      // greedy keep-lowest-id: the higher id of each qualifying pair
+      // drops. A pair can meet under both shared cells — account the
+      // DROP to the dropped vector's own primary cell, once.
+      .select(greatest($"i", $"j").as("vec_id"))
       .distinct()
       .join(assigned.select($"vec_id", $"cell"), Seq("vec_id"))
       .select($"cell", $"vec_id")
@@ -439,9 +473,11 @@ object Similarity {
     * greedily keep the lowest-id member of each duplicate pair. The
     * cell equi-join is the bucketed not-all-pairs shape: candidate
     * volume is Σ cellᵢ² instead of n² — with K scaled so cells hold
-    * ~corpus/K vectors, this is the form that runs at 100 TB (a
-    * runaway cell is the skew case: split it by re-clustering or salt
-    * the join, same playbook as SkewJoin). Emits per-cell accounting
+    * ~corpus/K vectors, this is the form that runs at 100 TB. The
+    * runaway-cell skew case is handled: cells past [[HotCellTarget]]
+    * split into triangular hash-block tasks that bound per-task work
+    * while provably preserving the pair set (see [[semanticDropSet]]).
+    * Emits per-cell accounting
     * (n_vecs, n_dropped, n_kept). Rows-only driver check — centroids
     * are engine-local; the spec cross-checks the dropped set against
     * the exact quadratic ground truth instead. */

@@ -371,6 +371,30 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("semantic dedup hot-cell blocking: forced split preserves the exact drop set") {
+    val dir = "/root/testdata/sf0.01"
+    // default target (2048): every cell is single-block at this sf —
+    // the baseline is the plain cell equi-join
+    val (_, base) = Similarity.semanticDropSet(
+      spark, dir, Similarity.IvfCells, Similarity.SemDedupThreshold)
+    val baseSet = base.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(baseSet.nonEmpty, "threshold found no drops — corpus drifted")
+    // target 16 << avg exploded cell size (500 vecs × 2 assignments /
+    // 16 cells ≈ 62) forces nb ≥ 2 on every cell, exercising the
+    // triangular block decomposition on the REAL corpus. The blocking
+    // only re-partitions the pair space, so the drop set must be
+    // IDENTICAL, not merely similar.
+    val explodedPerCell = 2.0 * 500 / Similarity.IvfCells
+    assert(explodedPerCell / 16 > 1.5, "sf0.01 no longer forces multi-block cells")
+    val (_, blocked) = Similarity.semanticDropSet(
+      spark, dir, Similarity.IvfCells, Similarity.SemDedupThreshold,
+      hotCellTarget = 16)
+    val blockedSet = blocked.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(blockedSet == baseSet,
+      s"blocking changed the drop set: only-base=${baseSet -- blockedSet} " +
+        s"only-blocked=${blockedSet -- baseSet}")
+  }
+
   test("incremental dedup: accounting sums, both dup classes exercised at sf0.01") {
     val r = Dedup.dIncrementalDedup(spark, "/root/testdata/sf0.01").collect().head
     val (nb, dve, ib, nn) = (r.getAs[Long]("n_batch"),
