@@ -498,14 +498,21 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_semantic_dedup" -> ((s: SparkSession, dir: String) => sSemanticDedup(s, dir)),
     "s_cosine_topk" -> (sCosineTopk _),
-    "s_neardup_pairs" -> ((s: SparkSession, dir: String) => sNeardupPairs(s, dir)),
     "s_ann_lsh_buckets" -> (sAnnLshBuckets _),
     "s_ann_topk" -> ((s: SparkSession, dir: String) => sAnnTopk(s, dir)),
     "s_ivf_topk" -> ((s: SparkSession, dir: String) => sIvfTopk(s, dir)))
 
-  /** s_ann_* have no oracle (engine-local hyperplane constants) →
-    * driver records the weaker rows-only check. */
+  /** Deliberately NOT in the production registry: the all-pairs scan
+    * is fail-fast guarded but still O(n²) by construction — a corpus
+    * forensics tool, not a query a user should find next to the scale
+    * paths. Exposed here for specs and ad-hoc use; its DuckDB twin
+    * ([[sNeardupPairsSql]]) remains for manual cross-checks. */
+  val diagnostics: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_neardup_pairs" -> ((s: SparkSession, dir: String) => sNeardupPairs(s, dir)))
+
+  /** s_ann_* and s_semantic_dedup have no oracle (engine-local
+    * hyperplane/centroid constants) → driver records the weaker
+    * rows-only check. */
   val oracle: Map[String, String] = Map(
-    "s_cosine_topk" -> sCosineTopkSql,
-    "s_neardup_pairs" -> sNeardupPairsSql)
+    "s_cosine_topk" -> sCosineTopkSql)
 }
