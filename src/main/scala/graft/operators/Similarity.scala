@@ -263,23 +263,41 @@ object Similarity {
   // by construction (fixed-point order-independent means), so a cached
   // model is bit-identical to a retrained one.
   //
-  // STATIC-CORPUS ASSUMPTION: the key is the directory PATH — the data
-  // under it must be immutable for the session. That holds for the
-  // engine's own layouts (testdata is read-only; the lake writes new
-  // data into NEW date partitions/dirs, and the persisted IvfIndex
-  // retrains on build, not on read). A pipeline that REWRITES a dir
-  // in-session must call [[clearCentroidCache]] first — path-keyed
-  // model caches serve stale centroids silently otherwise.
+  // The key includes a CORPUS FINGERPRINT, not just the directory path:
+  // a path-keyed model cache would silently serve stale centroids after
+  // an in-place rewrite. The fingerprint hashes the embeddings table's
+  // file listing — (path, length, modification time) per file — one
+  // filesystem metadata call, zero data read, so it stays cheap at any
+  // corpus size. Rewrites change mtimes/lengths and appends add files;
+  // both retrain automatically. (mtime granularity is the filesystem's;
+  // a byte-identical same-length rewrite landing in the same timestamp
+  // tick is the one theoretical miss, and it serves an identical model.)
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int), Array[Array[Double]]]()
+    (String, Long, Int, Int, Int), Array[Array[Double]]]()
 
-  /** Drop all memoized centroid models (required after rewriting data
-    * under a previously-trained dir path in the same session). */
+  /** Cheap corpus-version fingerprint for the embeddings table under
+    * `dir`: order-independent hash of every file's (name, length,
+    * mtime). Metadata-only — no data is scanned. */
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(path)
+    val files = if (st.isDirectory) fs.listStatus(path) else Array(st)
+    files.foldLeft(17L) { (acc, f) =>
+      // XOR-fold per-file hashes so listing order can't matter
+      acc ^ (f.getPath.getName.hashCode.toLong * 31L +
+        f.getLen * 1000003L + f.getModificationTime)
+    }
+  }
+
+  /** Drop all memoized centroid models. With fingerprint-keyed entries
+    * this is only needed to release memory, not for correctness. */
   def clearCentroidCache(): Unit = centroidCache.clear()
 
-  private[operators] def ivfCentroids(s: SparkSession, dir: String,
+  private[graft] def ivfCentroids(s: SparkSession, dir: String,
       cells: Int, iters: Int, trainModulo: Int = 1): Array[Array[Double]] =
-    centroidCache.computeIfAbsent((dir, cells, iters, trainModulo),
+    centroidCache.computeIfAbsent(
+      (dir, corpusFingerprint(s, dir), cells, iters, trainModulo),
       _ => trainIvfCentroids(s, dir, cells, iters, trainModulo))
 
   private def trainIvfCentroids(s: SparkSession, dir: String,

@@ -371,6 +371,23 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("centroid cache: hit on unchanged data, invalidated by in-place rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccache").toString
+    val src = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    src.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val c1 = Similarity.ivfCentroids(spark, tmp, 4, 1)
+    // unchanged data → cache hit (the memoized instance itself)
+    assert(c1 eq Similarity.ivfCentroids(spark, tmp, 4, 1))
+    // in-place rewrite with different data: the path-only key would
+    // serve c1 silently; the fingerprint key must retrain
+    src.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val c2 = Similarity.ivfCentroids(spark, tmp, 4, 1)
+    assert(!(c2 eq c1), "stale centroid model served after in-place rewrite")
+    assert(c1.flatten.toSeq != c2.flatten.toSeq,
+      "rewrite with half the corpus should move the centroids")
+  }
+
   test("semantic dedup hot-cell blocking: forced split preserves the exact drop set") {
     val dir = "/root/testdata/sf0.01"
     // default target (2048): every cell is single-block at this sf —
