@@ -214,4 +214,24 @@ object EventsStream {
     q.processAllAvailable()
     q
   }
+
+  /** Run a streaming query to a parquet FILE sink with a checkpoint —
+    * the production deployment shape: the checkpoint persists source
+    * offsets, the event-time watermark, and every stateful operator's
+    * store, and the file sink's commit manifest makes output atomic, so
+    * a stopped query resumed from the same (checkpoint, path) pair is
+    * end-to-end exactly-once across restarts (the recovery spec drives
+    * exactly that: stop mid-session, restart, the open-session state
+    * must carry over). Blocks until the finite source drains. */
+  def runToParquet(df: DataFrame, outPath: String,
+      checkpoint: String): StreamingQuery = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

@@ -152,6 +152,75 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: offsets, watermark, and open-session state survive a restart") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val srcDir = s"$root/src"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+    val h = 3600L * 1000000000L // ns per hour
+    val m = 60L * 1000000000L // ns per minute
+    def writeEvents(name: String, userId: Long, baseNs: Long, n: Int,
+        idBase: Long): Unit =
+      spark.range(0, n).select(
+          (col("id") + idBase).as("event_id"),
+          (lit(baseNs) + col("id") * m).as("ts"),
+          lit(userId).as("user_id"),
+          lit("click").as("event_type"),
+          lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$srcDir/$name")
+    // explicit schema: the sink dir is legitimately EMPTY after run 1
+    // (nothing releasable yet) and inference would fail on it
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, session_start_ns BIGINT, session_end_ns BIGINT, n_events BIGINT")
+    def readOut() = spark.read.schema(outSchema).parquet(outDir)
+    // The timeout batch that releases sessions runs AFTER the data
+    // drains (no-data micro-batch once the watermark advances) — poll
+    // for the emission, same pattern as the state-GC test above.
+    def runOnce(until: () => Boolean): Unit = {
+      val src = spark.readStream
+        .schema(graft.sources.Tables.events)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/*") // glob: each write lands in a subdir
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val q = EventsStream.runToParquet(
+        EventsStream.sessionizeStream(spark, src), outDir, ckpt)
+      try {
+        val deadline = System.nanoTime() + 20L * 1000000000L
+        while (!until() && System.nanoTime() < deadline) {
+          q.processAllAvailable(); Thread.sleep(250)
+        }
+      } finally q.stop()
+    }
+    // ---- first query instance: user 7's session is OPEN when it stops
+    // (events h..h+4m; watermark h+4m-10min is far from last+gap)
+    writeEvents("a", userId = 7L, baseNs = h, n = 5, idBase = 100L)
+    runOnce(() => true)
+    // ---- second query instance, SAME checkpoint: file b lands 20 min
+    // after file a's last event — inside the 30-min gap, so it must
+    // MERGE with the RECOVERED open interval, provable only if the
+    // state store was restored. File c (far future) advances the
+    // watermark past (last + gap) and forces the release.
+    writeEvents("b", userId = 7L, baseNs = h + 24 * m, n = 5, idBase = 200L)
+    Thread.sleep(1100) // distinct mtimes => deterministic file order b, c
+    writeEvents("c", userId = 99L, baseNs = 5 * h, n = 1, idBase = 300L)
+    runOnce(() => readOut().filter(col("user_id") === 7L).count() == 1L)
+    val sessions = readOut()
+      .filter(col("user_id") === 7L).collect()
+    // one session, not two: lost state would emit a or b standalone
+    // (and replayed offsets would emit a twice — the file-sink manifest
+    // plus checkpointed offsets forbid both)
+    assert(sessions.length == 1,
+      s"expected ONE merged session across the restart, got ${sessions.toSeq}")
+    val s0 = sessions.head
+    assert(s0.getAs[Long]("session_start_ns") == h)
+    assert(s0.getAs[Long]("session_end_ns") == h + 28 * m)
+    assert(s0.getAs[Long]("n_events") == 10L,
+      "merged session must count events from BOTH sides of the restart")
+  }
+
   test("streaming sessionization emits exactly the non-trailing batch sessions") {
     import org.apache.spark.sql.functions._
     val src = EventsStream.source(spark, eventsDir)
