@@ -11,25 +11,25 @@ import org.apache.spark.sql.functions._
   * depending on pair order. Components make the policy total: one
   * survivor (the minimum doc_id) per component, everything else drops.
   *
-  * Algorithm: iterative min-label propagation over the undirected pair
-  * graph — each sweep is one hash join (edge ⋈ label) plus one min
-  * aggregate, the same distributed shape as [[GraphTraversal.bfs]], and
-  * each sweep's labels are eagerly checkpointed so a k-sweep run never
-  * builds a 2^k plan. Converges in O(component diameter) sweeps.
+  * Algorithm: iterative min-label propagation with POINTER JUMPING over
+  * the undirected pair graph — each sweep is one hash join (edge ⋈
+  * label) plus one min aggregate plus a label→label-of-label self-join
+  * (path halving, the trick behind the large-star/small-star family —
+  * Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  * giving O(log diameter) convergence instead of O(diameter). Two
+  * sweeps run between eager checkpoints, so a k-sweep run never builds
+  * a 2^k plan while the fixed per-snapshot costs amortize.
   *
   * Scale notes (100 TB posture):
   *  - The graph is the PAIR set (∝ near-dup volume), not the corpus —
   *    labels/edges shuffle doc_id+label longs only, never text.
-  *  - Near-dup components are shallow (dup clusters are cliques-ish;
-  *    diameter rarely exceeds a few hops), so the sweep count stays
-  *    single-digit. For adversarial high-diameter graphs the
-  *    alternating large-star/small-star variant (Kiveris et al.,
-  *    "Connected Components in MapReduce and Beyond") converges in
-  *    O(log n) sweeps with the same per-sweep join shape — swap the
-  *    propagation step if corpus telemetry ever shows deep chains.
-  *  - Convergence is detected distributively (count of labels that
-  *    still decreased this sweep); nothing proportional to the corpus
-  *    ever reaches the driver.
+  *  - Near-dup components are shallow (dup clusters are cliques-ish),
+  *    so iterations stay low single-digit; the pointer jump keeps even
+  *    adversarial deep chains at O(log n) sweeps.
+  *  - Convergence is detected distributively: labels are non-increasing
+  *    per node, so an unchanged DECIMAL label sum (one tiny aggregate,
+  *    overflow-safe for arbitrary long ids) IS the fixpoint; nothing
+  *    proportional to the corpus ever reaches the driver.
   */
 object Components {
 
@@ -63,32 +63,57 @@ object Components {
       .withColumn("label", col("node"))
       .coalesce(par)
       .checkpoint() // eager: flat lineage from sweep 0
-    var changed = 1L
-    var sweep = 0
-    while (changed > 0 && sweep < maxSweeps) {
-      sweep += 1
-      val prop = edges
-        .join(labels.select(col("node").as("src"), col("label")), "src")
-        .select(col("dst").as("node"), col("label"))
-      val staged = labels.union(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .coalesce(par)
-        .cache() // checkpoint(eager) runs a count job AND a write job —
-      // without this cache the whole sweep recomputes for the write
+    // Convergence detection: labels are NON-INCREASING per node (the min
+    // always includes the node's own current label, and a pointer jump
+    // replaces a label with that label's own ≤ label), so the label SUM
+    // strictly decreases until the fixpoint — one tiny aggregate per
+    // iteration instead of a new-vs-old join+count. DECIMAL sum: ids can
+    // be arbitrary longs at corpus scale; a long sum could overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    if (prevSum == null) prevSum = java.math.BigDecimal.ZERO // empty graph
+    var converged = prevSum == java.math.BigDecimal.ZERO && labels.isEmpty
+    var iter = 0
+    val maxIters = math.max(1, (maxSweeps + 1) / 2)
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // Two sweeps per disk snapshot, each sweep = edge propagation +
+      // POINTER JUMP (label := label-of-label, path-halving): the jump
+      // makes convergence O(log diameter) instead of O(diameter), and
+      // batching two sweeps between checkpoints amortizes the fixed
+      // per-iteration costs (cache fill, snapshot write, convergence
+      // aggregate) that dominate on the shallow graphs dedup produces.
+      // Lineage depth stays bounded at two sweeps — the checkpoint
+      // truncates it before plans can compound.
+      var l = labels
+      for (_ <- 0 until 2) {
+        val prop = edges
+          .join(l.select(col("node").as("src"), col("label")), "src")
+          .select(col("dst").as("node"), col("label"))
+        val m = l.union(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        // label values are always live node ids, so the lookup is total;
+        // left+coalesce only guards the empty frame
+        l = m.join(
+            m.select(col("node").as("label"), col("label").as("plabel")),
+            Seq("label"), "left")
+          .select(col("node"), coalesce(col("plabel"), col("label")).as("label"))
+      }
+      val staged = l.coalesce(par).cache() // checkpoint(eager) runs a
+      // count job AND a write job — without this cache the whole
+      // iteration recomputes for the write
       val next = staged.checkpoint()
       staged.unpersist(blocking = false) // disk snapshot owns the data
-      // labels only ever decrease (min of a set containing the old
-      // label), so "still moving" is exactly "strictly smaller"
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
-    require(changed == 0L,
-      s"connectedComponents did not converge within $maxSweeps sweeps — " +
-        "component diameter exceeds the bound; raise maxSweeps or switch " +
-        "to the large-star/small-star propagation step")
+    require(converged,
+      s"connectedComponents did not converge within $maxIters iterations " +
+        s"(2 sweeps + pointer jumps each) — raise maxSweeps")
     edges.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
