@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,9 +17,21 @@ import org.apache.spark.sql.functions._
   * label) plus one min aggregate plus a label→label-of-label self-join
   * (path halving, the trick behind the large-star/small-star family —
   * Kiveris et al., "Connected Components in MapReduce and Beyond"),
-  * giving O(log diameter) convergence instead of O(diameter). Two
-  * sweeps run between eager checkpoints, so a k-sweep run never builds
-  * a 2^k plan while the fixed per-snapshot costs amortize.
+  * giving O(log diameter) convergence instead of O(diameter).
+  *
+  * Materialization discipline (the round-7 28 s → target ≤8 s fix):
+  * each sweep's min-aggregate frame `m` is CACHED before the pointer
+  * jump self-joins it, so the union+aggregate subtree executes once —
+  * uncached, the self-join plus the snapshot job recomputed the whole
+  * sweep chain 4-6×. Each sweep's output is snapshotted to ONE parquet
+  * write and read back, which (a) truncates lineage like `checkpoint`
+  * but with a single job instead of checkpoint's count+write pair, and
+  * (b) gives this code ownership of the files: the previous sweep's
+  * snapshot is deleted as soon as the next lands, so a bench loop never
+  * accumulates per-iteration disk garbage (round-7 left every
+  * checkpoint on disk for the JVM's lifetime). Convergence is checked
+  * after EVERY sweep — the round-7 two-sweep batch paid one full extra
+  * sweep after the fixpoint.
   *
   * Scale notes (100 TB posture):
   *  - The graph is the PAIR set (∝ near-dup volume), not the corpus —
@@ -30,6 +43,9 @@ import org.apache.spark.sql.functions._
   *    per node, so an unchanged DECIMAL label sum (one tiny aggregate,
   *    overflow-safe for arbitrary long ids) IS the fixpoint; nothing
   *    proportional to the corpus ever reaches the driver.
+  *  - Snapshots live under the session checkpoint dir when one is set
+  *    (shared storage on a real cluster); the local-temp fallback is
+  *    refused off local[*] masters, same rule as GraphTraversal.bfs.
   */
 object Components {
 
@@ -38,84 +54,108 @@ object Components {
     * @param pairs columns (i, j) — one row per undirected edge
     * @return (doc_id, component) where component = min doc_id reachable
     */
-  def connectedComponents(pairs: DataFrame, maxSweeps: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxSweeps: Int = 25): DataFrame =
+    connectedComponentsWithStats(pairs, maxSweeps)._1
+
+  /** As [[connectedComponents]], also returning the number of sweeps the
+    * loop ran before the label sum fixed — pinned by ComponentsSpec so a
+    * materialization change can never silently alter the algorithm. */
+  def connectedComponentsWithStats(pairs: DataFrame, maxSweeps: Int = 25)
+      : (DataFrame, Int) = {
     val s = pairs.sparkSession
     val sc = s.sparkContext
-    if (sc.getCheckpointDir.isEmpty) {
-      // same rule as GraphTraversal.bfs: a silent driver-local default
-      // would strand checkpoint partitions on per-executor /tmp on a
-      // real cluster — refuse there, self-install only under local[*]
+    // snapshot root: the session checkpoint dir if the caller set one
+    // (shared storage on a real cluster), else a self-installed local
+    // temp dir — refused off local[*], where executor-local /tmp would
+    // strand the files
+    val root = sc.getCheckpointDir.getOrElse {
       require(sc.master.startsWith("local"),
         "connectedComponents needs sparkContext.setCheckpointDir pointing " +
           "at shared storage (HDFS/S3) on a non-local master")
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+      java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     }
-    // label/frontier frames are tiny next to the shuffle partitioning
-    // that produces them; narrow-coalesce before each disk snapshot
+    val runDir = s"$root/cc-${java.util.UUID.randomUUID().toString.take(12)}"
+    val fs = new Path(runDir).getFileSystem(sc.hadoopConfiguration)
+    // the FINAL snapshot backs the returned (lazy) DataFrame, so it can
+    // only be reclaimed at JVM exit; everything else is deleted eagerly
+    // inside the loop
+    fs.deleteOnExit(new Path(runDir))
+    // label frames are tiny next to the shuffle partitioning that
+    // produces them; narrow-coalesce before each snapshot
     val par = math.max(2, sc.defaultParallelism / 4)
+    def snapshot(df: DataFrame, sweep: Int): DataFrame = {
+      val p = s"$runDir/sweep_$sweep"
+      df.coalesce(par).write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
     val p = pairs.select(col("i"), col("j")).distinct()
     val edges = p
       .union(p.select(col("j").as("i"), col("i").as("j")))
       .toDF("src", "dst")
       .cache() // re-joined every sweep
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .coalesce(par)
-      .checkpoint() // eager: flat lineage from sweep 0
-    // Convergence detection: labels are NON-INCREASING per node (the min
-    // always includes the node's own current label, and a pointer jump
-    // replaces a label with that label's own ≤ label), so the label SUM
-    // strictly decreases until the fixpoint — one tiny aggregate per
-    // iteration instead of a new-vs-old join+count. DECIMAL sum: ids can
-    // be arbitrary longs at corpus scale; a long sum could overflow.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
-    if (prevSum == null) prevSum = java.math.BigDecimal.ZERO // empty graph
-    var converged = prevSum == java.math.BigDecimal.ZERO && labels.isEmpty
-    var iter = 0
-    val maxIters = math.max(1, (maxSweeps + 1) / 2)
-    while (!converged && iter < maxIters) {
-      iter += 1
-      // Two sweeps per disk snapshot, each sweep = edge propagation +
-      // POINTER JUMP (label := label-of-label, path-halving): the jump
-      // makes convergence O(log diameter) instead of O(diameter), and
-      // batching two sweeps between checkpoints amortizes the fixed
-      // per-iteration costs (cache fill, snapshot write, convergence
-      // aggregate) that dominate on the shallow graphs dedup produces.
-      // Lineage depth stays bounded at two sweeps — the checkpoint
-      // truncates it before plans can compound.
-      var l = labels
-      for (_ <- 0 until 2) {
+    try {
+      // sweep-0 labels = node ids; cached, not snapshotted — it is read
+      // by the sweep-0 label sum plus twice inside sweep 1's plan, and a
+      // cache serves those for one distinct's cost without the parquet
+      // write+read round-trip a snapshot would add
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .cache()
+      // Convergence detection: labels are NON-INCREASING per node (the
+      // min always includes the node's own current label, and a pointer
+      // jump replaces a label with that label's own ≤ label), so the
+      // label SUM strictly decreases until the fixpoint — one tiny
+      // aggregate per sweep instead of a new-vs-old join+count. DECIMAL
+      // sum: ids can be arbitrary longs at corpus scale; a long sum
+      // could overflow.
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+          .getDecimal(0)
+        if (v == null) java.math.BigDecimal.ZERO else v // empty graph
+      }
+      var prevSum = labelSum(labels)
+      var converged = prevSum == java.math.BigDecimal.ZERO && labels.isEmpty
+      var sweep = 0
+      while (!converged && sweep < maxSweeps) {
+        sweep += 1
         val prop = edges
-          .join(l.select(col("node").as("src"), col("label")), "src")
+          .join(labels.select(col("node").as("src"), col("label")), "src")
           .select(col("dst").as("node"), col("label"))
-        val m = l.union(prop)
+        // cached: the pointer jump self-joins this frame, and the
+        // snapshot write reads it again — one execution, not three
+        val m = labels.union(prop)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .cache()
         // label values are always live node ids, so the lookup is total;
         // left+coalesce only guards the empty frame
-        l = m.join(
+        val jumped = m.join(
             m.select(col("node").as("label"), col("label").as("plabel")),
             Seq("label"), "left")
-          .select(col("node"), coalesce(col("plabel"), col("label")).as("label"))
+          .select(col("node"),
+            coalesce(col("plabel"), col("label")).as("label"))
+        val next = snapshot(jumped, sweep) // the write job fills m's cache
+        m.unpersist(blocking = false)
+        // no-op after sweep 1 (parquet-backed frames hold no cache);
+        // releases the sweep-0 label cache once it is superseded
+        labels.unpersist(blocking = false)
+        fs.delete(new Path(s"$runDir/sweep_${sweep - 1}"), true)
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        labels = next
       }
-      val staged = l.coalesce(par).cache() // checkpoint(eager) runs a
-      // count job AND a write job — without this cache the whole
-      // iteration recomputes for the write
-      val next = staged.checkpoint()
-      staged.unpersist(blocking = false) // disk snapshot owns the data
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
+      require(converged,
+        s"connectedComponents did not converge within $maxSweeps sweeps " +
+          "(propagation + pointer jump each) — raise maxSweeps")
+      // empty-graph path only: the loop never superseded the cached
+      // sweep-0 frame (after any sweep, labels is parquet-backed and
+      // this is a no-op)
+      labels.unpersist(blocking = false)
+      (labels.select(col("node").as("doc_id"), col("label").as("component")),
+        sweep)
+    } finally {
+      edges.unpersist(blocking = false)
     }
-    require(converged,
-      s"connectedComponents did not converge within $maxIters iterations " +
-        s"(2 sweeps + pointer jumps each) — raise maxSweeps")
-    edges.unpersist(blocking = false)
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
   /** Per-doc component membership over the union of the three pairwise

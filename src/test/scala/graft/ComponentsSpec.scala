@@ -13,22 +13,31 @@ class ComponentsSpec extends SparkSuite {
     // A~B, B~C but A≁C — exactly the case a pairwise keep-lowest policy
     // mishandles; a second disjoint pair proves components don't bleed
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
-    val got = Components.connectedComponents(pairs).collect()
+    val (lab, sweeps) = Components.connectedComponentsWithStats(pairs)
+    val got = lab.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
       .toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     val survivors = got.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
     assert(survivors == Map(1L -> 1L, 10L -> 10L),
       "survivor of each component is its min doc_id")
+    // one propagating sweep + one fixpoint-confirming sweep — pinned so
+    // a materialization change (caching, snapshot format) can never
+    // silently alter the algorithm
+    assert(sweeps == 2, s"chain graph should converge in 2 sweeps, ran $sweeps")
   }
 
   test("deep path graph needs multiple sweeps and still converges") {
     // path 1-2-3-…-9: diameter 8, so single-sweep propagation is wrong
     // and the loop must iterate; min label must still flood to the end
     val pairs = (1L until 9L).map(k => (k, k + 1)).toDF("i", "j")
-    val got = Components.connectedComponents(pairs).collect()
+    val (lab, sweeps) = Components.connectedComponentsWithStats(pairs)
+    val got = lab.collect()
     assert(got.length == 9)
     assert(got.forall(_.getAs[Long]("component") == 1L))
+    // pointer jumping covers diameter 8 in 3 propagating sweeps (vs 8
+    // without the jump) + 1 confirming sweep
+    assert(sweeps == 4, s"diameter-8 path should converge in 4 sweeps, ran $sweeps")
   }
 
   test("empty pair set yields empty components without looping forever") {
@@ -68,7 +77,7 @@ class ComponentsSpec extends SparkSuite {
     df.unpersist(blocking = false)
   }
 
-  test("components leave no cached blocks behind (checkpointed sweeps)") {
+  test("components leave no cached blocks behind (snapshotted sweeps)") {
     // scoped to the CC core: the composed dDupComponents keeps its pair
     // generators' load-bearing caches alive inside the returned lazy
     // plan, which is their documented contract
@@ -77,5 +86,24 @@ class ComponentsSpec extends SparkSuite {
     Components.connectedComponents(pairs).collect()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "all sweep caches and the edge cache must be released")
+  }
+
+  test("superseded sweep snapshots are deleted eagerly, not at JVM exit") {
+    // a bench loop runs CC dozens of times in one JVM — per-sweep disk
+    // residue must be bounded at ONE live snapshot per run (round 7 left
+    // every checkpoint on disk for the JVM's lifetime)
+    val pairs = (1L until 9L).map(k => (k, k + 1)).toDF("i", "j")
+    val (lab, sweeps) = Components.connectedComponentsWithStats(pairs)
+    lab.collect()
+    assert(sweeps > 1, "needs a multi-sweep run to observe deletion")
+    // the returned frame is parquet-backed: its one live snapshot dir is
+    // the run dir's sole surviving child
+    val snapFile = lab.inputFiles.headOption.getOrElse(
+      fail("components result should be parquet-backed"))
+    val runDir = new java.io.File(new java.net.URI(snapFile))
+      .getParentFile.getParentFile
+    val children = runDir.listFiles().map(_.getName).toSet
+    assert(children == Set(s"sweep_$sweeps"),
+      s"only the final snapshot may survive the run, found $children")
   }
 }
