@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Components, Dedup, Sampling, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * operators the driver checks individually (`d_winnow_overlap`,
   * `d_corpus_funnel`, `d_hash_split`):
   *
-  *   documents → near-dedup (winnowing overlap, lower doc_id wins)
+  *   documents → near-dedup (winnowing overlap, one min-doc_id survivor
+  *                           per connected component)
   *             → token-length quality gate → language gate
   *             → deterministic hash split
   *             → parquet partitioned by split
@@ -42,9 +43,12 @@ object PipelineCli {
     // ONCE and share it with both the cleaning anti-join and the funnel
     // cross-check
     val overlap = Dedup.dWinnowOverlap(spark, sfDir).cache()
-    val dupJ = overlap.select($"j".as("doc_id")).distinct()
+    // transitively-consistent survivor policy, same as the funnel: min
+    // doc_id per overlap component survives (CC reads the cached pairs)
+    val dropped = Components.connectedComponents(overlap.select($"i", $"j"))
+      .filter($"doc_id" =!= $"component").select($"doc_id")
     val cleaned = docs
-      .join(dupJ, Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
       .filter(size(TextAnalysis.tokens($"text")) >= Dedup.FunnelMinTokens)
       .filter($"lang" === "en")
       .withColumn("split", Sampling.splitCol($"doc_id"))

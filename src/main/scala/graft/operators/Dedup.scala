@@ -667,10 +667,18 @@ object Dedup {
   val FunnelMinTokens = 30L
 
   /** The composed corpus-cleaning funnel a training pipeline runs before
-    * tokenization: NEAR-dedup survivors (the lower doc_id of every
-    * winnowing-overlap pair wins — the same [[dWinnowOverlap]] operator,
-    * composed rather than re-implemented) → length-based quality gate →
+    * tokenization: NEAR-dedup survivors → length-based quality gate →
     * language gate. One aggregated row of per-stage survivor counts.
+    *
+    * The dedup stage is TRANSITIVELY consistent: winnowing-overlap pairs
+    * (the same [[dWinnowOverlap]] operator, composed rather than
+    * re-implemented) are clustered with [[Components.connectedComponents]]
+    * and the minimum doc_id of each component survives — the same total
+    * policy `d_dup_components` checks standalone. A pairwise rule
+    * ("drop every j") is ill-defined off simple pairs: on a star
+    * i1~j, i2~j it keeps both i's even though they are transitive dups
+    * of each other's partner, and on a chain it can drop docs whose
+    * only dup-partner was itself dropped.
     * (Exact-fingerprint and tier gates are deliberately NOT the stages:
     * this corpus plants near-dups, not byte-dups, and its synthetic prose
     * is tier-uniform — the stages chosen are the ones with real
@@ -682,10 +690,12 @@ object Dedup {
       size(TextAnalysis.tokens($"text")).cast("bigint").as("n_tokens"))
     // callers that already computed the (expensive) overlap pass it in;
     // the registry entry computes it fresh
-    val dupJ = overlap.getOrElse(dWinnowOverlap(s, dir))
-      .select($"j".as("doc_id")).distinct()
+    val pairs = overlap.getOrElse(dWinnowOverlap(s, dir)).select($"i", $"j")
+    val dropped = Components.connectedComponents(pairs)
+      .filter($"doc_id" =!= $"component")
+      .select($"doc_id")
       .withColumn("is_dup", lit(1L))
-    docs.join(dupJ, Seq("doc_id"), "left")
+    docs.join(dropped, Seq("doc_id"), "left")
       .agg(
         count(lit(1)).as("n_total"),
         sum(when($"is_dup".isNull, 1L).otherwise(0L)).as("n_unique"),
@@ -696,21 +706,29 @@ object Dedup {
   }
 
   val dCorpusFunnelSql: String =
-    s"""WITH ${TextAnalysis.winnowFpsSqlCte},
+    s"""WITH RECURSIVE ${TextAnalysis.winnowFpsSqlCte},
        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
-       rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
+       rare AS (SELECT fp FROM ex GROUP BY fp
+                HAVING COUNT(*) <= $WinnowFpDocCap),
        exr AS (SELECT doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
        pairs AS (
-         SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+         SELECT a.doc_id AS i, b.doc_id AS j
          FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       dupj AS (SELECT DISTINCT j AS doc_id FROM pairs WHERE shared >= 3),
+         GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared),
+       edges AS (SELECT i AS src, j AS dst FROM pairs UNION
+                 SELECT j, i FROM pairs),
+       cc(node, label) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+       lab AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+       dropped AS (SELECT node AS doc_id FROM lab WHERE node <> component),
        ann AS (
          SELECT t.doc_id, d.lang, len(t.wt) AS n_tokens,
-           (dupj.doc_id IS NOT NULL) AS is_dup
+           (dr.doc_id IS NOT NULL) AS is_dup
          FROM toks t
          JOIN documents d ON t.doc_id = d.doc_id
-         LEFT JOIN dupj ON t.doc_id = dupj.doc_id)
+         LEFT JOIN dropped dr ON t.doc_id = dr.doc_id)
        SELECT COUNT(*) AS n_total,
          CAST(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
          CAST(SUM(CASE WHEN NOT is_dup AND n_tokens >= $FunnelMinTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,

@@ -281,6 +281,28 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(f > 0, "the en/length/unique intersection should be non-empty")
   }
 
+  test("funnel dedup stage is transitive: one min-id survivor per component") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val Array(a, b, c) = docs.select($"doc_id").orderBy($"doc_id").limit(3)
+      .collect().map(_.getLong(0))
+    val total = docs.count()
+    // chain a~b~c: one component, survivor = a, so b AND c both drop —
+    // a pair-ordered policy could keep c once b (its only partner) drops
+    val chain = Seq((a, b), (b, c)).toDF("i", "j")
+    val r1 = Dedup.dCorpusFunnel(spark, sfDir, Some(chain)).collect().head
+    assert(r1.getAs[Long]("n_total") == total)
+    assert(r1.getAs[Long]("n_unique") == total - 2,
+      s"chain must leave one survivor, got n_unique=${r1.getAs[Long]("n_unique")}")
+    // star a~c, b~c: still one component {a,b,c} with survivor a — the
+    // old pairwise drop-every-j rule kept BOTH a and b (n_unique-1 docs
+    // dropped), which is exactly the inconsistency components repair
+    val star = Seq((a, c), (b, c)).toDF("i", "j")
+    val r2 = Dedup.dCorpusFunnel(spark, sfDir, Some(star)).collect().head
+    assert(r2.getAs[Long]("n_unique") == total - 2,
+      s"star must drop b and c, got n_unique=${r2.getAs[Long]("n_unique")}")
+  }
+
   test("hash split and stratified sample are deterministic and near their nominal rates") {
     val rows = graft.operators.Sampling.dHashSplit(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getAs[String]("split"))
