@@ -113,7 +113,13 @@ object BenchScaling {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(dirs.size >= 2, "scaling needs at least two sf dirs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same guard as Bench.main: a typo'd name must fail loudly, not
+    // print a plausible exponents line over a partial selection
     val wanted = args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query names: ${unknown.mkString(", ")}; " +
+        s"valid: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(wanted).toMap

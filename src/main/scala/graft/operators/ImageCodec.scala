@@ -50,27 +50,39 @@ object ImageCodec {
     }
   }
 
+  // per-row decodes must never touch executor /tmp: ImageIO's default
+  // stream cache backs every read with a temp FILE, an fsync-able I/O
+  // per payload that also leaks on crash — keep it in memory
+  ImageIO.setUseCache(false)
+
   /** Real decode: `ImageIO.read` (PNG/JPEG/BMP/GIF — whatever the JDK
-    * registry knows). `None` for payloads no reader recognizes, so
-    * callers dispatch real-vs-stub without exceptions on mixed-modality
-    * tables. Reads samples from the raster (band 0), never through an
-    * RGB conversion, so gray PNGs round-trip bit-exact. */
+    * registry knows). `None` for payloads no reader recognizes OR for
+    * recognized-format headers with corrupt/truncated bodies (ImageIO
+    * throws there, not returns null), so callers dispatch real-vs-stub
+    * without one bad row crashing a whole feature-extract job. Reads
+    * samples from the raster (band 0), never through an RGB conversion,
+    * so gray PNGs round-trip bit-exact. */
   def decodeGray(payload: Array[Byte]): Option[GrayImage] = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val out = new Array[Int](w * h)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-        y += 1
+    else
+      try {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Some(GrayImage(w, h, out))
+      } catch { // exotic-but-recognized rasters (0 bands, absurd dims)
+        case scala.util.control.NonFatal(_) => None
       }
-      Some(GrayImage(w, h, out))
-    }
   }
 
   /** Nearest-neighbor downsample: `out(x, y) = in(x·factor, y·factor)`,

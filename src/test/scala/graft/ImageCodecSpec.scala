@@ -21,6 +21,19 @@ class ImageCodecSpec extends SparkSuite {
     assert(ImageCodec.decodeGray("plain text payload".getBytes("UTF-8")).isEmpty)
   }
 
+  test("decodeGray returns None for a recognized header with a corrupt body") {
+    // a real PNG truncated mid-stream: ImageIO's reader recognizes the
+    // magic, then THROWS on the body — must map to None, not crash a
+    // whole feature-extract job on one bad row
+    val good = ImageCodec.encodeGrayPng(32, 32, (x, y) => (x + y) % 256)
+    val truncated = good.take(24)
+    assert(ImageCodec.decodeGray(truncated).isEmpty)
+    // corrupted chunk bytes after an intact header
+    val mangled = good.clone()
+    for (i <- 16 until math.min(64, mangled.length)) mangled(i) = 0x55.toByte
+    assert(ImageCodec.decodeGray(mangled).isEmpty)
+  }
+
   test("resizeNearest samples (2x,2y) with ceil-div dims") {
     def pix(x: Int, y: Int): Int = (x + 10 * y) % 256
     val img = ImageCodec.decodeGray(ImageCodec.encodeGrayPng(9, 5, pix)).get
