@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE decode path is REAL: `javax.imageio` PNG encode/decode/
   * resize via [[ImageCodec]] (see [[Multimodal.pngAssets]] and the
-  * `m_image_*` queries — pixel-exact, oracle-checked). Audio/video
-  * remain STUBBED ([[MultimodalStub]]) because the JDK ships no codec
-  * for them: a deterministic fake derives "pixels" from payload bytes,
-  * so the Spark-side plumbing — schema, batching, partitioning, output
-  * shape — is real and tested while the codec call is one function
-  * swap away. [[Multimodal.extractFeatures]] dispatches per row: a
-  * payload `ImageIO` recognizes takes the real path, anything else
-  * falls back to the stub.
+  * `m_image_*` queries — pixel-exact, oracle-checked). The AUDIO path
+  * is REAL too: `javax.sound.sampled` WAV PCM16 via [[AudioCodec]]
+  * (see [[Multimodal.wavAssets]] and `m_audio_decode` — sample-exact,
+  * oracle-checked). VIDEO remains STUBBED ([[MultimodalStub]]) because
+  * the JDK ships no video codec: a deterministic fake derives "pixels"
+  * from payload bytes, so the Spark-side plumbing — schema, batching,
+  * partitioning, output shape — is real and tested while the codec
+  * call is one function swap away. [[Multimodal.extractFeatures]]
+  * dispatches per row: a payload `ImageIO` recognizes takes the real
+  * image path, a PCM16 container `AudioSystem` recognizes takes the
+  * real audio path, anything else falls back to the stub.
   *
   * Scale notes: payloads never enter a shuffle — asset rows are
   * processed map-side with `mapPartitions`, metadata-only projections
@@ -63,21 +66,25 @@ object Multimodal {
 
   /** Decode + feature-extract over partition-local batches. Image
     * payloads that `ImageIO` recognizes decode for REAL
-    * ([[ImageCodec.decodeGray]] → pooled-luminance features);
-    * unrecognized payloads (audio/video stubs, text stand-ins) fall
-    * back to [[MultimodalStub.decodeToFeatures]]. Everything around
-    * the codec — batching, schema, partition shape — is production
-    * code either way. */
+    * ([[ImageCodec.decodeGray]] → pooled-luminance features); PCM16
+    * containers `AudioSystem` recognizes decode for real too
+    * ([[AudioCodec.decodePcm]] → pooled-amplitude features);
+    * unrecognized payloads (video stubs, text stand-ins) fall back to
+    * [[MultimodalStub.decodeToFeatures]]. Everything around the codec —
+    * batching, schema, partition shape — is production code either
+    * way. Image is probed first: PNG and RIFF magics are disjoint, so
+    * order never flips a real payload to the wrong codec. */
   def extractFeatures(assets: Dataset[Asset], featureDim: Int = 8): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // batch boundary = what a vectorized decoder would receive
         batch.iterator.map { a =>
-          val features = ImageCodec.decodeGray(a.payload) match {
-            case Some(img) => ImageCodec.imageFeatures(img, featureDim)
-            case None => MultimodalStub.decodeToFeatures(a.payload, featureDim)
-          }
+          val features = ImageCodec.decodeGray(a.payload)
+            .map(ImageCodec.imageFeatures(_, featureDim))
+            .orElse(AudioCodec.decodePcm(a.payload)
+              .map(AudioCodec.audioFeatures(_, featureDim)))
+            .getOrElse(MultimodalStub.decodeToFeatures(a.payload, featureDim))
           AssetFeatures(a.asset_id, a.modality, a.payload.length.toLong,
             MultimodalStub.checksum(a.payload), features)
         }
@@ -200,6 +207,80 @@ object Multimodal {
          CAST(sum_lum AS BIGINT) AS sum_lum
        FROM px ORDER BY asset_id"""
 
+  // --------------------------------------------- real WAV asset table
+  /** Deterministic PCM sample function shared by the WAV generator and
+    * the DuckDB oracle: `s(t) = (t² + 7·doc_id) mod 4096 − 2048` —
+    * signed, full 12-bit swing, exactly reproducible in integer SQL.
+    * Clip length `64 + doc_id%33` and rate `8000 + (doc_id%5)·1000`
+    * vary per asset so no two clips share a shape. */
+  def wavSampleRate(docId: Long): Int = 8000 + (docId % 5).toInt * 1000
+
+  def wavNumSamples(docId: Long): Int = 64 + (docId % 33).toInt
+
+  def wavSample(docId: Long)(t: Int): Short =
+    ((t.toLong * t + 7 * docId) % 4096 - 2048).toShort
+
+  /** REAL audio assets: the audio-modality slice of `documents`
+    * (doc_id % 3 = 1, same mapping as [[assetTable]]) with payload =
+    * an actual PCM16 WAV encoded map-side from the deterministic
+    * sample function. Generation, like decode, is per-row CPU inside
+    * `mapPartitions` — payloads are born and consumed inside the
+    * partition, never shuffled. */
+  def wavAssets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang")
+      .where($"doc_id" % 3 === 1)
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, source, lang) =>
+          val samples = Array.tabulate(wavNumSamples(docId))(wavSample(docId))
+          Asset(docId, "audio", "wav",
+            AudioCodec.encodePcm16Wav(wavSampleRate(docId), samples),
+            Map("source" -> source, "lang" -> lang))
+        }
+      }
+  }
+
+  /** Oracle-checked REAL audio decode: encode each asset's WAV, decode
+    * it back with `javax.sound.sampled`, and report integer-exact PCM
+    * stats. The DuckDB oracle simulates the same samples arithmetically
+    * — any codec dishonesty (header drift, endianness, truncation)
+    * breaks the hash. The audio twin of [[mImageDecode]]. */
+  def mAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavAssets(s, dir)
+      .mapPartitions { it =>
+        it.map { a =>
+          val clip = AudioCodec.decodePcm(a.payload).getOrElse(
+            sys.error(s"asset ${a.asset_id}: payload is not decodable PCM16"))
+          (a.asset_id, clip.sampleRate, clip.nSamples.toLong,
+            clip.sumPcm, clip.sumAbsPcm)
+        }
+      }
+      .toDF("asset_id", "sample_rate", "n_samples", "sum_pcm", "sum_abs_pcm")
+      .orderBy($"asset_id")
+  }
+
+  val mAudioDecodeSql: String =
+    """WITH aud AS (
+         SELECT doc_id AS asset_id,
+           8000 + CAST(doc_id % 5 AS INTEGER) * 1000 AS sample_rate,
+           64 + CAST(doc_id % 33 AS INTEGER) AS n_samples,
+           doc_id AS d
+         FROM documents WHERE doc_id % 3 = 1),
+       s AS (
+         SELECT asset_id, sample_rate, n_samples,
+           SUM((t.i * t.i + 7 * d) % 4096 - 2048) AS sum_pcm,
+           SUM(ABS((t.i * t.i + 7 * d) % 4096 - 2048)) AS sum_abs_pcm
+         FROM aud,
+           UNNEST(generate_series(0, n_samples - 1)) AS t(i)
+         GROUP BY 1, 2, 3)
+       SELECT asset_id, sample_rate, CAST(n_samples AS BIGINT) AS n_samples,
+         CAST(sum_pcm AS BIGINT) AS sum_pcm,
+         CAST(sum_abs_pcm AS BIGINT) AS sum_abs_pcm
+       FROM s ORDER BY asset_id"""
+
   // ------------------------------------------------------ resize (image)
   /** One sampled video frame: payload slice + its index. A real decoder
     * yields pixel buffers; the slicing/batching/flatMap shape is what
@@ -315,19 +396,23 @@ object Multimodal {
     "m_frame_sample" -> (mFrameSample _),
     "m_resize_stats" -> (mResizeStats _),
     "m_image_decode" -> (mImageDecode _),
-    "m_image_resize_roundtrip" -> (mImageResizeRoundtrip _))
+    "m_image_resize_roundtrip" -> (mImageResizeRoundtrip _),
+    "m_audio_decode" -> (mAudioDecode _))
 
   val oracle: Map[String, String] = Map(
     "m_modality_stats" -> modalityStatsSql,
     "m_frame_sample" -> mFrameSampleSql,
     "m_resize_stats" -> mResizeStatsSql,
     "m_image_decode" -> mImageDecodeSql,
-    "m_image_resize_roundtrip" -> mImageResizeRoundtripSql)
+    "m_image_resize_roundtrip" -> mImageResizeRoundtripSql,
+    "m_audio_decode" -> mAudioDecodeSql)
 }
 
-/** The stubbed codec boundary. Deterministic fakes, clearly marked:
-  * swap these for real decoders (image: JPEG/PNG via ImageIO or OpenCV
-  * JNI; audio: PCM frames; video: keyframe sampling) — signatures stay. */
+/** The stubbed codec boundary. Deterministic fakes, clearly marked.
+  * Image ([[ImageCodec]]) and audio ([[AudioCodec]]) have graduated to
+  * real JDK codecs; this remains the fallback for video (keyframe
+  * sampling — no JDK codec exists) and for unrecognized payloads —
+  * swap for a real decoder and the signatures stay. */
 object MultimodalStub {
 
   /** STUB for the real decode: derives a fixed-size float vector from
