@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   * and proves split pruning (a train-only read plans a PartitionFilter,
   * so a training job never scans val/test files).
   *
-  * args: [sfDir] [outDir]
+  * args: [sfDir] [outDir]                — batch cleaning drive
+  *       stream [sfDir] [outDir]         — streaming sessionize drive:
+  * runs [[graft.streaming.EventsStream.sessionizeStream]] through the
+  * parquet file sink with a checkpoint (the production deployment
+  * shape) and verifies the on-disk output is an exact multiset match
+  * of the batch `q_sessionize_events` sessions the final watermark
+  * could release.
   */
 object PipelineCli {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val streamMode = args.headOption.contains("stream")
+    val rest = if (streamMode) args.drop(1) else args
+    val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.001"
     val outDir =
-      if (args.length > 1) args(1)
-      else java.nio.file.Files.createTempDirectory("graft-clean-corpus").toString
+      if (rest.length > 1) rest(1)
+      else java.nio.file.Files.createTempDirectory(
+        if (streamMode) "graft-stream-sessions" else "graft-clean-corpus").toString
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-pipeline")
@@ -37,6 +46,20 @@ object PipelineCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    if (streamMode) {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+      val r = graft.streaming.EventsStream.sessionizeParquetDrive(
+        spark, sfDir, outDir, ckpt.toString)
+      println(s"stream_sessions  = ${r.nStreamed}")
+      println(s"batch_releasable = ${r.nReleasable} (match=${r.parity})")
+      println(s"withheld_trailing = ${r.nWithheld}")
+      println(s"only_stream = ${r.onlyStream}, only_batch = ${r.onlyBatch}")
+      println(s"out_dir = $outDir")
+      spark.stop()
+      if (!r.parity) sys.exit(1)
+      return
+    }
 
     val docs = Tables.load(spark, sfDir, "documents")
     // the overlap self-join is the drive's dominant cost — compute it

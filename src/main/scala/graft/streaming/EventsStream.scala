@@ -234,4 +234,69 @@ object EventsStream {
     q.processAllAvailable()
     q
   }
+
+  /** Stream-vs-batch parity accounting for the sessionize drive:
+    * `onlyStream`/`onlyBatch` are exact row-multiset differences and
+    * must both be 0. */
+  final case class SessionizeDriveReport(nStreamed: Long, nReleasable: Long,
+      nWithheld: Long, onlyStream: Long, onlyBatch: Long) {
+    def parity: Boolean = onlyStream == 0 && onlyBatch == 0
+  }
+
+  /** The production deployment shape, driven end to end: stage the
+    * finite `events` table into a watched directory, run
+    * [[sessionizeStream]] through [[runToParquet]] (file sink +
+    * checkpoint), then verify the ON-DISK output against the batch
+    * sessionization derived the `q_sessionize_events` way. A finite
+    * stream's final watermark (max event time − 10 min) never releases
+    * sessions whose (end + gap) it hasn't passed, so the batch twin is
+    * split into releasable vs trailing-withheld and equality is checked
+    * as an exact multiset match on the releasable part — computed with
+    * distributed `exceptAll` counts, nothing session-proportional on
+    * the driver. */
+  def sessionizeParquetDrive(spark: SparkSession, sfDir: String,
+      outDir: String, checkpoint: String): SessionizeDriveReport = {
+    import org.apache.spark.sql.expressions.Window
+    // the file stream source watches a directory — stage the table file
+    val watched = java.nio.file.Files.createTempDirectory("graft-events-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      watched.resolve("events.parquet"))
+    val q = runToParquet(
+      sessionizeStream(spark, source(spark, watched.toString)),
+      outDir, checkpoint)
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select(col("user_id"), col("session_start_ns"),
+        col("session_end_ns"), col("n_events"))
+    // batch twin: per-session rows via the q_sessionize_events lag/flag
+    // derivation (one window sort per user — fine at drive scale; the
+    // bounded-sort-width variant exists for the adversarial case)
+    val events = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("prev_ns", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ns").isNull || col("ts") - col("prev_ns") > SessionGapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start_ns"),
+        max(col("ts")).as("session_end_ns"),
+        count(lit(1)).as("n_events"))
+    // the drained stream's final watermark, in the stream's own units
+    val wmMs = events.agg(max(col("ts"))).head().getLong(0) / 1000000L -
+      10L * 60L * 1000L
+    val releasable = sessions
+      .filter(col("session_end_ns") / 1000000L + lit(SessionGapNs / 1000000L) < wmMs)
+      .select(col("user_id"), col("session_start_ns"),
+        col("session_end_ns"), col("n_events"))
+    SessionizeDriveReport(
+      nStreamed = streamed.count(),
+      nReleasable = releasable.count(),
+      nWithheld = sessions.count() - releasable.count(),
+      onlyStream = streamed.exceptAll(releasable).count(),
+      onlyBatch = releasable.exceptAll(streamed).count())
+  }
 }

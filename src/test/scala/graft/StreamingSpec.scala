@@ -314,6 +314,21 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("parquet-sink sessionize drive reaches stream/batch parity on disk") {
+    // the PipelineCli `stream` mode end to end: file sink + checkpoint,
+    // on-disk rows an exact multiset match of the releasable batch twin
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-drive-out").toString + "/sessions"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-drive-ckpt").toString
+    val r = EventsStream.sessionizeParquetDrive(spark, sfDir, outDir, ckpt)
+    assert(r.nStreamed > 0, "drive emitted no sessions")
+    assert(r.onlyStream == 0, s"${r.onlyStream} phantom streamed session(s)")
+    assert(r.onlyBatch == 0, s"${r.onlyBatch} releasable batch session(s) missing")
+    assert(r.parity)
+    assert(r.nStreamed == r.nReleasable)
+  }
+
   test("scaled (user,day) sessionization equals the plain form exactly") {
     val plain = RelationalQueries.qSessionizeEvents(spark, sfDir).collect()
     val scaled = RelationalQueries.qSessionizeEventsScaled(spark, sfDir).collect()
