@@ -55,6 +55,14 @@ object Bench {
       // release caches pinned by the query's internal .cache() calls so
       // storage-memory pressure from one query never skews the next
       spark.catalog.clearCache()
+      // and wipe RDD-checkpoint residue (iterative queries self-install
+      // a checkpoint dir under /tmp) so one query's accumulated disk
+      // churn can't skew a later query in the same JVM
+      spark.sparkContext.getCheckpointDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
       val median = timed.sorted.apply(timed.size / 2)
       // only a TIMED failure poisons the result — the warmup exists to
       // absorb one-shot flakiness, so its failure alone shouldn't

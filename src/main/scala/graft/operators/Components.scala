@@ -83,8 +83,8 @@ object Components {
     // label frames are tiny next to the shuffle partitioning that
     // produces them; narrow-coalesce before each snapshot
     val par = math.max(2, sc.defaultParallelism / 4)
-    def snapshot(df: DataFrame, sweep: Int): DataFrame = {
-      val p = s"$runDir/sweep_$sweep"
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val p = s"$runDir/$name"
       df.coalesce(par).write.mode("overwrite").parquet(p)
       s.read.parquet(p)
     }
@@ -121,11 +121,15 @@ object Components {
         val prop = edges
           .join(labels.select(col("node").as("src"), col("label")), "src")
           .select(col("dst").as("node"), col("label"))
-        // cached: the pointer jump self-joins this frame, and the
-        // snapshot write reads it again — one execution, not three
-        val m = labels.union(prop)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .cache()
+        // snapshotted, not cached: the pointer jump self-joins this
+        // frame and would otherwise recompute it, and a .cache() here
+        // pins the aggregate's full shuffle-partition fan-out (cached
+        // plan materialization skips AQE partition coalescing) — the
+        // tiny parquet round-trip keeps every stage AQE-coalesced
+        val m = snapshot(
+          labels.union(prop)
+            .groupBy(col("node")).agg(min(col("label")).as("label")),
+          s"m_$sweep")
         // label values are always live node ids, so the lookup is total;
         // left+coalesce only guards the empty frame
         val jumped = m.join(
@@ -133,11 +137,11 @@ object Components {
             Seq("label"), "left")
           .select(col("node"),
             coalesce(col("plabel"), col("label")).as("label"))
-        val next = snapshot(jumped, sweep) // the write job fills m's cache
-        m.unpersist(blocking = false)
+        val next = snapshot(jumped, s"sweep_$sweep")
         // no-op after sweep 1 (parquet-backed frames hold no cache);
         // releases the sweep-0 label cache once it is superseded
         labels.unpersist(blocking = false)
+        fs.delete(new Path(s"$runDir/m_$sweep"), true)
         fs.delete(new Path(s"$runDir/sweep_${sweep - 1}"), true)
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
