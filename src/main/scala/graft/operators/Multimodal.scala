@@ -9,19 +9,23 @@ import org.apache.spark.sql.functions._
   * metadata, and run decode / feature-extract / resize / frame-sample as
   * partition-batched functions.
   *
-  * The IMAGE decode path is REAL: `javax.imageio` PNG encode/decode/
-  * resize via [[ImageCodec]] (see [[Multimodal.pngAssets]] and the
-  * `m_image_*` queries — pixel-exact, oracle-checked). The AUDIO path
-  * is REAL too: `javax.sound.sampled` WAV PCM16 via [[AudioCodec]]
-  * (see [[Multimodal.wavAssets]] and `m_audio_decode` — sample-exact,
-  * oracle-checked). VIDEO remains STUBBED ([[MultimodalStub]]) because
-  * the JDK ships no video codec: a deterministic fake derives "pixels"
-  * from payload bytes, so the Spark-side plumbing — schema, batching,
-  * partitioning, output shape — is real and tested while the codec
-  * call is one function swap away. [[Multimodal.extractFeatures]]
-  * dispatches per row: a payload `ImageIO` recognizes takes the real
-  * image path, a PCM16 container `AudioSystem` recognizes takes the
-  * real audio path, anything else falls back to the stub.
+  * All three decode paths are REAL JDK codecs. IMAGE: `javax.imageio`
+  * PNG encode/decode/resize via [[ImageCodec]] ([[Multimodal.pngAssets]]
+  * and the `m_image_*` queries — pixel-exact, oracle-checked). AUDIO:
+  * `javax.sound.sampled` WAV PCM16 via [[AudioCodec]]
+  * ([[Multimodal.wavAssets]], `m_audio_decode` — sample-exact,
+  * oracle-checked). VIDEO (multi-frame): `javax.imageio` animated GIF
+  * via [[VideoCodec]] ([[Multimodal.gifAssets]], `m_video_frames` —
+  * frame-pixel-exact, oracle-checked); inter-frame-compressed formats
+  * (H.264 …) have no JDK codec and would be an FFI swap with the same
+  * signatures — [[MultimodalStub]] stays as the fallback for payloads
+  * no codec recognizes, so the Spark-side plumbing — schema, batching,
+  * partitioning, output shape — is exercised for every row either way.
+  * [[Multimodal.extractFeatures]] dispatches per row: a payload
+  * `ImageIO` recognizes takes the real image path (for a GIF that is
+  * its first frame — thumbnail features), a PCM16 container
+  * `AudioSystem` recognizes takes the real audio path, anything else
+  * falls back to the stub.
   *
   * Scale notes: payloads never enter a shuffle — asset rows are
   * processed map-side with `mapPartitions`, metadata-only projections
@@ -281,6 +285,89 @@ object Multimodal {
          CAST(sum_abs_pcm AS BIGINT) AS sum_abs_pcm
        FROM s ORDER BY asset_id"""
 
+  // ------------------------------------- real multi-frame (GIF) assets
+  /** Deterministic frame-pixel function shared by the GIF generator and
+    * the DuckDB oracle: `pix(f, x, y) = (x·y + 31·f + doc_id) mod 256`.
+    * Dims `8 + doc_id%6` × `8 + doc_id%5`, frame count `3 + doc_id%4` —
+    * every asset a different shape, odd and even frame counts both
+    * present so the stride-2 sampler hits partial tails. */
+  def gifDims(docId: Long): (Int, Int) =
+    (8 + (docId % 6).toInt, 8 + (docId % 5).toInt)
+
+  def gifFrameCount(docId: Long): Int = 3 + (docId % 4).toInt
+
+  def gifPixel(docId: Long)(f: Int, x: Int, y: Int): Int =
+    ((x.toLong * y + 31L * f + docId) % 256).toInt
+
+  /** REAL video assets: the video-modality slice of `documents`
+    * (doc_id % 3 = 2, same mapping as [[assetTable]]) with payload =
+    * an actual animated GIF encoded map-side from the deterministic
+    * frame-pixel function. Same in-partition birth-to-consumption
+    * shape as [[pngAssets]]/[[wavAssets]]. */
+  def gifAssets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang")
+      .where($"doc_id" % 3 === 2)
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, source, lang) =>
+          val (w, h) = gifDims(docId)
+          Asset(docId, "video", "gif",
+            VideoCodec.encodeGrayGif(w, h, gifFrameCount(docId),
+              gifPixel(docId)),
+            Map("source" -> source, "lang" -> lang))
+        }
+      }
+  }
+
+  /** Oracle-checked REAL frame sampling: decode every SECOND frame of
+    * each asset's animated GIF (the keyframe-extractor shape — skipped
+    * frames are dropped at decode, inside the partition) and report
+    * integer-exact stats of the sampled frames. The DuckDB oracle
+    * simulates the same pixels arithmetically. The video twin of
+    * [[mImageDecode]]/[[mAudioDecode]]. */
+  def mVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifAssets(s, dir)
+      .mapPartitions { it =>
+        it.map { a =>
+          val (total, frames) = VideoCodec.decodeFrames(a.payload, stride = 2)
+            .getOrElse(sys.error(
+              s"asset ${a.asset_id}: payload is not a decodable GIF"))
+          (a.asset_id, total.toLong, frames.size.toLong,
+            frames.map(_._2.sumLum).sum)
+        }
+      }
+      .toDF("asset_id", "n_frames", "n_sampled", "sum_lum_sampled")
+      .orderBy($"asset_id")
+  }
+
+  val mVideoFramesSql: String =
+    """WITH vid AS (
+         SELECT doc_id AS asset_id,
+           8 + CAST(doc_id % 6 AS INTEGER) AS width,
+           8 + CAST(doc_id % 5 AS INTEGER) AS height,
+           3 + CAST(doc_id % 4 AS INTEGER) AS n_frames,
+           doc_id AS d
+         FROM documents WHERE doc_id % 3 = 2),
+       fr AS (
+         SELECT asset_id, width, height, n_frames, d, f.f
+         FROM vid,
+           UNNEST(generate_series(0, n_frames - 1, 2)) AS f(f)),
+       px AS (
+         SELECT asset_id, n_frames,
+           COUNT(DISTINCT fr.f) AS n_sampled,
+           SUM((x.i * y.j + 31 * fr.f + d) % 256) AS sum_lum_sampled
+         FROM fr,
+           UNNEST(generate_series(0, width - 1)) AS x(i),
+           UNNEST(generate_series(0, height - 1)) AS y(j)
+         GROUP BY 1, 2)
+       SELECT asset_id, CAST(n_frames AS BIGINT) AS n_frames,
+         CAST(n_sampled AS BIGINT) AS n_sampled,
+         CAST(sum_lum_sampled AS BIGINT) AS sum_lum_sampled
+       FROM px ORDER BY asset_id"""
+
   // ------------------------------------------------------ resize (image)
   /** One sampled video frame: payload slice + its index. A real decoder
     * yields pixel buffers; the slicing/batching/flatMap shape is what
@@ -397,7 +484,8 @@ object Multimodal {
     "m_resize_stats" -> (mResizeStats _),
     "m_image_decode" -> (mImageDecode _),
     "m_image_resize_roundtrip" -> (mImageResizeRoundtrip _),
-    "m_audio_decode" -> (mAudioDecode _))
+    "m_audio_decode" -> (mAudioDecode _),
+    "m_video_frames" -> (mVideoFrames _))
 
   val oracle: Map[String, String] = Map(
     "m_modality_stats" -> modalityStatsSql,
@@ -405,7 +493,8 @@ object Multimodal {
     "m_resize_stats" -> mResizeStatsSql,
     "m_image_decode" -> mImageDecodeSql,
     "m_image_resize_roundtrip" -> mImageResizeRoundtripSql,
-    "m_audio_decode" -> mAudioDecodeSql)
+    "m_audio_decode" -> mAudioDecodeSql,
+    "m_video_frames" -> mVideoFramesSql)
 }
 
 /** The stubbed codec boundary. Deterministic fakes, clearly marked.
