@@ -19,19 +19,21 @@ import org.apache.spark.sql.functions._
   * Kiveris et al., "Connected Components in MapReduce and Beyond"),
   * giving O(log diameter) convergence instead of O(diameter).
   *
-  * Materialization discipline (the round-7 28 s → target ≤8 s fix):
-  * each sweep's min-aggregate frame `m` is CACHED before the pointer
-  * jump self-joins it, so the union+aggregate subtree executes once —
-  * uncached, the self-join plus the snapshot job recomputed the whole
-  * sweep chain 4-6×. Each sweep's output is snapshotted to ONE parquet
-  * write and read back, which (a) truncates lineage like `checkpoint`
-  * but with a single job instead of checkpoint's count+write pair, and
-  * (b) gives this code ownership of the files: the previous sweep's
-  * snapshot is deleted as soon as the next lands, so a bench loop never
-  * accumulates per-iteration disk garbage (round-7 left every
-  * checkpoint on disk for the JVM's lifetime). Convergence is checked
-  * after EVERY sweep — the round-7 two-sweep batch paid one full extra
-  * sweep after the fixpoint.
+  * Materialization discipline (the round-7 28 s → ~9 s fix): each
+  * sweep's min-aggregate frame `m` AND its jumped output are
+  * snapshotted to tiny parquet writes and read back — without a
+  * materialization boundary on `m`, the pointer-jump self-join plus
+  * the snapshot job recomputed the whole sweep chain 4-6×, and a
+  * `.cache()` boundary (tried first) pinned the aggregate's full
+  * shuffle-partition fan-out because cached-plan materialization skips
+  * AQE partition coalescing. Parquet snapshots (a) truncate lineage
+  * like `checkpoint` but with a single job instead of checkpoint's
+  * count+write pair, and (b) give this code ownership of the files:
+  * each snapshot is deleted as soon as it is superseded, so a bench
+  * loop never accumulates per-iteration disk garbage (round-7 left
+  * every checkpoint on disk for the JVM's lifetime). Convergence is
+  * checked after EVERY sweep — the round-7 two-sweep batch paid one
+  * full extra sweep after the fixpoint.
   *
   * Scale notes (100 TB posture):
   *  - The graph is the PAIR set (∝ near-dup volume), not the corpus —
