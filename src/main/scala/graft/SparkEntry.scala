@@ -19,7 +19,8 @@ object SparkEntry {
       Similarity.queries ++
       Multimodal.queries ++ HybridRetrieval.queries ++
       GraphTraversal.queries ++ AdvancedQueries.queries ++
-      AsOfJoin.queries ++ Sampling.queries
+      AsOfJoin.queries ++ Sampling.queries ++
+      graft.sources.LakeLayout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       Similarity.oracle ++
       Multimodal.oracle ++ HybridRetrieval.oracle ++
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
-      AsOfJoin.oracle ++ Sampling.oracle
+      AsOfJoin.oracle ++ Sampling.oracle ++
+      graft.sources.LakeLayout.oracle
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-side lake layout management (the half of a data lake the read
@@ -125,4 +125,134 @@ object LakeLayout {
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+
+  // ------------------------------------------------------------ Z-order
+  /** Spread a 16-bit value's bits across 32 bits (zeros interleaved) —
+    * the classic shift-mask ladder, a pure bitwise Column expression
+    * tree: five codegen'd stages, no UDF anywhere. */
+  def spreadBits16(c: Column): Column = {
+    val s0 = c.bitwiseAND(lit(0xFFFFL))
+    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key of two 16-bit bins: interleaved bits, `a` on
+    * even positions, `b` on odd. Nearby (a, b) boxes map to compact key
+    * ranges — the property multi-dimensional file/row-group pruning
+    * rides on. */
+  def zkey2(a: Column, b: Column): Column =
+    spreadBits16(a).bitwiseOR(shiftleft(spreadBits16(b), 1))
+
+  /** A 16-bit equi-width bin that FILLS the bin space for any column
+    * range, in OVERFLOW-SAFE pure-integer math (never doubles, whose
+    * 53-bit mantissa mis-rounds year-of-nanoseconds extents):
+    *  - small range (< 2³¹): `(v - lo)·65535 div range` — the product
+    *    stays under 2⁴⁷; a step-divide here would leave the bin space
+    *    underfilled (1 500 users → 11 bits → the high Morton bits all
+    *    come from the OTHER dimension and the layout degenerates to a
+    *    single-column sort — measured, that is how this formula earned
+    *    its CASE)
+    *  - huge range (≥ 2³¹, e.g. epoch-ns): `(v - lo) div step`,
+    *    `step = range div 65536 + 1` — no product, and the range being
+    *    ≫ 65536 means the bins fill the space anyway.
+    * SQL-expressible (CASE + div), so the oracle reproduces every bin
+    * bit-exactly. */
+  private def bin16Sql(v: String, lo: String, hi: String): String =
+    s"""CASE WHEN $hi - $lo >= 2147483648
+        THEN ($v - $lo) div (($hi - $lo) div 65536 + 1)
+        ELSE (($v - $lo) * 65535) div greatest($hi - $lo, 1) END"""
+
+  /** Events + a `zkey` column: both dimensions binned to 16 bits
+    * ([[bin16Sql]]), then Morton-interleaved ([[zkey2]]). Extents come
+    * from one in-plan aggregate (1-row frame, broadcast by size-based
+    * planning — no driver collect). The same integer formulas are
+    * reproduced verbatim by the DuckDB oracle. */
+  def zorderKeyed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val ext = ev.agg(
+      min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+      min(col("ts")).as("t_lo"), max(col("ts")).as("t_hi"))
+    ev.crossJoin(ext)
+      .withColumn("u_bin", expr(bin16Sql("user_id", "u_lo", "u_hi")))
+      .withColumn("t_bin", expr(bin16Sql("ts", "t_lo", "t_hi")))
+      .withColumn("zkey", zkey2(col("u_bin"), col("t_bin")))
+      .drop("u_lo", "u_hi", "t_lo", "t_hi")
+  }
+
+  /** Write events Z-ORDERED on (user_id, ts): [[zorderKeyed]], then
+    * range-partition + sort by the Morton key. Each output file covers
+    * a compact (user × time) rectangle, so a two-dimensional box query
+    * touches few files — unlike a single-column sort, which prunes one
+    * dimension and scatters the other across EVERY file. At 100 TB
+    * this is the layout decision that makes (user, time) point-range
+    * lookups scan gigabytes instead of the whole table: parquet
+    * row-group min/max stats on user_id AND ts are both tight within a
+    * file, so pushed filters skip nearly everything (file-stats
+    * engines — Delta/Iceberg — additionally prune whole files from the
+    * same locality). The sort is by the BOUNDED zkey, never a global
+    * multi-column sort of raw values: repartitionByRange samples the
+    * key, each task sorts only its slice. */
+  def writeEventsZOrdered(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      files: Int = 16): Unit =
+    zorderKeyed(spark, sfDir)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Oracle-checked Z-order key math: per event_type, count and exact
+    * min/max/sum of the Morton keys. Any drift in the binning or the
+    * five-stage bit spread breaks the hash. */
+  def qZorderKeyStats(spark: SparkSession, sfDir: String): DataFrame =
+    zorderKeyed(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("zkey")).as("zkey_min"),
+        max(col("zkey")).as("zkey_max"),
+        sum(col("zkey")).as("zkey_sum"))
+      .orderBy(col("event_type"))
+
+  /** The five shift-mask stages + binning, verbatim in DuckDB integer
+    * SQL (`//` = integer division on BIGINTs, same truncation as
+    * Spark's `div` for the non-negative operands used here). */
+  val qZorderKeyStatsSql: String = {
+    def spread(x: String): String = {
+      val s1 = s"(($x | ($x << 8)) & 16711935)" // 0x00FF00FF
+      val s2 = s"(($s1 | ($s1 << 4)) & 252645135)" // 0x0F0F0F0F
+      val s3 = s"(($s2 | ($s2 << 2)) & 858993459)" // 0x33333333
+      s"(($s3 | ($s3 << 1)) & 1431655765)" // 0x55555555
+    }
+    def bin(v: String, lo: String, hi: String): String =
+      s"""CASE WHEN $hi - $lo >= 2147483648
+          THEN ($v - $lo) // (($hi - $lo) // 65536 + 1)
+          ELSE (($v - $lo) * 65535) // GREATEST($hi - $lo, 1) END"""
+    s"""WITH ext AS (
+         SELECT MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+           MIN(epoch_ns(ts)) AS t_lo, MAX(epoch_ns(ts)) AS t_hi
+         FROM events),
+       binned AS (
+         SELECT event_type,
+           ${bin("user_id", "u_lo", "u_hi")} & 65535 AS ub,
+           ${bin("epoch_ns(ts)", "t_lo", "t_hi")} & 65535 AS tb
+         FROM events, ext),
+       keyed AS (
+         SELECT event_type,
+           ${spread("ub")} | (${spread("tb")} << 1) AS zkey
+         FROM binned)
+       SELECT event_type, COUNT(*) AS n_events,
+         CAST(MIN(zkey) AS BIGINT) AS zkey_min,
+         CAST(MAX(zkey) AS BIGINT) AS zkey_max,
+         CAST(SUM(zkey) AS BIGINT) AS zkey_sum
+       FROM keyed GROUP BY event_type ORDER BY event_type"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_key_stats" -> (qZorderKeyStats _))
+
+  val oracle: Map[String, String] = Map(
+    "q_zorder_key_stats" -> qZorderKeyStatsSql)
 }

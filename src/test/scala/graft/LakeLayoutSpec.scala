@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 class LakeLayoutSpec extends SparkSuite {
 
+  import spark.implicits._
+
   lazy val lakePath: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
     LakeLayout.writeEventsPartitioned(spark, sfDir, dir)
@@ -57,6 +59,65 @@ class LakeLayoutSpec extends SparkSuite {
       assert(joined.count() ==
         Tables.load(spark, sfDir, "lineitem").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("z-order confines a user-range box to few files; a time sort cannot") {
+    import graft.sources.Tables
+    val ev = Tables.load(spark, sfDir, "events")
+    val (uLo, uHi) = {
+      val r = ev.agg(min($"user_id"), max($"user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val files = 16
+    // middle ~12% band of the user range — the 2nd dimension a
+    // time-sorted layout scatters across every file
+    val bandLo = uLo + (uHi - uLo) * 44 / 100
+    val bandHi = uLo + (uHi - uLo) * 56 / 100
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    LakeLayout.writeEventsZOrdered(spark, sfDir, zDir, files)
+    val tDir = java.nio.file.Files.createTempDirectory("graft-tsorted").toString
+    ev.repartitionByRange(files, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(tDir)
+    def filesTouched(path: String): (Long, Long) = {
+      val hit = spark.read.parquet(path)
+        .filter($"user_id" >= bandLo && $"user_id" <= bandHi)
+      (hit.select(input_file_name()).distinct().count(), hit.count())
+    }
+    val (zFiles, zRows) = filesTouched(zDir)
+    val (tFiles, tRows) = filesTouched(tDir)
+    assert(zRows == tRows && zRows > 0, "both layouts must return the same rows")
+    assert(tFiles >= files - 1,
+      s"time-sorted layout should scatter the user band over ~all $files files, got $tFiles")
+    // Morton locality: a ~12% user band maps to a compact zkey range —
+    // at most half the files (typically ~1/4)
+    assert(zFiles * 2 <= tFiles,
+      s"z-order should halve files touched at worst: z=$zFiles vs t=$tFiles")
+  }
+
+  test("z-order key matches a driver-side Morton reference on sampled rows") {
+    val rows = LakeLayout.zorderKeyed(spark, sfDir)
+      .select($"user_id", $"ts", $"zkey").limit(64).collect()
+    // independent reference: textbook bit-by-bit interleave
+    def interleave(a: Long, b: Long): Long = {
+      var out = 0L
+      for (i <- 0 until 16)
+        out |= ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      out
+    }
+    val ev = LakeLayout.zorderKeyed(spark, sfDir)
+      .agg(min($"user_id"), max($"user_id"), min($"ts"), max($"ts")).head()
+    val (uLo, uHi, tLo, tHi) = (ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3))
+    // the dual-path bin: multiply-scale small ranges so they FILL the
+    // 16-bit space, step-divide huge (epoch-ns) ranges to avoid overflow
+    def bin(v: Long, lo: Long, hi: Long): Long =
+      if (hi - lo >= 2147483648L) (v - lo) / ((hi - lo) / 65536 + 1)
+      else (v - lo) * 65535 / math.max(hi - lo, 1L)
+    rows.foreach { r =>
+      val want = interleave(
+        bin(r.getLong(0), uLo, uHi), bin(r.getLong(1), tLo, tHi))
+      assert(r.getLong(2) == want,
+        s"zkey mismatch for (user=${r.getLong(0)}, ts=${r.getLong(1)})")
+    }
   }
 
   test("compaction preserves rows while consolidating files") {
