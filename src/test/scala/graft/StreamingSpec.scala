@@ -329,10 +329,12 @@ class StreamingSpec extends SparkSuite {
     assert(r.nStreamed == r.nReleasable)
   }
 
-  test("scaled (user,day) sessionization equals the plain form exactly") {
+  test("scaled (user,day) and native session_window forms equal the plain form exactly") {
     val plain = RelationalQueries.qSessionizeEvents(spark, sfDir).collect()
     val scaled = RelationalQueries.qSessionizeEventsScaled(spark, sfDir).collect()
+    val native = RelationalQueries.qSessionWindowNative(spark, sfDir).collect()
     assert(plain.map(_.toString).toSeq == scaled.map(_.toString).toSeq)
+    assert(plain.map(_.toString).toSeq == native.map(_.toString).toSeq)
   }
 
   test("session memory state matches the batch sessionization") {
