@@ -441,6 +441,67 @@ object AdvancedQueries {
        COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_users
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // ----------------------------------------------------------- scd2
+  /** SCD TYPE-2 dimension history (gaps-and-islands): each customer's
+    * order-priority timeline collapsed into versioned validity
+    * intervals — `(cust_key, version, state, valid_from, valid_to,
+    * is_current)`, where a new version opens exactly when the state
+    * CHANGES (consecutive equal states collapse into one interval) and
+    * the open version has `valid_to = NULL`. The operator every
+    * warehouse merge pipeline needs; built as two per-key windows over
+    * a total order (`(date, orderkey)` — the date alone can tie).
+    *
+    * Scale shape: ONE shuffle on the dimension key; both windows and
+    * the run filter share that single sort (Catalyst reuses the
+    * exchange+sort for same-partitioning windows), so history rebuild
+    * costs one pass over the fact table. Version ids make the output
+    * ordering total — no reliance on NULL-ordering conventions, which
+    * differ between engines. */
+  def qScd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val runs = t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev_state", lag($"o_orderpriority", 1).over(w))
+      .filter($"prev_state".isNull || $"prev_state" =!= $"o_orderpriority")
+    val wRuns = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    runs
+      .withColumn("version",
+        row_number().over(wRuns).cast("bigint"))
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(wRuns))
+      .select($"o_custkey".as("cust_key"), $"version",
+        $"o_orderpriority".as("state"),
+        $"o_orderdate".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"cust_key", $"version")
+  }
+
+  val qScd2Sql: String =
+    """WITH marked AS (
+         SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_state
+         FROM orders),
+       runs AS (
+         SELECT * FROM marked
+         WHERE prev_state IS NULL OR prev_state <> o_orderpriority),
+       v AS (
+         SELECT o_custkey AS cust_key,
+           CAST(row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS BIGINT) AS version,
+           o_orderpriority AS state,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS valid_to
+         FROM runs)
+       SELECT cust_key, version, state, valid_from, valid_to,
+         (valid_to IS NULL) AS is_current
+       FROM v ORDER BY cust_key, version"""
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_nation_trade" -> (q7NationTrade _),
@@ -456,7 +517,8 @@ object AdvancedQueries {
     "q_conditional_agg" -> (qConditionalAgg _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
-    "q14_promo_share" -> (q14TypeShare _))
+    "q14_promo_share" -> (q14TypeShare _),
+    "q_scd2_history" -> (qScd2History _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
@@ -472,5 +534,6 @@ object AdvancedQueries {
     "q_conditional_agg" -> qConditionalAggSql,
     "q10_returned_revenue" -> q10Sql,
     "q18_large_orders" -> q18Sql,
-    "q14_promo_share" -> q14Sql)
+    "q14_promo_share" -> q14Sql,
+    "q_scd2_history" -> qScd2Sql)
 }

@@ -77,6 +77,29 @@ class RelationalQueriesSpec extends SparkSuite {
     }
   }
 
+  test("scd2 history: one open version per key, contiguous, no same-state neighbors") {
+    val rows = graft.operators.AdvancedQueries.qScd2History(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("cust_key"), r.getAs[Long]("version"),
+        r.getAs[String]("state"), r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"), r.getAs[Boolean]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val byVersion = vs.sortBy(_._2)
+      // versions are 1..n dense
+      assert(byVersion.map(_._2).toSeq == (1L to vs.length).toSeq, s"cust $cust")
+      // exactly one open (current) version, and it is the last
+      assert(vs.count(_._6) == 1, s"cust $cust must have ONE current version")
+      assert(byVersion.last._6 && byVersion.last._5 == null)
+      // closed intervals chain: valid_to(v) == valid_from(v+1); state changes
+      byVersion.iterator.sliding(2).withPartial(false).foreach { pair =>
+        val (a, b) = (pair.head, pair.last)
+        assert(a._5 == b._4, s"cust $cust v${a._2}: intervals must chain")
+        assert(a._3 != b._3, s"cust $cust v${a._2}: same-state neighbors must collapse")
+      }
+    }
+  }
+
   test("rollup contains per-nation rows, per-region subtotals and a grand total") {
     val rows = RelationalQueries.qRollupRegionNation(spark, sfDir).collect()
     assert(rows.count(r => r.getString(0) == "ALL" && r.getString(1) == "ALL") == 1)
