@@ -43,6 +43,37 @@ class CapabilitiesSpec extends SparkSuite {
       s"BFS should unpersist its adjacency cache; still pinned: ${persisted.values.map(_.name)}")
   }
 
+  test("triangle census matches a brute-force reference on the same graph") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.GraphTraversal.pTriangleStats(spark, sfDir).head()
+    // independent reference: rebuild the co-purchase edge set, collect
+    // it (45 edges at this sf), and count triangles by enumeration
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sp")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("i"), col("b.sp").as("j"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= graft.operators.GraphTraversal.CoPurchaseMinShared)
+      .select("i", "j").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    def adj(a: Long, b: Long): Boolean =
+      edges((math.min(a, b), math.max(a, b)))
+    val ns = nodes.toSeq.sorted
+    val bruteTriangles = (for {
+      ai <- ns.indices; bi <- (ai + 1) until ns.size if adj(ns(ai), ns(bi))
+      ci <- (bi + 1) until ns.size if adj(ns(ai), ns(ci)) && adj(ns(bi), ns(ci))
+    } yield 1).size
+    val wedges = ns.map(n => edges.count(e => e._1 == n || e._2 == n).toLong)
+      .map(d => d * (d - 1) / 2).sum
+    assert(r.getAs[Long]("n_nodes") == nodes.size.toLong)
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == bruteTriangles.toLong)
+    assert(bruteTriangles > 0, "graph at this sf must contain triangles")
+  }
+
   test("P6: hybrid score stays in [0,1] and ranks by the weighted sum") {
     val rows = HybridRetrieval.p6HybridScore(spark, sfDir).collect()
     assert(rows.length == 10)
