@@ -156,13 +156,95 @@ object Sampling {
          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        FROM c GROUP BY 1, 2 ORDER BY writer, shard"""
 
+  // --------------------------------------------------------- split drift
+  /** Two-sample Kolmogorov–Smirnov NUMERATOR between two samples of an
+    * integer statistic: `max over x of |cA(x)·nB − cB(x)·nA|`, where
+    * cS(x) = #rows of S with value ≤ x. The KS statistic itself is
+    * `ks_num / (nA·nB)` — kept as an exact integer numerator so both
+    * engines hash-match without a single floating division. Inputs are
+    * one column `x`; output one row `(n_a, n_b, ks_num)`.
+    *
+    * Scale shape: one groupBy on the VALUE DOMAIN (distinct x), then a
+    * cumulative window over those distinct values — the unbounded sort
+    * is over domain cardinality (thousands of token counts), never the
+    * corpus, and the heavy per-row work is a map-side aggregate. */
+  def ksNumerator(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = a.sparkSession
+    import s.implicits._
+    val tagged = a.select($"x").withColumn("side", lit("a"))
+      .unionByName(b.select($"x").withColumn("side", lit("b")))
+    val perValue = tagged.groupBy($"x").agg(
+      sum(when($"side" === "a", 1L).otherwise(0L)).as("da"),
+      sum(when($"side" === "b", 1L).otherwise(0L)).as("db"))
+    val w = Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("ca", sum($"da").over(w))
+      .withColumn("cb", sum($"db").over(w))
+    val totals = tagged.groupBy().agg(
+      sum(when($"side" === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"side" === "b", 1L).otherwise(0L)).as("n_b"))
+    cum.crossJoin(totals) // 1-row totals frame: broadcast
+      .groupBy($"n_a", $"n_b")
+      .agg(max(abs($"ca" * $"n_b" - $"cb" * $"n_a")).as("ks_num"))
+      .select($"n_a", $"n_b", $"ks_num")
+  }
+
+  /** Distribution-drift gate between the TRAIN and VAL splits on the
+    * per-doc token count — the data-quality check a pipeline runs after
+    * every re-split or ingest: a hash split must NOT shift the length
+    * distribution, so the KS statistic stays near 0 (a biased split —
+    * e.g. by length or source — trips it; planted-drift spec proves the
+    * detector fires). */
+  def dSplitDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = d(s, dir).select(
+      splitCol($"doc_id").as("split"),
+      size(TextAnalysis.tokens($"text")).cast("bigint").as("x"))
+    ksNumerator(
+      docs.filter($"split" === "train").select($"x"),
+      docs.filter($"split" === "val").select($"x"))
+  }
+
+  val dSplitDriftSql: String = {
+    val tr = TrainNibbles.map(n => s"'$n'").mkString(", ")
+    val va = ValNibbles.map(n => s"'$n'").mkString(", ")
+    s"""WITH t AS (
+         SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ($tr) THEN 'a'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ($va) THEN 'b'
+             ELSE NULL END AS side,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS BIGINT) AS x
+         FROM documents),
+       tagged AS (SELECT side, x FROM t WHERE side IS NOT NULL),
+       pv AS (
+         SELECT x,
+           SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS da,
+           SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS db
+         FROM tagged GROUP BY x),
+       cum AS (
+         SELECT x,
+           SUM(da) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(db) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cb
+         FROM pv),
+       tot AS (
+         SELECT SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_b
+         FROM tagged)
+       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num
+       FROM cum, tot GROUP BY n_a, n_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_hash_split" -> (dHashSplit _),
     "d_stratified_sample" -> (dStratifiedSample _),
-    "d_shard_pack" -> (dShardPack _))
+    "d_shard_pack" -> (dShardPack _),
+    "d_split_drift" -> (dSplitDrift _))
 
   val oracle: Map[String, String] = Map(
     "d_hash_split" -> dHashSplitSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
-    "d_shard_pack" -> dShardPackSql)
+    "d_shard_pack" -> dShardPackSql,
+    "d_split_drift" -> dSplitDriftSql)
 }

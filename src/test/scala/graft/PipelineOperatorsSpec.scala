@@ -303,6 +303,29 @@ class PipelineOperatorsSpec extends SparkSuite {
       s"star must drop b and c, got n_unique=${r2.getAs[Long]("n_unique")}")
   }
 
+  test("KS drift gate: hash split is distribution-clean, planted length bias trips it") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val r = Sampling.dSplitDrift(spark, sfDir).head()
+    val (na, nb, num) =
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("ks_num"))
+    assert(na > 0 && nb > 0)
+    // a key-hash split is independent of content, so the KS statistic
+    // must stay small (generous bound for a 500-doc corpus)
+    val ks = num.toDouble / (na.toDouble * nb.toDouble)
+    assert(ks < 0.25, s"hash split shifted the length distribution: ks=$ks")
+    // planted drift: whole corpus vs its longest 30% — the detector
+    // must fire hard (the biased CDF lags until the 70th percentile)
+    val xs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(size(TextAnalysis.tokens($"text")).cast("bigint").as("x"))
+    val n = xs.count()
+    val biased = xs.orderBy($"x".desc).limit((n * 3 / 10).toInt)
+    val r2 = Sampling.ksNumerator(xs, biased).head()
+    val ks2 = r2.getAs[Long]("ks_num").toDouble /
+      (r2.getAs[Long]("n_a").toDouble * r2.getAs[Long]("n_b").toDouble)
+    assert(ks2 > 0.5, s"planted length bias must trip the gate: ks=$ks2")
+  }
+
   test("hash split and stratified sample are deterministic and near their nominal rates") {
     val rows = graft.operators.Sampling.dHashSplit(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getAs[String]("split"))
