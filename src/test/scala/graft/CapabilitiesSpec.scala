@@ -74,6 +74,58 @@ class CapabilitiesSpec extends SparkSuite {
     assert(bruteTriangles > 0, "graph at this sf must contain triangles")
   }
 
+  test("pageRank matches a driver-side fixed-point reference BIT-EXACTLY") {
+    import spark.implicits._
+    import graft.operators.GraphTraversal
+    val S = GraphTraversal.PageRankScale
+    // driver-side twin of the scaled-Long update rule
+    def reference(undirected: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val edges = undirected ++ undirected.map(e => (e._2, e._1))
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val inbound = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val nodes = outdeg.keySet
+      val n = nodes.size.toLong
+      var r = nodes.map(_ -> S / n).toMap
+      for (_ <- 1 to iters) r = r.map { case (node, _) =>
+        val inflow = inbound.getOrElse(node, Seq.empty)
+          .map(u => r(u) / outdeg(u)).sum
+        node -> ((3 * S) / (20 * n) + (17 * inflow) / 20)
+      }
+      r
+    }
+    def run(undirected: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = undirected.toDF("i", "j")
+      val edges = und.select(col("i").as("src"), col("j").as("dst"))
+        .union(und.select(col("j").as("src"), col("i").as("dst")))
+      GraphTraversal.pageRank(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // path graph 1-2-3: asymmetric degrees
+    val path = Seq((1L, 2L), (2L, 3L))
+    val gotPath = run(path)
+    assert(gotPath == reference(path, GraphTraversal.PageRankIters),
+      "scaled-Long ranks must match the reference exactly")
+    // truncation-only loss: sum within iters × n steps of the scale
+    assert(math.abs(gotPath.values.sum - S) < 1000L, "ranks must sum to ~1")
+    // semantic sanity vs a plain DOUBLE power iteration with the same
+    // iteration count — fixed-point truncation drift is ≤1e-16/step
+    var dr = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    val outdeg = Map(1L -> 1, 2L -> 2, 3L -> 1)
+    val inbound = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    for (_ <- 1 to GraphTraversal.PageRankIters)
+      dr = dr.map { case (n, _) =>
+        n -> (0.15 / 3 + 0.85 * inbound(n).map(u => dr(u) / outdeg(u)).sum)
+      }
+    gotPath.foreach { case (n, v) =>
+      assert(math.abs(v.toDouble / S - dr(n)) < 1e-5, s"node $n vs double ref")
+    }
+    // a star's hub must decisively outrank its leaves, again bit-exact
+    val star = (2L to 6L).map(k => (1L, k))
+    val gotStar = run(star)
+    assert(gotStar == reference(star, GraphTraversal.PageRankIters))
+    assert(gotStar(1L) > 2 * gotStar(2L), s"hub vs leaf: $gotStar")
+  }
+
   test("P6: hybrid score stays in [0,1] and ranks by the weighted sum") {
     val rows = HybridRetrieval.p6HybridScore(spark, sfDir).collect()
     assert(rows.length == 10)
