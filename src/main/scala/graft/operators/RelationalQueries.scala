@@ -185,6 +185,31 @@ object RelationalQueries {
        GROUP BY ROLLUP (r_name, n_name)
        ORDER BY region, nation"""
 
+  /** CUBE twin of the rollup: all four grouping-set combinations of
+    * (order priority × order status) — the cross-dimensional subtotals
+    * a rollup's strict hierarchy cannot express. Both dimensions are
+    * bounded enumerations, so the map-side row multiplication is
+    * ×(sets)=×4 on grouped partials, never on raw rows at the exchange. */
+  def qCubePriorityStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n_orders", $"sum_price")
+      .orderBy($"priority", $"status")
+  }
+
+  val qCubeSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders
+       GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       ORDER BY priority, status"""
+
   // ---------------------------------------------------------- window/topk
   /** Top-3 events per user by value — the batched per-key top-k shape
     * (Window + row_number + filter). At scale this shuffles once on
@@ -469,6 +494,7 @@ object RelationalQueries {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q_rollup_region_nation" -> (qRollupRegionNation _),
+    "q_cube_priority_status" -> (qCubePriorityStatus _),
     "q_topk_events_per_user" -> (qTopkEventsPerUser _),
     "q_sessionize_events" -> (qSessionizeEvents _),
     "q_sessionize_events_scaled" -> (qSessionizeEventsScaled _),
@@ -488,6 +514,7 @@ object RelationalQueries {
     "q5_local_supplier" -> q5Sql,
     "q6_forecast_revenue" -> q6Sql,
     "q_rollup_region_nation" -> qRollupSql,
+    "q_cube_priority_status" -> qCubeSql,
     "q_topk_events_per_user" -> qTopkSql,
     "q_sessionize_events" -> qSessionizeSql,
     // the scaled and native variants compute the SAME result (bounded
