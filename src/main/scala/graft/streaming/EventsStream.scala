@@ -235,6 +235,59 @@ object EventsStream {
     q
   }
 
+  /** Streaming UPSERT into a parquet lake table via foreachBatch — the
+    * production pattern when the sink must stay a queryable TABLE (one
+    * row per key, latest version wins) rather than an append log. Each
+    * micro-batch:
+    *   1. collapses in-batch duplicates per key (highest `ts` wins,
+    *      `event_id` tie-break — deterministic under replay);
+    *   2. merges into the current table with [[graft.sources.LakeLayout.upsert]]
+    *      (anti-join + union — matched keys replaced, new keys appended);
+    *   3. writes the merged table to a STAGING dir and swaps it in
+    *      (write-new → delete-old → rename): a reader never observes a
+    *      half-written table, and because the merge is IDEMPOTENT on
+    *      the key, an at-least-once replay of a batch after a crash
+    *      converges to the same table. A real deployment upgrades the
+    *      swap to a transactional table format; the merge algebra here
+    *      is exactly what those formats execute underneath.
+    * Blocks until the finite source drains (same harness shape as
+    * [[runToParquet]]). */
+  def runUpsertToLake(updates: DataFrame, lakePath: String,
+      checkpoint: String, key: String = "user_id"): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val q = updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val deduped = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val target = new Path(lakePath)
+        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(target)) {
+            val base = s.read.parquet(lakePath)
+            // the streaming batch's projection can reorder columns
+            // relative to the table on disk — align to the table
+            graft.sources.LakeLayout.upsert(
+              base, deduped.select(base.columns.map(col).toIndexedSeq: _*),
+              key)
+          } else deduped
+        // never overwrite the path we are lazily reading: stage + swap
+        val staging = new Path(s"$lakePath.staging-$batchId")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        require(fs.rename(staging, target),
+          s"lake swap failed: $staging -> $target")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Stream-vs-batch parity accounting for the sessionize drive:
     * `onlyStream`/`onlyBatch` are exact row-multiset differences and
     * must both be 0. */

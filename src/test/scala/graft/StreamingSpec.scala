@@ -152,6 +152,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch lake upsert keeps one latest row per key across batches and replays") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val srcDir = s"$root/src"
+    val lake = s"$root/lake"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+    val m = 60L * 1000000000L
+    def writeEvents(name: String, userId: Long, baseNs: Long, n: Int,
+        idBase: Long): Unit =
+      spark.range(0, n).select(
+          (col("id") + idBase).as("event_id"),
+          (lit(baseNs) + col("id") * m).as("ts"),
+          lit(userId).as("user_id"),
+          lit("click").as("event_type"),
+          lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$srcDir/$name")
+    def runDrive(ckpt: String): Unit = {
+      val src = spark.readStream.schema(graft.sources.Tables.events)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+      val q = EventsStream.runUpsertToLake(src, lake, ckpt)
+      q.stop()
+    }
+    def lakeRows(): Map[Long, Long] = spark.read.parquet(lake)
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch a: three versions of user 7 (latest = id 102) + user 8
+    writeEvents("a", userId = 7L, baseNs = m, n = 3, idBase = 100L)
+    Thread.sleep(1100) // distinct mtimes => deterministic file order
+    writeEvents("a8", userId = 8L, baseNs = m, n = 1, idBase = 200L)
+    val ckpt1 = s"$root/ckpt1"
+    runDrive(ckpt1)
+    assert(lakeRows() == Map(7L -> 102L, 8L -> 200L),
+      "one row per key, in-batch duplicates collapsed to the latest")
+    // batch b arrives later: user 7 updated, user 9 new — resume from
+    // the SAME checkpoint, only the new file is processed
+    Thread.sleep(1100)
+    writeEvents("b", userId = 7L, baseNs = 10L * m, n = 1, idBase = 300L)
+    Thread.sleep(1100)
+    writeEvents("b9", userId = 9L, baseNs = 10L * m, n = 1, idBase = 400L)
+    runDrive(ckpt1)
+    val afterB = lakeRows()
+    assert(afterB == Map(7L -> 300L, 8L -> 200L, 9L -> 400L),
+      "matched key replaced by the newer version, new keys appended")
+    // full at-least-once replay (fresh checkpoint, existing lake):
+    // every batch re-merges in order — idempotent, same table
+    runDrive(s"$root/ckpt2")
+    assert(lakeRows() == afterB, "replaying all batches must converge")
+  }
+
   test("checkpoint recovery: offsets, watermark, and open-session state survive a restart") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt")
