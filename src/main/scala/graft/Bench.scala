@@ -24,8 +24,18 @@ object Bench {
     spark
   }
 
-  /** Median-of-3-after-warmup timings for `selected` against one sf dir.
-    * Failures surface as -1, never as a plausible time-to-fail. */
+  /** Median-of-`runs`-after-warmup timings for `selected` against one sf
+    * dir, with the timed runs INTERLEAVED across the registry: run 1 of
+    * every query (alphabetical), then run 2 of every query, then run 3 —
+    * median per query. Round 8 measured why consecutive runs are the
+    * wrong shape: a minutes-long external contention burst poisoned one
+    * alphabetically contiguous window of the registry 3–42× (all three
+    * consecutive runs of the affected queries sat inside the burst, so
+    * their medians were worthless) while the rest of the run was quiet.
+    * Interleaving spreads any burst thinly across ALL queries' sample
+    * sets, where the per-query median absorbs it as the one discarded
+    * high sample. Failures surface as -1, never as a plausible
+    * time-to-fail. */
   def timeQueries(spark: SparkSession, sfDir: String,
       selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       runs: Int = 3): Seq[(String, Double)] = {
@@ -33,36 +43,48 @@ object Bench {
     // query doesn't absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink materializes every column — count() would let Catalyst
-      // prune the computed columns out of projection-only queries and
-      // time an empty scan. One discarded warmup run pays the one-shot
-      // codegen compilation (~1-2s/query) and fills the query's internal
-      // caches; the reported number is the MEDIAN of the timed runs —
-      // robust to a single contention spike, unlike best-of-2 (round-2's
-      // bench swung 1.5× round-over-round with zero plan changes).
-      def once(): Double =
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      val warmup = once() // discarded: codegen + cache fill
-      val timed = (1 to runs).map(_ => once())
-      // release caches pinned by the query's internal .cache() calls so
-      // storage-memory pressure from one query never skews the next
-      spark.catalog.clearCache()
-      // and wipe RDD-checkpoint residue (iterative queries self-install
-      // a checkpoint dir under /tmp) so one query's accumulated disk
-      // churn can't skew a later query in the same JVM
-      spark.sparkContext.getCheckpointDir.foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+    val names = selected.toSeq.sortBy(_._1)
+    // noop sink materializes every column — count() would let Catalyst
+    // prune the computed columns out of projection-only queries and
+    // time an empty scan.
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
       }
+    // Between queries: release caches pinned by a query's internal
+    // .cache() calls so storage-memory pressure never skews the next,
+    // and wipe RDD-checkpoint residue (iterative queries self-install a
+    // checkpoint dir under /tmp). The wipe is scoped to local masters
+    // and recreates the dir: if a caller ever points the session
+    // checkpoint dir at shared cluster storage, the bench must not
+    // delete unrelated checkpoints under it.
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      if (spark.sparkContext.master.startsWith("local"))
+        spark.sparkContext.getCheckpointDir.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          fs.mkdirs(p)
+        }
+    }
+    // One discarded warmup run per query pays the one-shot codegen
+    // compilation (~1-2s/query) and fills the query's internal caches.
+    names.foreach { case (n, fn) => once(n, fn); cleanup() }
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to runs; (n, fn) <- names) {
+      samples(n) = samples(n) :+ once(n, fn)
+      cleanup()
+    }
+    names.map { case (name, _) =>
+      val timed = samples(name)
       val median = timed.sorted.apply(timed.size / 2)
       // only a TIMED failure poisons the result — the warmup exists to
       // absorb one-shot flakiness, so its failure alone shouldn't

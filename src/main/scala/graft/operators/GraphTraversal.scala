@@ -167,11 +167,25 @@ object GraphTraversal {
       .select(least(col("x.dst"), col("y.dst")).as("i"),
         greatest(col("x.dst"), col("y.dst")).as("j"))
     val triangles = wedges.join(e, Seq("i", "j"), "left_semi")
+    // `div`, not `/`: Column `/` is DOUBLE division, exact only below
+    // 2^53 — wedge counts at 100 TB would silently lose integer
+    // exactness (and the oracle, drifting identically, would not catch
+    // it). Both sums are even by construction (handshake; d·(d−1) is a
+    // product of consecutive integers), so truncation never drops mass.
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum($"d") / 2).cast("bigint").as("n_edges"),
-      sum(($"d" * ($"d" - 1)) / 2).cast("bigint").as("n_wedges"))
-    stats.crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+    val out = stats.crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+    // materialize the single stats row before releasing the edge cache —
+    // otherwise repeated library calls accumulate pinned storage until an
+    // external clearCache (the pageRank try/finally discipline)
+    try {
+      val r = out.head()
+      s.createDataFrame(
+        java.util.Arrays.asList(r),
+        out.schema)
+    } finally e.unpersist(blocking = false)
   }
 
   val pTriangleStatsSql: String =
@@ -201,8 +215,8 @@ object GraphTraversal {
            SELECT 1 FROM e WHERE e.i = w.i AND e.j = w.j))
        SELECT
          (SELECT COUNT(*) FROM deg) AS n_nodes,
-         (SELECT CAST(SUM(d) / 2 AS BIGINT) FROM deg) AS n_edges,
-         (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT CAST(SUM(d) // 2 AS BIGINT) FROM deg) AS n_edges,
+         (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
          CAST(n_triangles AS BIGINT) AS n_triangles
        FROM tri"""
 

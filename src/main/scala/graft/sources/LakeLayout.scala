@@ -126,6 +126,110 @@ object LakeLayout {
       .mode("overwrite")
       .saveAsTable(table)
 
+  // ------------------------------------------- manifest-pointer commits
+  /** One committed table version: the manifest's pointer plus the
+    * (checkpoint, batchId) provenance used for exactly-once replay
+    * detection. */
+  final case class LakeCommit(version: Long, dataDir: String,
+      checkpoint: String, batchId: Long)
+
+  private def commitsDir(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_commits")
+  private def versionName(v: Long): String = f"v$v%020d"
+
+  /** Manifest-pointer table commits — the atomicity layer a plain-parquet
+    * lake table needs so writers can replace the WHOLE table without a
+    * visibility window (the delete-then-rename swap this replaces left
+    * readers a moment with NO table, and a crash inside that moment
+    * silently rebuilt the lake from one batch's keys). The protocol is
+    * the Delta-log idea stripped to one pointer per version:
+    *  - data for version v is written to `data/v<padded>` — never
+    *    mutated once its manifest exists;
+    *  - the commit POINT is one atomic rename of a tmp file to
+    *    `_commits/v<padded>.manifest`, whose content names the data dir
+    *    (plus (checkpoint, batchId) provenance);
+    *  - readers resolve the HIGHEST manifest and read the dir it names —
+    *    they see the old version until the rename lands, the new one
+    *    after, never a mix and never nothing;
+    *  - a crash after the data write but before the rename leaves an
+    *    orphan data dir no manifest references; the retry recomputes the
+    *    same next version number and overwrites it — safe because
+    *    unreferenced.
+    * Single-writer per table (the streaming-sink contract); the rename
+    * fails loudly if two writers race the same version. */
+  def latestLakeCommit(spark: SparkSession, tablePath: String): Option[LakeCommit] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = commitsDir(table)
+    if (!fs.exists(dir)) None
+    else {
+      val versions = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
+      if (versions.isEmpty) None
+      else {
+        val v = versions.max
+        val in = fs.open(new org.apache.hadoop.fs.Path(dir, versionName(v) + ".manifest"))
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = content.split("\n")
+        Some(LakeCommit(v, lines(0), lines(1), lines(2).toLong))
+      }
+    }
+  }
+
+  /** The committed table, resolved through the latest manifest; None
+    * before the first commit. */
+  def readLake(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    latestLakeCommit(spark, tablePath)
+      .map(c => spark.read.parquet(s"$tablePath/${c.dataDir}"))
+
+  /** Write `df` as the next table version and atomically publish it.
+    * Returns the committed version number. */
+  def commitLakeVersion(df: DataFrame, tablePath: String,
+      checkpoint: String, batchId: Long): Long = {
+    val s = df.sparkSession
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(s.sessionState.newHadoopConf())
+    val v = latestLakeCommit(s, tablePath).map(_.version + 1).getOrElse(0L)
+    val dataRel = s"data/${versionName(v)}"
+    // overwrite: an orphan dir from a crashed previous attempt at this
+    // same version is unreferenced by construction
+    df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+    fs.mkdirs(commitsDir(table))
+    val tmp = new org.apache.hadoop.fs.Path(commitsDir(table), s".tmp-${versionName(v)}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$dataRel\n$checkpoint\n$batchId\n".getBytes("UTF-8"))
+    finally out.close()
+    val manifest =
+      new org.apache.hadoop.fs.Path(commitsDir(table), versionName(v) + ".manifest")
+    require(fs.rename(tmp, manifest),
+      s"manifest commit lost a race: $manifest (tables are single-writer)")
+    v
+  }
+
+  /** Drop all but the newest `keep` versions: manifest first (so no new
+    * reader can resolve a pointer about to dangle), then the data dir.
+    * `keep ≥ 2` leaves a grace version for readers that resolved just
+    * before a commit. */
+  def vacuumLake(spark: SparkSession, tablePath: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "vacuum must keep at least the live version")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = commitsDir(table)
+    if (fs.exists(dir)) {
+      val versions = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
+        .sorted.reverse.drop(keep)
+      versions.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, versionName(v) + ".manifest"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(table, s"data/${versionName(v)}"), true)
+      }
+    }
+  }
+
   // ------------------------------------------------------------ Z-order
   /** Spread a 16-bit value's bits across 32 bits (zeros interleaved) —
     * the classic shift-mask ladder, a pure bitwise Column expression

@@ -235,53 +235,58 @@ object EventsStream {
     q
   }
 
-  /** Streaming UPSERT into a parquet lake table via foreachBatch — the
-    * production pattern when the sink must stay a queryable TABLE (one
-    * row per key, latest version wins) rather than an append log. Each
-    * micro-batch:
+  /** Streaming UPSERT into a manifest-committed parquet lake table via
+    * foreachBatch — the production pattern when the sink must stay a
+    * queryable TABLE (one row per key, latest version wins) rather than
+    * an append log. Each micro-batch:
     *   1. collapses in-batch duplicates per key (highest `ts` wins,
     *      `event_id` tie-break — deterministic under replay);
-    *   2. merges into the current table with [[graft.sources.LakeLayout.upsert]]
-    *      (anti-join + union — matched keys replaced, new keys appended);
-    *   3. writes the merged table to a STAGING dir and swaps it in
-    *      (write-new → delete-old → rename): a reader never observes a
-    *      half-written table, and because the merge is IDEMPOTENT on
-    *      the key, an at-least-once replay of a batch after a crash
-    *      converges to the same table. A real deployment upgrades the
-    *      swap to a transactional table format; the merge algebra here
-    *      is exactly what those formats execute underneath.
+    *   2. merges into the current committed version with
+    *      [[graft.sources.LakeLayout.upsert]] (anti-join + union —
+    *      matched keys replaced, new keys appended);
+    *   3. publishes the merge as the NEXT table version through
+    *      [[graft.sources.LakeLayout.commitLakeVersion]]: data lands in
+    *      a fresh immutable dir, the commit point is one atomic
+    *      manifest rename, and readers resolving through
+    *      [[graft.sources.LakeLayout.readLake]] see the old version
+    *      until that instant — no missing-table window, and a crash on
+    *      either side of the rename leaves a fully readable table.
+    * Exactly-once across restarts: a replayed batch from the SAME
+    * checkpoint whose (checkpoint, batchId) already heads the commit
+    * log is skipped outright (it is the latest commit — merging it
+    * again would be a no-op by idempotence, skipping it is free); a
+    * replay from a FRESH checkpoint re-merges, which converges by the
+    * same idempotence. Superseded versions are vacuumed down to 2.
     * Blocks until the finite source drains (same harness shape as
     * [[runToParquet]]). */
   def runUpsertToLake(updates: DataFrame, lakePath: String,
       checkpoint: String, key: String = "user_id"): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
+    import graft.sources.LakeLayout
     val q = updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val deduped = batch
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        val target = new Path(lakePath)
-        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(target)) {
-            val base = s.read.parquet(lakePath)
-            // the streaming batch's projection can reorder columns
-            // relative to the table on disk — align to the table
-            graft.sources.LakeLayout.upsert(
-              base, deduped.select(base.columns.map(col).toIndexedSeq: _*),
-              key)
-          } else deduped
-        // never overwrite the path we are lazily reading: stage + swap
-        val staging = new Path(s"$lakePath.staging-$batchId")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true)
-        require(fs.rename(staging, target),
-          s"lake swap failed: $staging -> $target")
+        val alreadyCommitted = LakeLayout.latestLakeCommit(s, lakePath)
+          .exists(c => c.checkpoint == checkpoint && c.batchId == batchId)
+        if (!alreadyCommitted) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val deduped = batch
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          val merged = LakeLayout.readLake(s, lakePath) match {
+            case Some(base) =>
+              // the streaming batch's projection can reorder columns
+              // relative to the table on disk — align to the table
+              LakeLayout.upsert(
+                base, deduped.select(base.columns.map(col).toIndexedSeq: _*),
+                key)
+            case None => deduped
+          }
+          LakeLayout.commitLakeVersion(merged, lakePath, checkpoint, batchId)
+          LakeLayout.vacuumLake(s, lakePath, keep = 2)
+        }
       }
       .start()
     q.processAllAvailable()
@@ -310,11 +315,33 @@ object EventsStream {
   def sessionizeParquetDrive(spark: SparkSession, sfDir: String,
       outDir: String, checkpoint: String): SessionizeDriveReport = {
     import org.apache.spark.sql.expressions.Window
-    // the file stream source watches a directory — stage the table file
+    // the file stream source watches a directory — stage the table. The
+    // driver testdata is a single file, but a directory of part files
+    // (normal Spark output) must stage its data files too, not silently
+    // yield an empty watched dir and a zero-session "pass".
     val watched = java.nio.file.Files.createTempDirectory("graft-events-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      watched.resolve("events.parquet"))
+    val srcTable = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    if (java.nio.file.Files.isRegularFile(srcTable))
+      java.nio.file.Files.copy(srcTable, watched.resolve("events.parquet"))
+    else {
+      require(java.nio.file.Files.isDirectory(srcTable),
+        s"events table missing: $srcTable")
+      val walk = java.nio.file.Files.walk(srcTable)
+      try {
+        val parts = walk.filter(p =>
+            java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+          .iterator()
+        var i = 0
+        var any = false
+        while (parts.hasNext) {
+          java.nio.file.Files.copy(parts.next(),
+            watched.resolve(f"part-$i%05d.parquet"))
+          i += 1; any = true
+        }
+        require(any, s"events table has no parquet part files: $srcTable")
+      } finally walk.close()
+    }
     val q = runToParquet(
       sessionizeStream(spark, source(spark, watched.toString)),
       outDir, checkpoint)

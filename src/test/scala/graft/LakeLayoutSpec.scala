@@ -204,4 +204,54 @@ class LakeLayoutSpec extends SparkSuite {
     val source = graft.sources.Tables.load(spark, sfDir, "events").count()
     assert(written == source)
   }
+
+  test("manifest commits: versioned publish, crash-orphan safety, vacuum") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    assert(LakeLayout.readLake(spark, table).isEmpty, "no commit, no table")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val v0 = LakeLayout.commitLakeVersion(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, "ckptA", 0L)
+    assert(v0 == 0L)
+    assert(rows(LakeLayout.readLake(spark, table).get) == Set((1L, "a"), (2L, "b")))
+
+    // a reader that resolved v0 BEFORE the next commit still reads v0's
+    // immutable data dir after it — the no-mixed-version property
+    val pinnedV0 = LakeLayout.readLake(spark, table).get
+    val v1 = LakeLayout.commitLakeVersion(
+      Seq((1L, "A"), (3L, "c")).toDF("id", "v"), table, "ckptA", 1L)
+    assert(v1 == 1L)
+    assert(rows(pinnedV0) == Set((1L, "a"), (2L, "b")),
+      "pre-commit reader keeps its version")
+    assert(rows(LakeLayout.readLake(spark, table).get) == Set((1L, "A"), (3L, "c")),
+      "post-commit reader sees the new version")
+    assert(LakeLayout.latestLakeCommit(spark, table)
+      .exists(c => c.checkpoint == "ckptA" && c.batchId == 1L),
+      "provenance survives the manifest round-trip")
+
+    // crash window: data dir written but manifest rename never happened —
+    // readers are unaffected (orphan is unreferenced), and the retry
+    // claims the same version number by overwriting the orphan
+    Seq((9L, "orphan")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$table/data/v${"0" * 19}2")
+    assert(rows(LakeLayout.readLake(spark, table).get) == Set((1L, "A"), (3L, "c")),
+      "an uncommitted data dir must be invisible")
+    val v2 = LakeLayout.commitLakeVersion(
+      Seq((4L, "d")).toDF("id", "v"), table, "ckptA", 2L)
+    assert(v2 == 2L, "retry reuses the orphaned version slot")
+    assert(rows(LakeLayout.readLake(spark, table).get) == Set((4L, "d")))
+
+    // vacuum keeps the newest 2 manifests + data dirs, drops the rest
+    LakeLayout.vacuumLake(spark, table, keep = 2)
+    val manifests = new java.io.File(s"$table/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest")).sorted
+    assert(manifests.length == 2 && manifests.last.contains("2"),
+      s"want the 2 newest manifests, got ${manifests.mkString(",")}")
+    val dataDirs = new java.io.File(s"$table/data").listFiles().map(_.getName)
+    assert(dataDirs.length == 2, s"want 2 data dirs, got ${dataDirs.mkString(",")}")
+    assert(rows(LakeLayout.readLake(spark, table).get) == Set((4L, "d")),
+      "vacuum never touches the live version")
+  }
 }

@@ -175,9 +175,12 @@ class StreamingSpec extends SparkSuite {
       val q = EventsStream.runUpsertToLake(src, lake, ckpt)
       q.stop()
     }
-    def lakeRows(): Map[Long, Long] = spark.read.parquet(lake)
-      .select(col("user_id"), col("event_id")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // readers resolve through the manifest — the raw path holds
+    // versioned data dirs plus the commit log
+    def lakeRows(): Map[Long, Long] =
+      graft.sources.LakeLayout.readLake(spark, lake).get
+        .select(col("user_id"), col("event_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // batch a: three versions of user 7 (latest = id 102) + user 8
     writeEvents("a", userId = 7L, baseNs = m, n = 3, idBase = 100L)
     Thread.sleep(1100) // distinct mtimes => deterministic file order
