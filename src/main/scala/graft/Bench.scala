@@ -24,14 +24,15 @@ object Bench {
     spark
   }
 
-  /** Median-of-`runs`-after-warmup timings for `selected` against one sf
-    * dir, with the timed runs INTERLEAVED across the registry: run 1 of
-    * every query (alphabetical), then run 2 of every query, then run 3 —
-    * median per query. Round 8 measured why consecutive runs are the
-    * wrong shape: a minutes-long external contention burst poisoned one
-    * alphabetically contiguous window of the registry 3–42× (all three
-    * consecutive runs of the affected queries sat inside the burst, so
-    * their medians were worthless) while the rest of the run was quiet.
+  /** Median-of-`runs` timings for `selected` against one sf dir, with
+    * the timed runs INTERLEAVED across the registry: round 1 of every
+    * query (alphabetical), then round 2, then round 3 — median per
+    * query, each timed run paired with a discarded cache-fill run.
+    * Round 8 measured why consecutive runs are the wrong shape: a
+    * minutes-long external contention burst poisoned one alphabetically
+    * contiguous window of the registry 3–42× (all three consecutive
+    * runs of the affected queries sat inside the burst, so their
+    * medians were worthless) while the rest of the run was quiet.
     * Interleaving spreads any burst thinly across ALL queries' sample
     * sets, where the per-query median absorbs it as the one discarded
     * high sample. Failures surface as -1, never as a plausible
@@ -74,12 +75,19 @@ object Bench {
           fs.mkdirs(p)
         }
     }
-    // One discarded warmup run per query pays the one-shot codegen
-    // compilation (~1-2s/query) and fills the query's internal caches.
-    names.foreach { case (n, fn) => once(n, fn); cleanup() }
+    // Each timed run is PAIRED with a discarded fill run immediately
+    // before it: the fill pays one-shot codegen (round 1) and populates
+    // the CacheManager with the query's internal .cache() frames, so the
+    // timed run measures the same warm-cache condition every round — and
+    // the same condition all previous rounds' consecutive-runs bench
+    // measured (their timed runs reused the warmup's caches via
+    // canonicalized-plan matching; an interleaved timed run without the
+    // fill would be cold, which read as a phantom 3× regression on
+    // cache-heavy iterative queries when first tried).
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to runs; (n, fn) <- names) {
+      once(n, fn) // discarded: codegen + cache fill
       samples(n) = samples(n) :+ once(n, fn)
       cleanup()
     }

@@ -42,9 +42,11 @@ import org.apache.spark.sql.functions._
   *    so iterations stay low single-digit; the pointer jump keeps even
   *    adversarial deep chains at O(log n) sweeps.
   *  - Convergence is detected distributively: labels are non-increasing
-  *    per node, so an unchanged DECIMAL label sum (one tiny aggregate,
-  *    overflow-safe for arbitrary long ids) IS the fixpoint; nothing
-  *    proportional to the corpus ever reaches the driver.
+  *    per node, so an unchanged DECIMAL label sum (overflow-safe for
+  *    arbitrary long ids) IS the fixpoint; the sum rides the snapshot
+  *    WRITE job as a `Dataset.observe` metric, so convergence costs
+  *    zero extra jobs per sweep, and nothing proportional to the
+  *    corpus ever reaches the driver.
   *  - Snapshots live under the session checkpoint dir when one is set
   *    (shared storage on a real cluster); the local-temp fallback is
   *    refused off local[*] masters, same rule as GraphTraversal.bfs.
@@ -90,12 +92,38 @@ object Components {
       df.coalesce(par).write.mode("overwrite").parquet(p)
       s.read.parquet(p)
     }
+    // The convergence label-sum rides the snapshot WRITE job as an
+    // observed metric instead of running as its own action — one job
+    // per sweep instead of two (the top cost of this operator is
+    // per-sweep scheduler constant, not data; measured round 8).
+    def snapshotWithSum(df: DataFrame, name: String)
+        : (DataFrame, java.math.BigDecimal) = {
+      val p = s"$runDir/$name"
+      val obs = org.apache.spark.sql.Observation(s"graft-cc-$name")
+      df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("lsum"))
+        .coalesce(par).write.mode("overwrite").parquet(p)
+      val v = obs.get("lsum")
+      val sumV =
+        if (v == null) java.math.BigDecimal.ZERO // empty frame
+        else v.asInstanceOf[java.math.BigDecimal]
+      (s.read.parquet(p), sumV)
+    }
     val p = pairs.select(col("i"), col("j")).distinct()
-    val edges = p
-      .union(p.select(col("j").as("i"), col("i").as("j")))
-      .toDF("src", "dst")
-      .cache() // re-joined every sweep
-    try {
+    // SNAPSHOTTED, not cached: the edge list is re-joined every sweep,
+    // and each sweep's plan embeds the edge frame's WHOLE logical
+    // subtree — for composed callers that subtree is the near-dup
+    // pair-generation plan (the MinHash path inlines 12 md5 variants
+    // into a huge expression tree), and the analyzer/optimizer re-walks
+    // it on every job even though the DATA is cached. Measured on the
+    // incremental-components drive: 4.3 s/sweep with a cache on a
+    // 280-edge graph, 1.3 s/sweep against a flat parquet scan. The
+    // snapshot pays one write job and makes every sweep's plan start
+    // from a leaf.
+    val edges = snapshot(
+      p.union(p.select(col("j").as("i"), col("i").as("j")))
+        .toDF("src", "dst"),
+      "edges")
+    locally {
       // sweep-0 labels = node ids; cached, not snapshotted — it is read
       // by the sweep-0 label sum plus twice inside sweep 1's plan, and a
       // cache serves those for one distinct's cost without the parquet
@@ -139,13 +167,12 @@ object Components {
             Seq("label"), "left")
           .select(col("node"),
             coalesce(col("plabel"), col("label")).as("label"))
-        val next = snapshot(jumped, s"sweep_$sweep")
+        val (next, nextSum) = snapshotWithSum(jumped, s"sweep_$sweep")
         // no-op after sweep 1 (parquet-backed frames hold no cache);
         // releases the sweep-0 label cache once it is superseded
         labels.unpersist(blocking = false)
         fs.delete(new Path(s"$runDir/m_$sweep"), true)
         fs.delete(new Path(s"$runDir/sweep_${sweep - 1}"), true)
-        val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         labels = next
@@ -157,12 +184,126 @@ object Components {
       // sweep-0 frame (after any sweep, labels is parquet-backed and
       // this is a no-op)
       labels.unpersist(blocking = false)
+      // after ≥1 sweep the returned frame reads only its own snapshot —
+      // the edge snapshot is garbage; on the empty-graph path (sweep 0)
+      // the returned frame still derives from it, so it must survive
+      // (deleteOnExit on the run dir reclaims it at JVM exit)
+      if (sweep > 0) fs.delete(new Path(s"$runDir/edges"), true)
       (labels.select(col("node").as("doc_id"), col("label").as("component")),
         sweep)
-    } finally {
-      edges.unpersist(blocking = false)
     }
   }
+
+  /** Incremental connected components — the operator an always-ingesting
+    * corpus actually runs: fold a NEW batch of near-dup pairs into a
+    * persisted label table, re-sweeping ONLY the subgraph the batch
+    * touches instead of recomputing the full historical pair graph.
+    *
+    * Affected region: every component containing an endpoint of a new
+    * pair (a merge relabels ALL members of both sides, so whole
+    * components re-sweep, not just endpoints). Each affected
+    * component's internal connectivity is re-encoded as STAR EDGES
+    * (member → current label): the label table IS the quotient
+    * structure, so the historical pairs are never needed again.
+    * [[connectedComponents]] then runs on star edges ∪ new pairs, and
+    * untouched components pass through verbatim via an anti-join. The
+    * result is IDENTICAL to a full recompute over (old ∪ new) pairs:
+    * star edges preserve old reachability exactly, and min-labels
+    * re-derive from member ids (the old label is itself a member, so
+    * the merged minimum is the true minimum).
+    *
+    * Scale shape: cost ∝ touched components + new-batch pairs — never
+    * the corpus and never the historical pair set. On a 100 TB corpus
+    * with a daily near-dup batch this is the difference between
+    * re-flooding a multi-billion-edge graph and re-sweeping the few
+    * thousand components the batch actually touches.
+    *
+    * @param labels   persisted (doc_id, component) from a previous full
+    *                 or incremental run
+    * @param newPairs (i, j) undirected near-dup pairs of the new batch
+    * @return updated (doc_id, component) covering old ∪ new nodes
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val touched = newPairs.select(col("i").as("doc_id"))
+      .union(newPairs.select(col("j").as("doc_id"))).distinct()
+    val affectedComps = labels.join(touched, "doc_id")
+      .select(col("component")).distinct()
+    val affected = labels.join(affectedComps, Seq("component"))
+    val starEdges = affected.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("i"), col("component").as("j"))
+    val relabeled = connectedComponents(
+      starEdges.union(newPairs.select(col("i"), col("j"))))
+    labels.join(affectedComps, Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+      .unionByName(relabeled)
+  }
+
+  /** Registry drive of [[incrementalComponents]] — the real pipeline
+    * cadence, in one query: "yesterday's" label table is the EXACT-dup
+    * grouping over the whole corpus (one groupBy + one join, zero
+    * sweeps — min doc_id per normalized-content fingerprint), and
+    * "today's" batch is the MinHash-LSH ∪ SimHash near-dup pair set
+    * folding in incrementally. Only the components those pairs touch
+    * re-sweep; the rest of the corpus passes through. The oracle is a
+    * FULL RECOMPUTE: DuckDB floods the complete equivalence graph
+    * (exact-dup star edges ∪ near-dup pairs), so any drift in the
+    * star-edge re-encoding or the affected-region computation breaks
+    * the hash. */
+  def dIncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = graft.sources.Tables.load(s, dir, "documents")
+      .select($"doc_id", md5(TextAnalysis.normText($"text")).as("fp"))
+    val labels = fp.join(
+        fp.groupBy($"fp").agg(min($"doc_id").as("component")), "fp")
+      .select($"doc_id", $"component")
+    val batch = Dedup.dMinhashLsh(s, dir).select($"i", $"j")
+      .union(Dedup.dSimhashPairs(s, dir).select($"i", $"j")).distinct()
+    val merged = incrementalComponents(labels, batch)
+    // csize via a window, not groupBy+self-join: the join form evaluates
+    // the merged plan (labels + pair-generation subtrees) TWICE per
+    // action — measured ~2× on the final stage of this query. The
+    // window shuffles once on component, same as the groupBy would.
+    merged.withColumn("csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"component")).cast("bigint"))
+      .select($"doc_id", $"component", $"csize")
+      .orderBy($"component", $"doc_id")
+  }
+
+  /** DuckDB oracle: recursive label flood over the COMPLETE equivalence
+    * graph (exact-dup stars ∪ near-dup pairs); isolated docs (singleton
+    * fingerprint, untouched by any pair) keep themselves — the
+    * incremental path must be indistinguishable from this recompute. */
+  val dIncrementalComponentsSql: String =
+    s"""WITH RECURSIVE
+       fp AS (
+         SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents),
+       exact_lab AS (
+         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS component
+         FROM fp),
+       mhp AS (SELECT i, j FROM (${Dedup.dMinhashLshSql}) mh_sub),
+       shp AS (SELECT i, j FROM (${Dedup.dSimhashPairsSql}) sh_sub),
+       star AS (SELECT doc_id AS i, component AS j FROM exact_lab
+                WHERE doc_id <> component),
+       alledges AS (SELECT i, j FROM mhp UNION SELECT i, j FROM shp
+                    UNION SELECT i, j FROM star),
+       edges AS (SELECT i AS src, j AS dst FROM alledges UNION
+                 SELECT j, i FROM alledges),
+       cc(node, label) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+       flood AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+       merged AS (
+         SELECT e.doc_id, COALESCE(f.component, e.component) AS component
+         FROM exact_lab e LEFT JOIN flood f ON e.doc_id = f.node),
+       sizes AS (SELECT component, COUNT(*) AS csize FROM merged
+                 GROUP BY component)
+       SELECT m.doc_id, m.component, CAST(s.csize AS BIGINT) AS csize
+       FROM merged m JOIN sizes s ON m.component = s.component
+       ORDER BY m.component, m.doc_id"""
 
   /** Per-doc component membership over the union of the three pairwise
     * dedup families (MinHash-LSH ∪ SimHash-banded ∪ winnowing-overlap —
@@ -210,8 +351,10 @@ object Components {
        ORDER BY l.component, doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d_dup_components" -> (dDupComponents _))
+    "d_dup_components" -> (dDupComponents _),
+    "d_incremental_components" -> (dIncrementalComponents _))
 
   val oracle: Map[String, String] = Map(
-    "d_dup_components" -> dDupComponentsSql)
+    "d_dup_components" -> dDupComponentsSql,
+    "d_incremental_components" -> dIncrementalComponentsSql)
 }
