@@ -190,6 +190,77 @@ object Sampling {
       .select($"n_a", $"n_b", $"ks_num")
   }
 
+  /** [[ksNumerator]] for UNBOUNDED value domains (raw doubles, epoch
+    * timestamps — anywhere the distinct-value count can approach the
+    * corpus): the cumulative sums come from a RANGE-PARTITIONED
+    * two-pass instead of the single-task global window. Pass 1
+    * range-partitions the per-value counts on x and aggregates one
+    * subtotal row per partition; the driver prefix-sums that list
+    * (bounded by the partition COUNT, never the domain) into per-
+    * partition offsets. Pass 2 computes a partition-LOCAL cumulative
+    * window (each task sorts only its own range) and adds the offset.
+    * Output is bit-identical to [[ksNumerator]] — same oracle, pinned
+    * by the agreement spec — but no task ever sees more than its range
+    * slice, which is the difference between a KS gate that runs on a
+    * 100 TB column and one that funnels every distinct value through
+    * one task. The ranged frame is cached ONLY to pin partition ids
+    * across the two passes and released before returning (the 1-row
+    * result is materialized eagerly, nothing stays pinned). */
+  def ksNumeratorRanged(a: DataFrame, b: DataFrame,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = a.sparkSession
+    import s.implicits._
+    val npart =
+      if (partitions > 0) partitions
+      else math.max(2, s.sparkContext.defaultParallelism / 4)
+    val tagged = a.select($"x").withColumn("side", lit("a"))
+      .unionByName(b.select($"x").withColumn("side", lit("b")))
+    val perValue = tagged.groupBy($"x").agg(
+      sum(when($"side" === "a", 1L).otherwise(0L)).as("da"),
+      sum(when($"side" === "b", 1L).otherwise(0L)).as("db"))
+    // cached so both passes observe ONE materialization: partition ids
+    // must be identical when the frame is read again in pass 2
+    val ranged = perValue.repartitionByRange(npart, $"x")
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    try {
+      // pass 1: one subtotal row per partition — bounded driver traffic
+      val subs = ranged.groupBy($"pid")
+        .agg(sum($"da").as("sa"), sum($"db").as("sb"))
+        .collect().map(r => (r.getAs[Int]("pid"),
+          r.getAs[Long]("sa"), r.getAs[Long]("sb")))
+        .sortBy(_._1)
+      if (subs.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("n_a", "n_b", "ks_num")
+      else {
+        val nA = subs.map(_._2).sum
+        val nB = subs.map(_._3).sum
+        // exclusive prefix sums: offset of partition p = totals of all
+        // partitions with smaller x-ranges (range partitioning orders
+        // partition ids by range)
+        val offsets = subs.scanLeft((0, 0L, 0L)) {
+          case ((_, ca, cb), (pid, sa, sb)) => (pid + 1, ca + sa, cb + sb)
+        }.init.zip(subs).map { case ((_, offA, offB), (pid, _, _)) =>
+          (pid, offA, offB)
+        }
+        val offDf = offsets.toSeq.toDF("pid", "off_a", "off_b")
+        val w = Window.partitionBy($"pid").orderBy($"x")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val out = ranged
+          .withColumn("la", sum($"da").over(w))
+          .withColumn("lb", sum($"db").over(w))
+          .join(broadcast(offDf), "pid")
+          .agg(max(abs(($"la" + $"off_a") * nB - ($"lb" + $"off_b") * nA))
+            .as("ks_num"))
+          .select(lit(nA).as("n_a"), lit(nB).as("n_b"), $"ks_num")
+        // materialize before releasing the pid-pinning cache
+        val row = out.head()
+        s.createDataFrame(java.util.Arrays.asList(row), out.schema)
+      }
+    } finally ranged.unpersist(blocking = false)
+  }
+
   /** Distribution-drift gate between the TRAIN and VAL splits on the
     * per-doc token count — the data-quality check a pipeline runs after
     * every re-split or ingest: a hash split must NOT shift the length
@@ -236,15 +307,31 @@ object Sampling {
        FROM cum, tot GROUP BY n_a, n_b"""
   }
 
+  /** [[dSplitDrift]] through the range-partitioned KS path — identical
+    * output, identical oracle: the scale variant stays hash-checked
+    * against DuckDB, and any divergence between the two cumulative
+    * strategies breaks one of the twin hashes. */
+  def dSplitDriftRanged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = d(s, dir).select(
+      splitCol($"doc_id").as("split"),
+      size(TextAnalysis.tokens($"text")).cast("bigint").as("x"))
+    ksNumeratorRanged(
+      docs.filter($"split" === "train").select($"x"),
+      docs.filter($"split" === "val").select($"x"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_hash_split" -> (dHashSplit _),
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_shard_pack" -> (dShardPack _),
-    "d_split_drift" -> (dSplitDrift _))
+    "d_split_drift" -> (dSplitDrift _),
+    "d_split_drift_ranged" -> (dSplitDriftRanged _))
 
   val oracle: Map[String, String] = Map(
     "d_hash_split" -> dHashSplitSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_shard_pack" -> dShardPackSql,
-    "d_split_drift" -> dSplitDriftSql)
+    "d_split_drift" -> dSplitDriftSql,
+    "d_split_drift_ranged" -> dSplitDriftSql)
 }

@@ -326,6 +326,43 @@ class PipelineOperatorsSpec extends SparkSuite {
     assert(ks2 > 0.5, s"planted length bias must trip the gate: ks=$ks2")
   }
 
+  test("range-partitioned KS equals the global-window KS on ties, skew, and drift") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // other suites' load-bearing caches may live in the shared session —
+    // assert only that THIS operator adds none
+    val preExisting = spark.sparkContext.getPersistentRDDs.keySet
+    def pair(a: Seq[Long], b: Seq[Long]): ((Long, Long, Long), (Long, Long, Long)) = {
+      def row(df: org.apache.spark.sql.DataFrame) = {
+        val rs = df.collect()
+        assert(rs.length == 1)
+        (rs.head.getAs[Long]("n_a"), rs.head.getAs[Long]("n_b"),
+          rs.head.getAs[Long]("ks_num"))
+      }
+      val da = a.toDF("x"); val db = b.toDF("x")
+      // tiny partitions force values to straddle range boundaries
+      (row(Sampling.ksNumerator(da, db)),
+        row(Sampling.ksNumeratorRanged(da, db, partitions = 3)))
+    }
+    // heavy ties (duplicate x on both sides) + boundary straddling
+    val t1 = pair(Seq(1L, 1L, 2L, 2L, 3L, 5L, 5L, 9L), Seq(1L, 2L, 2L, 7L, 9L, 9L))
+    assert(t1._1 == t1._2, s"tied data diverged: $t1")
+    // planted drift (disjoint ranges) — detector value must agree too
+    val t2 = pair(Seq(1L, 2L, 3L, 4L), Seq(100L, 101L, 102L))
+    assert(t2._1 == t2._2, s"drifted data diverged: $t2")
+    assert(t2._1._3 == t2._1._1 * t2._1._2,
+      "disjoint ranges must reach the maximal KS numerator")
+    // skewed duplicates: one value dominates a partition
+    val t3 = pair(Seq.fill(50)(7L) ++ Seq(1L, 9L), Seq.fill(30)(7L) ++ Seq(2L))
+    assert(t3._1 == t3._2, s"skewed data diverged: $t3")
+    // no pinned cache escapes the operator
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(preExisting),
+      "ksNumeratorRanged must release its pid-pinning cache")
+    // empty input: both variants return zero rows
+    assert(Sampling.ksNumeratorRanged(
+      Seq.empty[Long].toDF("x"), Seq.empty[Long].toDF("x")).count() == 0L)
+  }
+
   test("hash split and stratified sample are deterministic and near their nominal rates") {
     val rows = graft.operators.Sampling.dHashSplit(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getAs[String]("split"))
