@@ -24,57 +24,64 @@ object GraphTraversal {
     * Frontier and visited sets stay distributed; per hop: one join, one
     * union, one min-aggregate.
     *
-    * Iterative-state hygiene: each hop's frontier is EAGERLY
-    * `checkpoint()`ed — lineage is truncated to a disk snapshot (the
-    * GraphX/Pregel pattern), so a k-hop run never builds a 2^k plan and,
-    * unlike the previous per-hop `.cache()` chain, pins NOTHING in the
-    * BlockManager: the adjacency cache is released before returning and
-    * the result reads only checkpoint files. On a cluster, point
-    * `sparkContext.setCheckpointDir` at durable storage; a local temp
-    * dir is installed here only if the caller never set one. */
+    * Iterative-state hygiene: the adjacency list and each hop's
+    * frontier are snapshotted to tiny parquet files (the [[Components]]
+    * pattern) — lineage is truncated to a disk scan, so a k-hop run
+    * never builds a 2^k plan, each hop's plan starts from flat leaves
+    * instead of re-optimizing the caller's edge-build subtree (the
+    * cache-keeps-data-not-plan trap measured in Components at 4.3 vs
+    * 1.3 s/sweep), nothing pins the BlockManager, and each hop costs
+    * ONE job where eager `checkpoint()` ran a count job plus a write
+    * job. On a cluster, point `sparkContext.setCheckpointDir` at
+    * durable storage; a local temp dir is installed here only if the
+    * caller never set one. */
   def bfs(
       edges: DataFrame, // columns: src, dst (directed adjacency)
       seeds: DataFrame, // column: node
       maxHops: Int): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty) {
+    val s = edges.sparkSession
+    val sc = s.sparkContext
+    val root = sc.getCheckpointDir.getOrElse {
       // a driver-local temp dir is only valid when executors share the
       // driver's filesystem — on a real cluster a silent local default
-      // would write checkpoint partitions to per-executor /tmp and fail
+      // would write snapshot partitions to per-executor /tmp and fail
       // unreadably on the next stage, so refuse instead
       require(sc.master.startsWith("local"),
         "bfs needs sparkContext.setCheckpointDir pointing at shared storage " +
           "(HDFS/S3) on a non-local master")
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-bfs-ckpt").toString)
+      java.nio.file.Files.createTempDirectory("graft-bfs-ckpt").toString
     }
-    val adj = edges.cache()
-    var reached = seeds.select(col("node"), lit(0).as("dist")).checkpoint()
+    val runDir = s"$root/bfs-${java.util.UUID.randomUUID().toString.take(12)}"
+    val fs = new org.apache.hadoop.fs.Path(runDir)
+      .getFileSystem(sc.hadoopConfiguration)
+    // hop snapshots back the returned (lazy) frame, so they are
+    // reclaimed at JVM exit; the adjacency snapshot is deleted eagerly
+    fs.deleteOnExit(new org.apache.hadoop.fs.Path(runDir))
+    // narrow-coalesce: frontiers are usually far smaller than the
+    // shuffle partitioning that produced them, and a snapshot writes
+    // one file per partition
+    val par = math.max(2, sc.defaultParallelism / 4)
+    def snapTo(df: DataFrame, name: String): DataFrame = {
+      df.coalesce(par).write.mode("overwrite").parquet(s"$runDir/$name")
+      s.read.parquet(s"$runDir/$name")
+    }
+    val adj = snapTo(edges, "adj")
+    var reached = snapTo(seeds.select(col("node"), lit(0).as("dist")), "hop_0")
     var frontier = reached
     for (hop <- 1 to maxHops) {
-      // dataset aliases break the self-join lineage ambiguity (frontier
-      // descends from the adjacency list after the first hop)
-      val f = frontier.select(col("node")).as("f")
-      val staged = f.join(adj.as("u"), col("f.node") === col("u.src"))
+      val staged = frontier.select(col("node")).as("f")
+        .join(adj.as("u"), col("f.node") === col("u.src"))
         .select(col("u.dst").as("node"), lit(hop).as("dist"))
         .join(reached.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .distinct()
-        // narrow-coalesce before snapshotting: a frontier is usually far
-        // smaller than the shuffle partitioning that produced it, and
-        // checkpoint writes one file per partition
-        .coalesce(math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 4))
-        .cache() // checkpoint(eager) runs a count job AND a write job —
-      // without this cache the whole hop recomputes for the write
-      val next = staged.checkpoint() // eager: materialized to disk
-      staged.unpersist(blocking = false) // disk snapshot now owns the data
-      // union of checkpointed hops — flat lineage, no cache to retire
+      val next = snapTo(staged, s"hop_$hop")
+      // union of snapshotted hops — flat lineage end to end
       reached = reached.union(next)
       frontier = next
     }
-    // every hop is materialized on disk; the in-memory adjacency cache
-    // is no longer load-bearing for the returned plan
-    adj.unpersist(blocking = false)
+    // the result unions hop snapshots only; the adjacency dir is garbage
+    fs.delete(new org.apache.hadoop.fs.Path(s"$runDir/adj"), true)
     reached.groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
 
@@ -272,41 +279,52 @@ object GraphTraversal {
       .getFileSystem(sc.hadoopConfiguration)
     fs.deleteOnExit(new org.apache.hadoop.fs.Path(runDir))
     val par = math.max(2, sc.defaultParallelism / 4)
+    def snapTo(df: DataFrame, name: String): DataFrame = {
+      df.coalesce(par).write.mode("overwrite").parquet(s"$runDir/$name")
+      s.read.parquet(s"$runDir/$name")
+    }
     var lastSnap = -1
     def snapshot(df: DataFrame, k: Int): DataFrame = {
-      df.coalesce(par).write.mode("overwrite").parquet(s"$runDir/iter_$k")
+      val out = snapTo(df, s"iter_$k")
       if (lastSnap >= 0)
         fs.delete(new org.apache.hadoop.fs.Path(s"$runDir/iter_$lastSnap"), true)
       lastSnap = k
-      s.read.parquet(s"$runDir/iter_$k")
+      out
     }
-    val e = edges.select(col("src"), col("dst")).cache()
-    // out-degrees attached once, cached — every iteration joins this
-    val eo = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src").cache()
-    try {
-      // src covers every node of a bidirectional edge list
-      val n = e.select(col("src")).distinct().count()
-      require(n > 0, "pageRank needs a non-empty graph")
-      val teleport = (3L * PageRankScale) / (20L * n)
-      var ranks: DataFrame = e.select(col("src").as("node")).distinct()
-        .withColumn("rank_fp", lit(PageRankScale / n))
-      for (i <- 1 to iters) {
-        val next = eo
-          .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
-          .select(col("dst").as("node"),
-            expr("rank_fp div outdeg").as("c"))
-          .groupBy(col("node"))
-          .agg(sum(col("c")).as("inflow"))
-          .select(col("node"),
-            expr(s"${teleport}L + (17 * inflow) div 20").as("rank_fp"))
-        ranks = if (i % 3 == 0 || i == iters) snapshot(next, i) else next
-      }
-      ranks
-    } finally {
-      e.unpersist(blocking = false)
-      eo.unpersist(blocking = false)
+    // SNAPSHOTTED, not cached (the Components lesson, measured there at
+    // 4.3 vs 1.3 s/sweep): a cache holds the DATA but every iteration's
+    // plan still embeds and re-optimizes the whole edge-build subtree
+    // (for the co-purchase caller: a lineitem self-join + aggregate).
+    // Two flat parquet leaves make each iteration's plan start from a
+    // scan; both dirs are deleted as soon as the loop no longer reads
+    // them.
+    val e = snapTo(edges.select(col("src"), col("dst")), "edges")
+    val eo = snapTo(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src"),
+      "eo")
+    // src covers every node of a bidirectional edge list
+    val n = e.select(col("src")).distinct().count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val teleport = (3L * PageRankScale) / (20L * n)
+    var ranks: DataFrame = e.select(col("src").as("node")).distinct()
+      .withColumn("rank_fp", lit(PageRankScale / n))
+    for (i <- 1 to iters) {
+      val next = eo
+        .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
+        .select(col("dst").as("node"),
+          expr("rank_fp div outdeg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("inflow"))
+        .select(col("node"),
+          expr(s"${teleport}L + (17 * inflow) div 20").as("rank_fp"))
+      ranks = if (i % 3 == 0 || i == iters) snapshot(next, i) else next
     }
+    if (iters >= 1) {
+      // the final ranks frame reads only its own iter_N snapshot
+      fs.delete(new org.apache.hadoop.fs.Path(s"$runDir/edges"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$runDir/eo"), true)
+    }
+    ranks
   }
 
   /** Top suppliers of the co-purchase graph by PageRank (rows-only:

@@ -205,6 +205,52 @@ class StreamingSpec extends SparkSuite {
     assert(lakeRows() == afterB, "replaying all batches must converge")
   }
 
+  test("streaming incremental components maintain a manifest-committed label table") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.LabelStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-labels")
+    val srcDir = s"$root/src"
+    val lake = s"$root/labels"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+    def writePairs(name: String, ps: Seq[(Long, Long)]): Unit = {
+      ps.toDF("i", "j").coalesce(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100) // distinct mtimes => deterministic file order
+    }
+    // three detector batches: initial comps, then a MERGE across them,
+    // then a disjoint new component
+    writePairs("b0", Seq((1L, 2L), (3L, 4L)))
+    writePairs("b1", Seq((2L, 3L)))
+    writePairs("b2", Seq((10L, 11L)))
+    def drive(ckpt: String): Unit = {
+      val q = LabelStream.runIncrementalComponentsToLake(
+        LabelStream.pairSource(spark, s"$srcDir/*"), lake, ckpt)
+      q.stop()
+    }
+    def labels(): Map[Long, Long] =
+      graft.sources.LakeLayout.readLake(spark, lake).get.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    drive(s"$root/ckpt1")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    assert(labels() == expected,
+      "streamed incremental labels must equal the full closure")
+    // the batch-side truth: one-shot CC over every pair ever streamed
+    val full = graft.operators.Components.connectedComponents(
+        Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L)).toDF("i", "j"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(labels() == full, "stream/batch parity on the label table")
+    // full replay from a fresh checkpoint: folding known pairs into the
+    // converged table is a fixpoint
+    drive(s"$root/ckpt2")
+    assert(labels() == expected, "replay must converge, not corrupt")
+    // vacuum bounds the version history
+    val manifests = new java.io.File(s"$lake/_commits").listFiles()
+      .map(_.getName).count(_.endsWith(".manifest"))
+    assert(manifests <= 2, s"vacuum must bound manifests, found $manifests")
+  }
+
   test("checkpoint recovery: offsets, watermark, and open-session state survive a restart") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt")
