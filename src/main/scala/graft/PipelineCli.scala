@@ -27,11 +27,19 @@ import org.apache.spark.sql.functions._
   * shape) and verifies the on-disk output is an exact multiset match
   * of the batch `q_sessionize_events` sessions the final watermark
   * could release.
+  *       labels [sfDir]                  — streaming label-table drive:
+  * splits the corpus's real MinHash∪SimHash near-dup pair set into
+  * three "detector batches", streams them through
+  * [[graft.streaming.LabelStream.runIncrementalComponentsToLake]]
+  * (incremental CC fold + manifest-committed lake versions), and
+  * verifies the final table is an exact multiset match of the one-shot
+  * connected-components closure over ALL pairs.
   */
 object PipelineCli {
   def main(args: Array[String]): Unit = {
     val streamMode = args.headOption.contains("stream")
-    val rest = if (streamMode) args.drop(1) else args
+    val labelsMode = args.headOption.contains("labels")
+    val rest = if (streamMode || labelsMode) args.drop(1) else args
     val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.001"
     val outDir =
       if (rest.length > 1) rest(1)
@@ -58,6 +66,44 @@ object PipelineCli {
       println(s"out_dir = $outDir")
       spark.stop()
       if (!r.parity) sys.exit(1)
+      return
+    }
+
+    if (labelsMode) {
+      import graft.streaming.LabelStream
+      val root = java.nio.file.Files.createTempDirectory("graft-labels-drive")
+      val srcDir = s"$root/pairs"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+      val pairs = Dedup.dMinhashLsh(spark, sfDir).select($"i", $"j")
+        .union(Dedup.dSimhashPairs(spark, sfDir).select($"i", $"j"))
+        .distinct().cache()
+      // three detector batches arriving over time (closure is
+      // order-independent, the sleeps just pin the replay order)
+      for (b <- 0 until 3) {
+        pairs.filter(pmod($"i" + $"j", lit(3)) === b).coalesce(1)
+          .write.parquet(s"$srcDir/batch_$b")
+        Thread.sleep(1100)
+      }
+      val lake = s"$root/labels"
+      val q = LabelStream.runIncrementalComponentsToLake(
+        LabelStream.pairSource(spark, s"$srcDir/*"), lake, s"$root/ckpt")
+      q.stop()
+      val streamed = graft.sources.LakeLayout.readLake(spark, lake).get
+      val batch = Components.connectedComponents(pairs.select($"i", $"j"))
+      val onlyS = streamed.exceptAll(batch).count()
+      val onlyB = batch.exceptAll(streamed).count()
+      pairs.unpersist(blocking = false)
+      println(s"pair_batches    = 3")
+      println(s"streamed_labels = ${streamed.count()}")
+      println(s"batch_labels    = ${batch.count()} " +
+        s"(match=${onlyS == 0 && onlyB == 0})")
+      println(s"only_stream = $onlyS, only_batch = $onlyB")
+      val manifests = new java.io.File(s"$lake/_commits").listFiles()
+        .map(_.getName).count(_.endsWith(".manifest"))
+      println(s"lake_versions_retained = $manifests")
+      println(s"lake_dir = $lake")
+      spark.stop()
+      if (onlyS != 0 || onlyB != 0) sys.exit(1)
       return
     }
 
