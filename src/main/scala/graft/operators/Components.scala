@@ -253,8 +253,12 @@ object Components {
     import s.implicits._
     val fp = graft.sources.Tables.load(s, dir, "documents")
       .select($"doc_id", md5(TextAnalysis.normText($"text")).as("fp"))
-    val labels = fp.join(
-        fp.groupBy($"fp").agg(min($"doc_id").as("component")), "fp")
+    // min-over-window, not groupBy+self-join: one shuffle on fp and the
+    // fp frame appears ONCE in the plan (the join form evaluates the
+    // md5 scan twice per action)
+    val labels = fp.withColumn("component",
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp")))
       .select($"doc_id", $"component")
     val batch = Dedup.dMinhashLsh(s, dir).select($"i", $"j")
       .union(Dedup.dSimhashPairs(s, dir).select($"i", $"j")).distinct()

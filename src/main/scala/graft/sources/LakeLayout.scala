@@ -209,6 +209,63 @@ object LakeLayout {
     v
   }
 
+  /** Time travel: the table AS OF a specific committed version (must
+    * not have been vacuumed). The version list is the audit surface a
+    * pipeline uses to pin a training run to the exact table state it
+    * read. */
+  def readLakeVersion(spark: SparkSession, tablePath: String,
+      version: Long): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = new org.apache.hadoop.fs.Path(
+      commitsDir(table), versionName(version) + ".manifest")
+    require(fs.exists(manifest),
+      s"version $version of $tablePath does not exist (or was vacuumed)")
+    val in = fs.open(manifest)
+    val dataRel =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")(0)
+      finally in.close()
+    spark.read.parquet(s"$tablePath/$dataRel")
+  }
+
+  /** All live (un-vacuumed) version numbers, ascending. */
+  def lakeVersions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = commitsDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
+      .toSeq.sorted
+  }
+
+  /** Key-level diff between two committed versions: one row per changed
+    * key with `change` ∈ insert/update/delete. A full-outer join on the
+    * key with a row-hash comparison — one shuffle per side, no driver
+    * state; `update` compares the FULL row, so any column drift counts.
+    * This is the incremental-consumer contract: a downstream job
+    * re-processes exactly the keys a commit touched instead of
+    * re-reading the table. */
+  def lakeDiff(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long, key: String): DataFrame = {
+    val from = readLakeVersion(spark, tablePath, fromVersion)
+    val to = readLakeVersion(spark, tablePath, toVersion)
+    require(from.columns.sameElements(to.columns),
+      "lakeDiff requires identical schemas across versions")
+    val fromH = from.select(col(key),
+      xxhash64(struct(from.columns.map(col).toIndexedSeq: _*)).as("h_from"))
+    val toH = to.select(col(key),
+      xxhash64(struct(to.columns.map(col).toIndexedSeq: _*)).as("h_to"))
+    fromH.join(toH, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("h_from").isNull, lit("insert"))
+          .when(col("h_to").isNull, lit("delete"))
+          .when(col("h_from") =!= col("h_to"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+  }
+
   /** Drop all but the newest `keep` versions: manifest first (so no new
     * reader can resolve a pointer about to dangle), then the data dir.
     * `keep ≥ 2` leaves a grace version for readers that resolved just

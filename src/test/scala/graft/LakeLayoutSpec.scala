@@ -205,6 +205,32 @@ class LakeLayoutSpec extends SparkSuite {
     assert(written == source)
   }
 
+  test("time travel and key-level diff across committed versions") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    LakeLayout.commitLakeVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), table, "ck", 0L)
+    LakeLayout.commitLakeVersion(
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v"), table, "ck", 1L)
+    assert(LakeLayout.lakeVersions(spark, table) == Seq(0L, 1L))
+    // as-of reads pin each committed state exactly
+    assert(LakeLayout.readLakeVersion(spark, table, 0L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // diff: 2 updated, 3 deleted, 4 inserted, 1 untouched (absent)
+    val diff = LakeLayout.lakeDiff(spark, table, 0L, 1L, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "update", 3L -> "delete", 4L -> "insert"),
+      s"got $diff")
+    // a vacuumed version refuses loudly instead of resolving garbage
+    LakeLayout.commitLakeVersion(
+      Seq((1L, "a")).toDF("id", "v"), table, "ck", 2L)
+    LakeLayout.vacuumLake(spark, table, keep = 2)
+    intercept[IllegalArgumentException] {
+      LakeLayout.readLakeVersion(spark, table, 0L)
+    }
+  }
+
   test("manifest commits: versioned publish, crash-orphan safety, vacuum") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-manifest").toString
