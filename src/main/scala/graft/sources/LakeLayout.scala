@@ -266,6 +266,34 @@ object LakeLayout {
       .select(col(key), col("change"))
   }
 
+  /** Compact the CURRENT version of a manifest-committed table into
+    * ~`targetFileMB` files, key-clustered, published as a NEW version.
+    * Streaming upserts commit one version per micro-batch at the
+    * merge's parallelism — after thousands of batches the live version
+    * is a spray of small files. Compaction rewrites it
+    * `repartitionByRange(key).sortWithinPartitions(key)` (tight parquet
+    * row-group min/max on the key → pushed point/range lookups skip
+    * almost everything) and commits through the same atomic manifest
+    * rename as any writer: readers are never blocked, never see a
+    * half-compacted table, and [[lakeDiff]] between the two versions is
+    * EMPTY (spec-pinned) — compaction moves bytes, not rows. Returns
+    * the new version number. */
+  def compactLake(spark: SparkSession, tablePath: String, key: String,
+      targetFileMB: Int = 128): Long = {
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"compactLake: $tablePath has no committed version"))
+    val df = spark.read.parquet(s"$tablePath/${cur.dataDir}")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val bytes = df.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f))
+      .map(p => p.getFileSystem(hadoopConf).getFileStatus(p).getLen).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    commitLakeVersion(
+      df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key)),
+      tablePath, s"compaction:${cur.version}", -1L)
+  }
+
   /** Drop all but the newest `keep` versions: manifest first (so no new
     * reader can resolve a pointer about to dangle), then the data dir.
     * `keep ≥ 2` leaves a grace version for readers that resolved just

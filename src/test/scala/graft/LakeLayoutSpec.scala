@@ -231,6 +231,28 @@ class LakeLayoutSpec extends SparkSuite {
     }
   }
 
+  test("lake compaction republishes the same rows in fewer, key-clustered files") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // a fragmented version: 64 tiny files, the streaming-upsert shape
+    LakeLayout.commitLakeVersion(
+      spark.range(0, 2000).select($"id", ($"id" % 7).as("v"))
+        .repartition(64),
+      table, "ck", 0L)
+    val before = LakeLayout.readLake(spark, table).get
+    assert(before.inputFiles.length == 64)
+    val v = LakeLayout.compactLake(spark, table, key = "id")
+    assert(v == 1L)
+    val after = LakeLayout.readLake(spark, table).get
+    assert(after.inputFiles.length < 8,
+      s"2000 tiny rows must compact to few files, got ${after.inputFiles.length}")
+    assert(after.count() == 2000)
+    // compaction moves bytes, not rows: the key-level diff is EMPTY
+    assert(LakeLayout.lakeDiff(spark, table, 0L, 1L, "id").count() == 0L)
+    // pre-compaction readers keep their version (immutable data dirs)
+    assert(before.count() == 2000)
+  }
+
   test("manifest commits: versioned publish, crash-orphan safety, vacuum") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-manifest").toString
