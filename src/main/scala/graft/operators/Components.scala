@@ -137,14 +137,13 @@ object Components {
       // label SUM strictly decreases until the fixpoint — one tiny
       // aggregate per sweep instead of a new-vs-old join+count. DECIMAL
       // sum: ids can be arbitrary longs at corpus scale; a long sum
-      // could overflow.
-      def labelSum(df: DataFrame): java.math.BigDecimal = {
-        val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-          .getDecimal(0)
-        if (v == null) java.math.BigDecimal.ZERO else v // empty graph
-      }
-      var prevSum = labelSum(labels)
-      var converged = prevSum == java.math.BigDecimal.ZERO && labels.isEmpty
+      // could overflow. No sweep-0 sum job: on a NON-empty graph, sweep
+      // 1 strictly decreases the sum (some edge's larger endpoint takes
+      // its neighbor's smaller label), so convergence can never trigger
+      // before the sweep-2 vs sweep-1 comparison — the first sum rides
+      // sweep 1's snapshot write like every later one.
+      var prevSum: Option[java.math.BigDecimal] = None
+      var converged = labels.isEmpty // empty graph: zero sweeps
       var sweep = 0
       while (!converged && sweep < maxSweeps) {
         sweep += 1
@@ -173,8 +172,8 @@ object Components {
         labels.unpersist(blocking = false)
         fs.delete(new Path(s"$runDir/m_$sweep"), true)
         fs.delete(new Path(s"$runDir/sweep_${sweep - 1}"), true)
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
+        converged = prevSum.exists(_.compareTo(nextSum) == 0)
+        prevSum = Some(nextSum)
         labels = next
       }
       require(converged,
