@@ -154,7 +154,11 @@ object Components {
         // frame and would otherwise recompute it, and a .cache() here
         // pins the aggregate's full shuffle-partition fan-out (cached
         // plan materialization skips AQE partition coalescing) — the
-        // tiny parquet round-trip keeps every stage AQE-coalesced
+        // tiny parquet round-trip keeps every stage AQE-coalesced.
+        // (Fusing m into the jump plan — one 4-stage job per sweep
+        // instead of two small jobs — was measured 1.3-1.6 s/query
+        // SLOWER at sf0.1 and rejected: the wide job's stage barriers
+        // cost more than the second job's scheduling.)
         val m = snapshot(
           labels.union(prop)
             .groupBy(col("node")).agg(min(col("label")).as("label")),
