@@ -502,6 +502,83 @@ object AdvancedQueries {
          (valid_to IS NULL) AS is_current
        FROM v ORDER BY cust_key, version"""
 
+  // ------------------------------------------------- cohort retention
+  /** Epoch-nanoseconds per week — cohorts bucket on ABSOLUTE week
+    * indexes (`ts div week`), so the assignment is a pure integer map
+    * per row, reproducible by any engine, and never depends on a
+    * corpus-wide min. */
+  val WeekNs = 604800000000000L
+
+  /** Classic cohort-retention matrix over `events`: cohort = a user's
+    * first-activity week, cell (cohort_week, week_offset) = distinct
+    * users of that cohort active that many weeks later. Shape: one
+    * groupBy(user) for first weeks, one join back (user_id-keyed, both
+    * sides shuffle once on the same key), one distinct-count over a
+    * (weeks × offsets)-bounded group space. The output is bounded by
+    * the SQUARE of the week count regardless of corpus size. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"user_id", expr(s"ts div ${WeekNs}L").as("w"))
+    val cohorts = e.groupBy($"user_id").agg(min($"w").as("cw"))
+    e.join(cohorts, "user_id")
+      .groupBy($"cw".as("cohort_week"), ($"w" - $"cw").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val qCohortRetentionSql: String =
+    s"""WITH e AS (
+         SELECT user_id, epoch_ns(ts) // $WeekNs AS w FROM events),
+       c AS (SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id)
+       SELECT c.cw AS cohort_week, e.w - c.cw AS week_offset,
+         COUNT(DISTINCT e.user_id) AS n_users
+       FROM e JOIN c ON e.user_id = c.user_id
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------------------- ordered funnel
+  /** Ordered conversion funnel signup → click → purchase: a user counts
+    * at step k only if their k-th event happened AT OR AFTER their
+    * (k−1)-th step's first occurrence (min-ts-after semantics — the
+    * standard product-analytics contract, not mere set membership).
+    * Three per-user min-aggregates chained by user_id-keyed joins; each
+    * stage's frame is one row per qualifying user, shrinking
+    * monotonically down the funnel. One final 1-row cross of bounded
+    * counts. */
+  def qEventFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" >= $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" >= $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after_signup")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  val qEventFunnelSql: String =
+    """WITH s1 AS (
+         SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       s2 AS (
+         SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+         FROM events e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= s1.t1
+         GROUP BY e.user_id),
+       s3 AS (
+         SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3
+         FROM events e JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s2.t2
+         GROUP BY e.user_id)
+       SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+         (SELECT COUNT(*) FROM s2) AS n_click_after_signup,
+         (SELECT COUNT(*) FROM s3) AS n_purchase_after_click"""
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_nation_trade" -> (q7NationTrade _),
@@ -518,7 +595,9 @@ object AdvancedQueries {
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q14_promo_share" -> (q14TypeShare _),
-    "q_scd2_history" -> (qScd2History _))
+    "q_scd2_history" -> (qScd2History _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_event_funnel" -> (qEventFunnel _))
 
   val oracle: Map[String, String] = Map(
     "q7_nation_trade" -> q7Sql,
@@ -535,5 +614,7 @@ object AdvancedQueries {
     "q10_returned_revenue" -> q10Sql,
     "q18_large_orders" -> q18Sql,
     "q14_promo_share" -> q14Sql,
-    "q_scd2_history" -> qScd2Sql)
+    "q_scd2_history" -> qScd2Sql,
+    "q_cohort_retention" -> qCohortRetentionSql,
+    "q_event_funnel" -> qEventFunnelSql)
 }

@@ -402,6 +402,50 @@ object TextAnalysis {
          md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + $ChunkSize), ' ')) AS chunk_fp
        FROM st ORDER BY doc_id, chunk_idx"""
 
+  // ----------------------------------------------------- vocab coverage
+  /** Head size for the vocabulary-coverage report. */
+  val VocabTopK = 20
+
+  /** Vocabulary head coverage — the Zipf diagnostic a tokenizer design
+    * starts from: the top-K corpus tokens by frequency with cumulative
+    * counts against the total. Scale shape: map-side explode + partial
+    * aggregation into one count per DISTINCT token, then a distributed
+    * top-K (`orderBy.limit` plans TakeOrdered — never a global sort),
+    * and the cumulative window runs over K rows only. The total rides
+    * a 1-row aggregate cross-join (broadcast by size). Ties break on
+    * the token string, so the head set is deterministic. */
+  def tVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = d(s, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy($"n".desc, $"tok").limit(VocabTopK)
+    val w = Window.orderBy($"n".desc, $"tok")
+    top
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("cum_n",
+        sum($"n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(counts.agg(sum($"n").as("total_n")))
+      .select($"rank", $"tok", $"n", $"cum_n", $"total_n")
+      .orderBy($"rank")
+  }
+
+  val tVocabCoverageSql: String =
+    s"""WITH tok AS (
+         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           x -> x != '')) AS tok
+         FROM documents),
+       counts AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+       top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT $VocabTopK),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
+         tok, n,
+         CAST(SUM(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS cum_n,
+         total_n
+       FROM top, tot ORDER BY rank"""
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_repetition_stats" -> (tRepetitionStats _),
@@ -410,7 +454,8 @@ object TextAnalysis {
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
-    "t_winnow_fingerprints" -> (tWinnowFingerprints _))
+    "t_winnow_fingerprints" -> (tWinnowFingerprints _),
+    "t_vocab_coverage" -> (tVocabCoverage _))
 
   val oracle: Map[String, String] = Map(
     "t_repetition_stats" -> tRepetitionSql,
@@ -419,5 +464,6 @@ object TextAnalysis {
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
-    "t_winnow_fingerprints" -> tWinnowSql)
+    "t_winnow_fingerprints" -> tWinnowSql,
+    "t_vocab_coverage" -> tVocabCoverageSql)
 }

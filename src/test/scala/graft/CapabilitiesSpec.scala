@@ -43,6 +43,36 @@ class CapabilitiesSpec extends SparkSuite {
       s"BFS should unpersist its adjacency cache; still pinned: ${persisted.values.map(_.name)}")
   }
 
+  test("funnel is monotone, cohort matrix covers every user, vocab coverage accumulates") {
+    import org.apache.spark.sql.functions._
+    val f = graft.operators.AdvancedQueries.qEventFunnel(spark, sfDir).head()
+    val (n1, n2, n3) = (f.getAs[Long]("n_signup"),
+      f.getAs[Long]("n_click_after_signup"),
+      f.getAs[Long]("n_purchase_after_click"))
+    assert(n1 >= n2 && n2 >= n3, s"funnel must shrink: $n1 >= $n2 >= $n3")
+    assert(n1 > 0 && n3 > 0, "testdata must populate every funnel step")
+
+    val cohort = graft.operators.AdvancedQueries.qCohortRetention(spark, sfDir)
+      .collect()
+    assert(cohort.forall(_.getAs[Long]("week_offset") >= 0))
+    assert(cohort.forall(_.getAs[Long]("n_users") > 0))
+    // every user appears in their own cohort's offset-0 cell
+    val offset0 = cohort.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(offset0 == users,
+      s"offset-0 cells must cover all $users users, got $offset0")
+
+    val vocab = graft.operators.TextAnalysis.tVocabCoverage(spark, sfDir)
+      .collect()
+    assert(vocab.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val cums = vocab.map(_.getAs[Long]("cum_n")).toSeq
+    assert(cums == cums.sorted && cums.distinct == cums,
+      "cumulative counts must strictly increase")
+    assert(cums.last <= vocab.head.getAs[Long]("total_n"))
+  }
+
   test("triangle census matches a brute-force reference on the same graph") {
     import org.apache.spark.sql.functions._
     val r = graft.operators.GraphTraversal.pTriangleStats(spark, sfDir).head()
