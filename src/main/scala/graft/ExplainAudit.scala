@@ -13,7 +13,8 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "r4_topk_memory",
         "s_cosine_topk", "q_topk_events_per_user", "d_winnow_overlap",
-        "d_hash_split", "s_ivf_topk")
+        "d_hash_split", "s_ivf_topk", "q_cohort_retention", "q_event_funnel",
+        "t_vocab_coverage", "d_split_drift_ranged")
     for (n <- names) {
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

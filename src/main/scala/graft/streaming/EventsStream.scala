@@ -201,6 +201,17 @@ object EventsStream {
         col("click_id"), col("p_time"), col("c_time"))
   }
 
+  /** Stream-static join: streaming events enriched with a STATIC
+    * per-user dimension frame (no watermark needed on the static side —
+    * Spark re-plans the static relation per micro-batch, so a lake
+    * table that is atomically swapped between batches is picked up).
+    * The static side shuffles or broadcasts per its size, exactly as in
+    * batch; streaming state holds nothing for it — the property that
+    * lets a 100 TB static dim join an unbounded stream. Inner join:
+    * events without a dimension row drop (the batch twin's semantics). */
+  def enrichWithStatic(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(userDim, Seq("user_id"))
+
   /** Run a streaming query to a named in-memory sink and block until the
     * (finite, file-backed) source drains — the local test harness for a
     * pipeline that runs unbounded in production. */

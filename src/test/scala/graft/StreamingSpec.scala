@@ -205,6 +205,35 @@ class StreamingSpec extends SparkSuite {
     assert(lakeRows() == afterB, "replaying all batches must converge")
   }
 
+  test("stream-static join enriches exactly the batch join's rows") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    // static dim: per-user lifetime purchase count, but only for HALF
+    // the users — the inner join must drop the other half's events
+    val dim = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+      .filter(col("user_id") % 2 === 0)
+    val stagedDir = java.nio.file.Files.createTempDirectory("graft-ss-src")
+    events.coalesce(1).write.mode("overwrite")
+      .parquet(stagedDir.resolve("events").toString)
+    val stream = spark.readStream.schema(graft.sources.Tables.events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$stagedDir/events")
+    val q = EventsStream.runToMemory(
+      EventsStream.enrichWithStatic(stream, dim)
+        .select(col("event_id"), col("user_id"), col("n_purchases")),
+      "ss_join", "append")
+    try {
+      val streamed = spark.table("ss_join")
+      val batch = events.join(dim, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("n_purchases"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0L &&
+        batch.exceptAll(streamed).count() == 0L,
+        "stream-static join must equal the batch join exactly")
+    } finally q.stop()
+  }
+
   test("streaming incremental components maintain a manifest-committed label table") {
     import org.apache.spark.sql.functions._
     import graft.streaming.LabelStream
