@@ -95,6 +95,47 @@ object Sampling {
          CAST(SUM(in_sample) AS DOUBLE) / COUNT(*) AS rate
        FROM a GROUP BY lang ORDER BY lang"""
 
+  // ------------------------------------------------- weighted source mix
+  /** Deterministic weighted mixture sampling by SOURCE — the data-mixing
+    * step a training pipeline runs to re-weight domains (keep 25% of a
+    * low-quality crawl, all of a curated source) without an RNG: a doc
+    * is kept iff its 16-bit key hash falls under its source's threshold.
+    * The demo weight rule derives tiers 25/50/75/100% from the source
+    * suffix (`suffix % 4`), so every tier is exercised; a real pipeline
+    * supplies a weights table instead. Per-doc map-side decision, one
+    * source-bounded aggregate; a re-run keeps EXACTLY the same docs
+    * (hash-of-key, no rand()), which is what makes the mix auditable
+    * and the downstream shards reproducible. */
+  def dSourceMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h16 = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)")
+    val thr = expr("(CAST(substring(source, 4) AS BIGINT) % 4 + 1) * 16384")
+    d(s, dir)
+      .withColumn("kept", (h16 < thr).cast("int").cast("bigint"))
+      .withColumn("thr", thr)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"kept").as("n_kept"),
+        max($"thr").as("keep_threshold"),
+        (sum($"kept").cast("double") / count(lit(1))).as("rate"))
+      .orderBy($"source")
+  }
+
+  val dSourceMixSql: String =
+    """WITH a AS (
+         SELECT source,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 16384
+                THEN 1 ELSE 0 END AS kept,
+           (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 16384 AS thr
+         FROM documents)
+       SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(kept) AS BIGINT) AS n_kept,
+         MAX(thr) AS keep_threshold,
+         CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS rate
+       FROM a GROUP BY source ORDER BY source"""
+
   // ---------------------------------------------------- shard packing
   /** Token budget per training shard and the writer fan-out. Writers
     * scale with the cluster (each packs independently — at 100 TB this
@@ -326,12 +367,14 @@ object Sampling {
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_shard_pack" -> (dShardPack _),
     "d_split_drift" -> (dSplitDrift _),
-    "d_split_drift_ranged" -> (dSplitDriftRanged _))
+    "d_split_drift_ranged" -> (dSplitDriftRanged _),
+    "d_source_mix" -> (dSourceMix _))
 
   val oracle: Map[String, String] = Map(
     "d_hash_split" -> dHashSplitSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_shard_pack" -> dShardPackSql,
     "d_split_drift" -> dSplitDriftSql,
-    "d_split_drift_ranged" -> dSplitDriftSql)
+    "d_split_drift_ranged" -> dSplitDriftSql,
+    "d_source_mix" -> dSourceMixSql)
 }

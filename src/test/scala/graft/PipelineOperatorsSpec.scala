@@ -363,6 +363,26 @@ class PipelineOperatorsSpec extends SparkSuite {
       Seq.empty[Long].toDF("x"), Seq.empty[Long].toDF("x")).count() == 0L)
   }
 
+  test("weighted source mix hits its tiers and re-runs identically") {
+    import graft.operators.Sampling
+    val rows = Sampling.dSourceMix(spark, sfDir).collect()
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { r =>
+      val suffix = r.getAs[String]("source").stripPrefix("src").toLong
+      val nominal = (suffix % 4 + 1).toDouble / 4.0
+      val rate = r.getAs[Double]("rate")
+      assert(r.getAs[Long]("keep_threshold") == (suffix % 4 + 1) * 16384)
+      // 25 docs/source at sf0.01 — generous binomial slack, but the
+      // 100% tier must be EXACT (threshold covers the whole hash range)
+      if (nominal == 1.0) assert(rate == 1.0, s"src$suffix: $rate")
+      else assert(math.abs(rate - nominal) < 0.35,
+        s"src$suffix: rate $rate far from nominal $nominal")
+    }
+    val again = Sampling.dSourceMix(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "hash-of-key mix must be exactly reproducible")
+  }
+
   test("hash split and stratified sample are deterministic and near their nominal rates") {
     val rows = graft.operators.Sampling.dHashSplit(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getAs[String]("split"))
