@@ -268,10 +268,17 @@ object EventsStream {
     * again would be a no-op by idempotence, skipping it is free); a
     * replay from a FRESH checkpoint re-merges, which converges by the
     * same idempotence. Superseded versions are vacuumed down to 2.
-    * Blocks until the finite source drains (same harness shape as
-    * [[runToParquet]]). */
+    * `compactEveryBatches > 0` additionally runs
+    * [[graft.sources.LakeLayout.compactLake]] after every Nth batch —
+    * per-micro-batch commits write at the merge's parallelism and
+    * fragment over time; periodic key-clustered rewrites bound the live
+    * version's file count without blocking readers (a compaction commit
+    * between a crash and its replay is harmless: the replayed merge is
+    * idempotent on the compacted table). Blocks until the finite source
+    * drains (same harness shape as [[runToParquet]]). */
   def runUpsertToLake(updates: DataFrame, lakePath: String,
-      checkpoint: String, key: String = "user_id"): StreamingQuery = {
+      checkpoint: String, key: String = "user_id",
+      compactEveryBatches: Int = 0): StreamingQuery = {
     import graft.sources.LakeLayout
     val q = updates.writeStream
       .option("checkpointLocation", checkpoint)
@@ -297,6 +304,11 @@ object EventsStream {
           }
           LakeLayout.commitLakeVersion(merged, lakePath, checkpoint, batchId)
           LakeLayout.vacuumLake(s, lakePath, keep = 2)
+          if (compactEveryBatches > 0 &&
+              (batchId + 1) % compactEveryBatches == 0) {
+            LakeLayout.compactLake(s, lakePath, key)
+            LakeLayout.vacuumLake(s, lakePath, keep = 2)
+          }
         }
       }
       .start()

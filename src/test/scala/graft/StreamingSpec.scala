@@ -203,6 +203,19 @@ class StreamingSpec extends SparkSuite {
     // every batch re-merges in order — idempotent, same table
     runDrive(s"$root/ckpt2")
     assert(lakeRows() == afterB, "replaying all batches must converge")
+    // periodic auto-compaction: same table contents, bounded files,
+    // still converges through the interleaved compaction commits
+    val src2 = spark.readStream.schema(graft.sources.Tables.events)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q2 = EventsStream.runUpsertToLake(src2, s"$root/lake2",
+      s"$root/ckpt3", compactEveryBatches = 2)
+    q2.stop()
+    val lake2 = graft.sources.LakeLayout.readLake(spark, s"$root/lake2").get
+    assert(lake2.select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == afterB,
+      "compacting drive must produce the same table")
+    assert(lake2.inputFiles.length <= 2,
+      s"compacted live version must be few files, got ${lake2.inputFiles.length}")
   }
 
   test("stream-static join enriches exactly the batch join's rows") {
