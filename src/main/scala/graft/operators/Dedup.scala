@@ -574,6 +574,43 @@ object Dedup {
        SELECT i, j, CAST(shared AS BIGINT) AS shared_fps FROM pairs
        WHERE shared >= $WinnowMinShared ORDER BY i, j"""
 
+  // --------------------------------------- cross-source contamination
+  /** Cross-source contamination matrix — the audit a decontamination
+    * pass starts from: for every SOURCE PAIR, how many distinct
+    * winnowing fingerprints they share (which crawls/dumps leak content
+    * into each other, and how badly — e.g. a benchmark set against the
+    * training sources). Shape: explode fingerprints once, collapse to
+    * DISTINCT (fp, source) — the frame is bounded by fingerprints ×
+    * sources, and the per-fp self-join fans out at most (#sources
+    * choose 2) per fingerprint, with source cardinality bounded by
+    * catalog size, never the corpus. One shuffle on fp, one bounded
+    * aggregate. */
+  def dContaminationMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = d(s, dir)
+    val e = TextAnalysis.winnowFps(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select(explode($"fps").as("fp"), $"source")
+      .distinct()
+    e.as("a").join(e.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(countDistinct(col("a.fp")).as("n_shared_fps"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val dContaminationMatrixSql: String =
+    s"""WITH ${TextAnalysis.winnowFpsSqlCte},
+       e AS (
+         SELECT DISTINCT f.fp, doc.source
+         FROM (SELECT doc_id, unnest(fps) AS fp FROM fps) f
+         JOIN documents doc USING (doc_id)),
+       p AS (
+         SELECT a.fp, a.source AS source_a, b.source AS source_b
+         FROM e a JOIN e b ON a.fp = b.fp AND a.source < b.source)
+       SELECT source_a, source_b, COUNT(DISTINCT fp) AS n_shared_fps
+       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ----------------------------------------------- incremental dedup
   /** Hash-nibble partition standing in for "already ingested" (12/16 ≈
     * 75%) vs "arriving batch" — key-hash routed like every split in this
@@ -745,7 +782,8 @@ object Dedup {
     "d_minhash_lsh_x64" -> (dMinhashLshX64 _),
     "d_simhash_clusters" -> (dSimhashClusters _),
     "d_simhash_pairs" -> (dSimhashPairs _),
-    "d_simhash_pairs_x64" -> ((s: SparkSession, dir: String) => dSimhashPairsX64(s, dir)))
+    "d_simhash_pairs_x64" -> ((s: SparkSession, dir: String) => dSimhashPairsX64(s, dir)),
+    "d_contamination_matrix" -> (dContaminationMatrix _))
 
   val oracle: Map[String, String] = Map(
     "d_exact_stats" -> dExactStatsSql,
@@ -755,5 +793,6 @@ object Dedup {
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_simhash_clusters" -> dSimhashClustersSql,
-    "d_simhash_pairs" -> dSimhashPairsSql)
+    "d_simhash_pairs" -> dSimhashPairsSql,
+    "d_contamination_matrix" -> dContaminationMatrixSql)
 }

@@ -130,6 +130,36 @@ class ComponentsSpec extends SparkSuite {
     labels.unpersist(blocking = false)
   }
 
+  test("property: incremental merge equals full recompute on random graph splits") {
+    // the star-edge re-encoding claim, hammered: random pair sets over a
+    // small id space (dense enough to force chains, merges, and
+    // singletons), randomly split into historical/batch — the incremental
+    // fold must be indistinguishable from recomputing the closure
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nPairs = 6 + rnd.nextInt(10)
+      val pairs = Seq.fill(nPairs) {
+        val i = 1L + rnd.nextInt(14)
+        val j = 1L + rnd.nextInt(14)
+        if (i <= j) (i, j + 1L) else (j, i) // i < j, no self-loops
+      }.distinct
+      val (initial, batch) = pairs.partition(_ => rnd.nextBoolean())
+      // both halves may be empty — the operator must handle each
+      val initialDf = initial.toDF("i", "j")
+      val batchDf = batch.toDF("i", "j")
+      val got = Components.incrementalComponents(
+          Components.connectedComponents(initialDf), batchDf)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+      val want = Components.connectedComponents(
+          initialDf.unionByName(batchDf))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+      assert(got == want,
+        s"trial $trial: initial=$initial batch=$batch got=$got want=$want")
+    }
+  }
+
   test("components leave no cached blocks behind (snapshotted sweeps)") {
     // scoped to the CC core: the composed dDupComponents keeps its pair
     // generators' load-bearing caches alive inside the returned lazy
