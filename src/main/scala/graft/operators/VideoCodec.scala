@@ -15,13 +15,17 @@ import graft.operators.ImageCodec.GrayImage
   * additions).
   *
   * Animated GIF via `javax.imageio`'s sequence API — present in every
-  * JDK 17 and the one JDK-native moving-picture container. Grayscale
-  * frames round-trip bit-exact (a 256-entry gray palette represents
-  * every 8-bit sample; frames are read back through `getRGB`, whose
-  * blue channel IS the gray value for a gray palette — raster band 0
-  * would return palette indices, not luminance). There is no JDK codec
-  * for real inter-frame-compressed video (H.264 etc.); that boundary
-  * would be an FFI swap with the same signatures.
+  * JDK 17 and the one JDK-native moving-picture container. Frames are
+  * read back through `getRGB` (palette-resolved ARGB — raster band 0
+  * would return palette indices) and reduced to BT.601 integer luma
+  * `(299·r + 587·g + 114·b) div 1000`. For a GRAY palette r=g=b=v and
+  * the formula collapses to exactly v, so grayscale frames round-trip
+  * bit-exact; for a COLOR palette it yields true luminance instead of
+  * silently reading one channel (reading `rgb & 0xff` — the pre-guard
+  * code — returned the BLUE channel for color payloads: plausible-wrong
+  * features, the worst failure class). There is no JDK codec for real
+  * inter-frame-compressed video (H.264 etc.); that boundary would be an
+  * FFI swap with the same signatures.
   *
   * Scale notes: identical posture to [[ImageCodec]]/[[AudioCodec]] —
   * encode/decode are pure per-row CPU inside `mapPartitions`, payloads
@@ -88,8 +92,18 @@ object VideoCodec {
             var y = 0
             while (y < h) {
               var x = 0
-              // getRGB: palette-resolved — blue channel = gray sample
-              while (x < w) { out(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+              // getRGB: palette-resolved ARGB → BT.601 integer luma.
+              // Gray palettes (r=g=b=v) reduce to exactly v (bit-exact
+              // round-trip); color palettes get true luminance, never a
+              // single channel masquerading as one.
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+                x += 1
+              }
               y += 1
             }
             f -> GrayImage(w, h, out)

@@ -26,6 +26,44 @@ class VideoCodecSpec extends SparkSuite {
     assert(frames.map(_._1) == Seq(0, 3, 6))
   }
 
+  test("color-palette GIF decodes to true BT.601 luminance, not the blue channel") {
+    // a COLOR GIF (the payload class the pre-guard decoder mis-read):
+    // two solid-color frames whose blue channel differs wildly from
+    // their luminance — pure red (luma 76, blue 0) and pure yellow
+    // (luma 226, blue 0). Few distinct colors, so the GIF writer's
+    // palette holds them exactly.
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.{IIOImage, ImageIO}
+    val colors = Seq(0xFF0000, 0xFFFF00) // red, yellow
+    val (w, h) = (6, 5)
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    def luma601(c: Int): Int =
+      (299 * ((c >> 16) & 0xff) + 587 * ((c >> 8) & 0xff) + 114 * (c & 0xff)) / 1000
+    val (total, frames) = VideoCodec.decodeFrames(bos.toByteArray).get
+    assert(total == 2 && frames.size == 2)
+    frames.foreach { case (f, img) =>
+      val want = luma601(colors(f))
+      val blue = colors(f) & 0xff
+      assert(want != blue, "test colors must distinguish luma from blue")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img(x, y) == want,
+          s"frame $f pixel ($x,$y): got ${img(x, y)}, want luma $want (blue-channel bug would give $blue)")
+    }
+  }
+
   test("decodeFrames returns None for non-GIF and corrupt payloads") {
     assert(VideoCodec.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
     // PNG is not a GIF — the modality dispatch stays unambiguous
