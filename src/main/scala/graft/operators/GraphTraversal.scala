@@ -327,11 +327,13 @@ object GraphTraversal {
     ranks
   }
 
-  /** Top suppliers of the co-purchase graph by PageRank (rows-only:
-    * the fixed-point ranks are engine-local iteration fixpoints with
-    * no closed SQL form; the spec reproduces them bit-exactly with a
-    * driver-side Long reference on planted graphs and pins
-    * Σrank ≈ 1). */
+  /** Top suppliers of the co-purchase graph by PageRank. Fully
+    * oracle-checkable BECAUSE the arithmetic is fixed-point Long with a
+    * FIXED iteration count: the "iterate 6 times" loop unrolls into 6
+    * chained SQL CTEs ([[pPagerankTopSql]]) whose integer division
+    * reproduces every rank bit-exactly — no convergence tolerance, no
+    * float drift. (The driver-side Long reference spec on planted
+    * graphs stays as the second, Spark-free witness.) */
   def pPagerankTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.load(s, dir, "lineitem")
@@ -349,6 +351,48 @@ object GraphTraversal {
       .limit(20)
   }
 
+  /** DuckDB oracle for [[pPagerankTop]]: the fixed-iteration loop
+    * UNROLLED — r1..r6 are chained CTEs, each one edge⋈rank join +
+    * grouped integer update `teleport + (17·Σ(rank div outdeg)) div 20`,
+    * exactly the Spark plan's arithmetic. All operands are non-negative
+    * Longs, so DuckDB `//` (floor) ≡ Spark `div` (truncate); the one
+    * dialect trap is DuckDB's SUM(BIGINT) → HUGEINT, cast back before
+    * the damping multiply so overflow semantics match Long (the sum is
+    * ≤ the scale 10¹⁷, so the cast is lossless). Bidirectional edges
+    * guarantee every node has inflow, making the aggregate-only update
+    * node-complete — same caller contract as the Spark side. */
+  val pPagerankTopSql: String = {
+    val s = PageRankScale
+    val iterCtes = (1 to PageRankIters).map { k =>
+      s"""r$k AS (
+         SELECT eo.dst AS node,
+           (SELECT teleport FROM c)
+             + (17 * CAST(SUM(p.rank_fp // eo.outdeg) AS BIGINT)) // 20
+             AS rank_fp
+         FROM eo JOIN r${k - 1} p ON eo.src = p.node
+         GROUP BY eo.dst)"""
+    }.mkString(",\n       ")
+    s"""WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sp FROM lineitem),
+       und AS (
+         SELECT a.sp AS i, b.sp AS j
+         FROM li a JOIN li b ON a.ok = b.ok AND a.sp < b.sp
+         GROUP BY 1, 2 HAVING COUNT(*) >= $CoPurchaseMinShared),
+       edges AS (SELECT i AS src, j AS dst FROM und
+                 UNION ALL SELECT j, i FROM und),
+       outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       eo AS (SELECT e.src, e.dst, o.outdeg
+              FROM edges e JOIN outd o ON e.src = o.src),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       c AS (SELECT CAST($s // COUNT(*) AS BIGINT) AS r_init,
+                    CAST((3 * $s) // (20 * COUNT(*)) AS BIGINT) AS teleport
+             FROM nodes),
+       r0 AS (SELECT node, (SELECT r_init FROM c) AS rank_fp FROM nodes),
+       $iterCtes
+       SELECT node, rank_fp FROM r$PageRankIters
+       ORDER BY rank_fp DESC, node LIMIT 20"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_graph_2hop" -> (qGraph2Hop _),
     "p_triangle_stats" -> (pTriangleStats _),
@@ -356,5 +400,6 @@ object GraphTraversal {
 
   val oracle: Map[String, String] = Map(
     "p3_graph_2hop" -> qGraph2HopSql,
-    "p_triangle_stats" -> pTriangleStatsSql)
+    "p_triangle_stats" -> pTriangleStatsSql,
+    "p_pagerank_top" -> pPagerankTopSql)
 }
