@@ -53,6 +53,35 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Snapshot a (small) frame to flat parquet and read it back — the
+    * plan-materialization boundary used before handing a frame to an
+    * operator that references it several times or inside a loop. A
+    * `.cache()` keeps the DATA but every downstream action still
+    * re-analyzes/re-optimizes (and for multi-reference plans,
+    * re-executes) the frame's whole logical subtree; the parquet
+    * round-trip makes every consumer start from a leaf scan (measured
+    * on this drive: the md5+window label build and the LSH∪SimHash
+    * pair-generation each ran 3-5× per action without the boundary).
+    * `parts = 1` is right for the batch/label frames this serves —
+    * hundreds of rows; one file means one task per downstream scan. */
+  private[graft] def snapshotFlat(df: DataFrame, tag: String,
+      parts: Int = 1): DataFrame = {
+    val s = df.sparkSession
+    val sc = s.sparkContext
+    val root = sc.getCheckpointDir.getOrElse {
+      require(sc.master.startsWith("local"),
+        "snapshotFlat needs sparkContext.setCheckpointDir pointing at " +
+          "shared storage (HDFS/S3) on a non-local master")
+      java.nio.file.Files.createTempDirectory("graft-snap").toString
+    }
+    val p = s"$root/snap-$tag-${java.util.UUID.randomUUID().toString.take(12)}"
+    val fs = new Path(p).getFileSystem(sc.hadoopConfiguration)
+    // backs the returned lazy frame — reclaimed at JVM exit
+    fs.deleteOnExit(new Path(p))
+    df.coalesce(parts).write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
   /** Min-label connected components over an undirected pair list.
     *
     * @param pairs columns (i, j) — one row per undirected edge
@@ -258,13 +287,26 @@ object Components {
       .select($"doc_id", md5(TextAnalysis.normText($"text")).as("fp"))
     // min-over-window, not groupBy+self-join: one shuffle on fp and the
     // fp frame appears ONCE in the plan (the join form evaluates the
-    // md5 scan twice per action)
-    val labels = fp.withColumn("component",
-        min($"doc_id").over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"fp")))
-      .select($"doc_id", $"component")
-    val batch = Dedup.dMinhashLsh(s, dir).select($"i", $"j")
-      .union(Dedup.dSimhashPairs(s, dir).select($"i", $"j")).distinct()
+    // md5 scan twice per action).
+    // SNAPSHOTTED before the fold: incrementalComponents references the
+    // label table three times (touched join, affected join, anti-join)
+    // and the final csize window reads it again — without the boundary
+    // the md5 scan + window re-ran per reference per action. In
+    // production the label table IS a flat lake scan (LabelStream), so
+    // the snapshot makes the drive measure the production plan shape.
+    val labels = snapshotFlat(
+      fp.withColumn("component",
+          min($"doc_id").over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"fp")))
+        .select($"doc_id", $"component"),
+      "inc-labels")
+    // same boundary for the batch: the LSH∪SimHash pair-generation plan
+    // (12 md5 variants inlined) is referenced by the touched-node union
+    // (twice) and the re-sweep edge build — one execution, three scans.
+    val batch = snapshotFlat(
+      Dedup.dMinhashLsh(s, dir).select($"i", $"j")
+        .union(Dedup.dSimhashPairs(s, dir).select($"i", $"j")).distinct(),
+      "inc-batch")
     val merged = incrementalComponents(labels, batch)
     // csize via a window, not groupBy+self-join: the join form evaluates
     // the merged plan (labels + pair-generation subtrees) TWICE per
