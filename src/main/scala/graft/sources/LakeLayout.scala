@@ -103,8 +103,15 @@ object LakeLayout {
       updates: org.apache.spark.sql.DataFrame,
       key: String): org.apache.spark.sql.DataFrame = {
     require(base.columns.sameElements(updates.columns),
-      "upsert requires identical schemas")
+      s"upsert requires identical schemas: base=${base.columns.mkString(",")} " +
+        s"updates=${updates.columns.mkString(",")}")
+    // re-select base's column order: the USING-clause anti-join moves
+    // the key to the FRONT of its output, and a file-granular commit
+    // that wrote merged files key-first next to carried files in the
+    // original order would give one version inconsistently-ordered
+    // footers (surfaced as a schema mismatch one batch later)
     base.join(updates.select(col(key)), Seq(key), "left_anti")
+      .select(base.columns.map(col).toIndexedSeq: _*)
       .unionByName(updates)
   }
 
@@ -127,36 +134,149 @@ object LakeLayout {
       .saveAsTable(table)
 
   // ------------------------------------------- manifest-pointer commits
-  /** One committed table version: the manifest's pointer plus the
-    * (checkpoint, batchId) provenance used for exactly-once replay
-    * detection. */
+  /** One data file of a committed version: path RELATIVE to the table
+    * root, plus optional min/max stats of the table's merge key. The
+    * stats are what make upserts FILE-GRANULAR: a batch can only touch
+    * files whose [minKey, maxKey] intersects its keys (a base row with
+    * key k lives in a file whose range contains k by definition), so
+    * everything else is carried into the next version by reference.
+    * None = stats unknown → the file is conservatively always
+    * rewritten. */
+  final case class LakeFile(path: String, minKey: Option[Long],
+      maxKey: Option[Long])
+
+  /** One committed table version: the FILE LIST the version is made of
+    * (possibly spanning several data dirs — untouched files are carried
+    * across versions by reference), the dir this version's own write
+    * landed in, and the (checkpoint, batchId) provenance used for
+    * exactly-once replay detection. An empty file list means a legacy
+    * dir-pointer manifest: the version is exactly `dataDir`'s
+    * contents. */
   final case class LakeCommit(version: Long, dataDir: String,
-      checkpoint: String, batchId: Long)
+      checkpoint: String, batchId: Long, files: Seq[LakeFile] = Seq.empty)
 
   private def commitsDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_commits")
   private def versionName(v: Long): String = f"v$v%020d"
+  private def manifestPath(table: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(commitsDir(table), versionName(v) + ".manifest")
 
   /** Manifest-pointer table commits — the atomicity layer a plain-parquet
-    * lake table needs so writers can replace the WHOLE table without a
-    * visibility window (the delete-then-rename swap this replaces left
-    * readers a moment with NO table, and a crash inside that moment
-    * silently rebuilt the lake from one batch's keys). The protocol is
-    * the Delta-log idea stripped to one pointer per version:
-    *  - data for version v is written to `data/v<padded>` — never
-    *    mutated once its manifest exists;
+    * lake table needs so writers can replace table state without a
+    * visibility window. The protocol is the Delta-log core idea:
+    *  - data files for version v are written to `data/v<padded>` —
+    *    never mutated once any manifest references them;
     *  - the commit POINT is one atomic rename of a tmp file to
-    *    `_commits/v<padded>.manifest`, whose content names the data dir
-    *    (plus (checkpoint, batchId) provenance);
-    *  - readers resolve the HIGHEST manifest and read the dir it names —
-    *    they see the old version until the rename lands, the new one
-    *    after, never a mix and never nothing;
+    *    `_commits/v<padded>.manifest`, whose content lists the version's
+    *    data FILES (with per-file key stats) plus (checkpoint, batchId)
+    *    provenance;
+    *  - readers resolve the HIGHEST manifest and read exactly the files
+    *    it lists — they see the old version until the rename lands, the
+    *    new one after, never a mix and never nothing;
     *  - a crash after the data write but before the rename leaves an
     *    orphan data dir no manifest references; the retry recomputes the
     *    same next version number and overwrites it — safe because
     *    unreferenced.
     * Single-writer per table (the streaming-sink contract); the rename
-    * fails loudly if two writers race the same version. */
+    * fails loudly if two writers race the same version.
+    *
+    * Manifest wire format (one file per version):
+    * {{{
+    * format:2
+    * <dataRel>            dir this version's own write landed in
+    * <checkpoint>
+    * <batchId>
+    * f <TAB> relpath <TAB> minKey|- <TAB> maxKey|-   (one per file)
+    * }}}
+    * A 3-line manifest without the `format:2` header is the legacy
+    * dir-pointer form and stays readable (files = empty → read the
+    * dir). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, v: Long): LakeCommit = {
+    val in = fs.open(manifestPath(table, v))
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = content.split("\n")
+    if (lines(0) == "format:2") {
+      def num(s: String): Option[Long] =
+        if (s == "-") None else Some(s.toLong)
+      val files = lines.drop(4).filter(_.startsWith("f\t")).map { ln =>
+        val p = ln.split("\t")
+        LakeFile(p(1), num(p(2)), num(p(3)))
+      }.toSeq
+      LakeCommit(v, lines(1), lines(2), lines(3).toLong, files)
+    } else LakeCommit(v, lines(0), lines(1), lines(2).toLong)
+  }
+
+  /** Atomically publish a version: tmp write + rename (the commit
+    * point). */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
+      checkpoint: String, batchId: Long, files: Seq[LakeFile]): Unit = {
+    fs.mkdirs(commitsDir(table))
+    val body = new StringBuilder()
+      .append("format:2\n").append(dataRel).append('\n')
+      .append(checkpoint).append('\n').append(batchId).append('\n')
+    files.foreach { f =>
+      body.append("f\t").append(f.path).append('\t')
+        .append(f.minKey.map(_.toString).getOrElse("-")).append('\t')
+        .append(f.maxKey.map(_.toString).getOrElse("-")).append('\n')
+    }
+    val tmp = new org.apache.hadoop.fs.Path(commitsDir(table),
+      s".tmp-${versionName(v)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.toString.getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(table, v)),
+      s"manifest commit lost a race: ${manifestPath(table, v)} " +
+        "(tables are single-writer)")
+  }
+
+  /** The files of a just-written data dir, with per-file min/max of
+    * `statsKey` (cast to long; non-castable or absent key → stats
+    * unknown). One column-pruned scan of ONLY the new files — the key
+    * column of the bytes just written, never the table. */
+  private def fileStats(spark: SparkSession, tablePath: String,
+      dataRel: String, statsKey: Option[String]): Seq[LakeFile] = {
+    val dir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tablePath), dataRel)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    if (names.isEmpty) Seq.empty
+    else {
+      val df = spark.read.parquet(s"$tablePath/$dataRel")
+      statsKey.filter(df.columns.contains) match {
+        case Some(k) =>
+          // ≤ one row per new file reaches the driver — bounded
+          val stats = df
+            .groupBy(input_file_name().as("__f"))
+            .agg(min(col(k).cast("long")).as("__lo"),
+              max(col(k).cast("long")).as("__hi"))
+            .collect()
+            .map { r =>
+              val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+              val lo = if (r.isNullAt(1)) None else Some(r.getLong(1))
+              val hi = if (r.isNullAt(2)) None else Some(r.getLong(2))
+              name -> (lo, hi)
+            }.toMap
+          names.map { n =>
+            val (lo, hi) = stats.getOrElse(n, (None, None))
+            LakeFile(s"$dataRel/$n", lo, hi)
+          }
+        case None => names.map(n => LakeFile(s"$dataRel/$n", None, None))
+      }
+    }
+  }
+
+  /** The DataFrame of a commit: explicit file paths (so a pinned reader
+    * keeps its exact version even as newer commits land), or the data
+    * dir for legacy manifests. */
+  private def commitFrame(spark: SparkSession, tablePath: String,
+      c: LakeCommit): DataFrame =
+    if (c.files.isEmpty) spark.read.parquet(s"$tablePath/${c.dataDir}")
+    else spark.read.parquet(c.files.map(f => s"$tablePath/${f.path}"): _*)
+
   def latestLakeCommit(spark: SparkSession, tablePath: String): Option[LakeCommit] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -167,28 +287,23 @@ object LakeLayout {
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
         .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
       if (versions.isEmpty) None
-      else {
-        val v = versions.max
-        val in = fs.open(new org.apache.hadoop.fs.Path(dir, versionName(v) + ".manifest"))
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val lines = content.split("\n")
-        Some(LakeCommit(v, lines(0), lines(1), lines(2).toLong))
-      }
+      else Some(readManifest(fs, table, versions.max))
     }
   }
 
   /** The committed table, resolved through the latest manifest; None
     * before the first commit. */
   def readLake(spark: SparkSession, tablePath: String): Option[DataFrame] =
-    latestLakeCommit(spark, tablePath)
-      .map(c => spark.read.parquet(s"$tablePath/${c.dataDir}"))
+    latestLakeCommit(spark, tablePath).map(commitFrame(spark, tablePath, _))
 
-  /** Write `df` as the next table version and atomically publish it.
-    * Returns the committed version number. */
+  /** Write `df` in FULL as the next table version and atomically
+    * publish it. Pass `statsKey` to record per-file min/max key stats
+    * in the manifest — the metadata [[upsertIntoLake]] needs to later
+    * rewrite only the files a batch touches. Returns the committed
+    * version number. */
   def commitLakeVersion(df: DataFrame, tablePath: String,
-      checkpoint: String, batchId: Long): Long = {
+      checkpoint: String, batchId: Long,
+      statsKey: Option[String] = None): Long = {
     val s = df.sparkSession
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())
@@ -197,16 +312,107 @@ object LakeLayout {
     // overwrite: an orphan dir from a crashed previous attempt at this
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-    fs.mkdirs(commitsDir(table))
-    val tmp = new org.apache.hadoop.fs.Path(commitsDir(table), s".tmp-${versionName(v)}")
-    val out = fs.create(tmp, true)
-    try out.write(s"$dataRel\n$checkpoint\n$batchId\n".getBytes("UTF-8"))
-    finally out.close()
-    val manifest =
-      new org.apache.hadoop.fs.Path(commitsDir(table), versionName(v) + ".manifest")
-    require(fs.rename(tmp, manifest),
-      s"manifest commit lost a race: $manifest (tables are single-writer)")
+    publishManifest(fs, table, v, dataRel, checkpoint, batchId,
+      fileStats(s, tablePath, dataRel, statsKey))
     v
+  }
+
+  /** Per-upsert accounting, returned so callers (and the endurance
+    * spec / SCALE.md) can assert the write amplification: bytesWritten
+    * is the NEW files only; tableBytes the whole committed version. */
+  final case class LakeUpsertResult(version: Long, filesCarried: Int,
+      filesRewritten: Int, filesAdded: Int, bytesWritten: Long,
+      tableBytes: Long)
+
+  /** FILE-GRANULAR upsert commit — the operation that makes a streaming
+    * MERGE sink runnable at 100 TB. The whole-table form ([[upsert]] +
+    * [[commitLakeVersion]]) rewrites O(table) bytes per batch; this
+    * rewrites only the files whose key range intersects the batch:
+    *  1. resolve the current manifest's file list;
+    *  2. a file is TOUCHED iff some batch key falls inside its
+    *     [minKey, maxKey] (evaluated as one small range join: the
+    *     file-range list — ≤ file count, broadcastable — against the
+    *     batch's distinct keys; ≤ one row per file returns to the
+    *     driver). Files without stats are conservatively touched. A
+    *     base row with key k can only live in a file whose range
+    *     contains k, so untouched files provably hold no merged keys;
+    *  3. anti-join + union ONLY over the touched files' rows, written
+    *     to the new version's data dir; per-file stats recomputed from
+    *     the new files alone;
+    *  4. the new manifest lists carried files BY REFERENCE (same path,
+    *     same stats — data dirs are immutable) plus the new files; the
+    *     atomic rename publishes as usual.
+    * After a key-clustered [[compactLake]] the live version's ranges
+    * are disjoint and tight, so a key-local batch touches few files —
+    * write amplification drops from O(table) to O(batch + touched
+    * files). Keys absent from every range (pure inserts) touch nothing
+    * and land only in the new files. First commit on an empty table is
+    * a plain full commit. Bytes written per batch are returned for the
+    * caller to assert/record. */
+  def upsertIntoLake(spark: SparkSession, tablePath: String,
+      updates: DataFrame, key: String, checkpoint: String,
+      batchId: Long): LakeUpsertResult = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
+    }.sum
+    latestLakeCommit(spark, tablePath) match {
+      case None =>
+        val v = commitLakeVersion(updates, tablePath, checkpoint, batchId,
+          Some(key))
+        val files = readManifest(fs, table, v).files
+        val bytes = sizeOf(files.map(_.path))
+        LakeUpsertResult(v, 0, 0, files.size, bytes, bytes)
+      case Some(cur) =>
+        val base = commitFrame(spark, tablePath, cur)
+        require(base.columns.sorted.sameElements(updates.columns.sorted),
+          "upsertIntoLake requires identical column sets")
+        val up = updates.select(base.columns.map(col).toIndexedSeq: _*)
+        // legacy dir-pointer manifests list no files: treat the dir's
+        // contents as one stat-less (always-touched) set — the first
+        // file-granular upsert converts the table to listed form
+        val files =
+          if (cur.files.nonEmpty) cur.files
+          else fs.listStatus(new org.apache.hadoop.fs.Path(table, cur.dataDir))
+            .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+            .map(n => LakeFile(s"${cur.dataDir}/$n", None, None)).toSeq
+        val (stated, statless) =
+          files.partition(f => f.minKey.isDefined && f.maxKey.isDefined)
+        val touchedStated: Set[String] =
+          if (stated.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            val ranges = stated.map(f => (f.path, f.minKey.get, f.maxKey.get))
+              .toDF("__p", "__lo", "__hi")
+            val keys = up.select(col(key).cast("long").as("__k")).distinct()
+            // small-side range semi-join; ≤ one row per file collected
+            ranges.join(keys,
+                col("__k") >= col("__lo") && col("__k") <= col("__hi"),
+                "left_semi")
+              .collect().map(_.getString(0)).toSet
+          }
+        val touched = statless.map(_.path).toSet ++ touchedStated
+        val (rewritten, carried) = files.partition(f => touched(f.path))
+        val v = cur.version + 1
+        val dataRel = s"data/${versionName(v)}"
+        val merged =
+          if (rewritten.isEmpty) up
+          else upsert(
+            // align the subset read to the full table's column order —
+            // multi-file schema inference takes the first footer's
+            // order, which for a subset need not match the full list's
+            spark.read.parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
+              .select(base.columns.map(col).toIndexedSeq: _*),
+            up, key)
+        merged.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+        val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
+        publishManifest(fs, table, v, dataRel, checkpoint, batchId,
+          carried ++ newFiles)
+        val bytesWritten = sizeOf(newFiles.map(_.path))
+        LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
+          bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
+    }
   }
 
   /** Time travel: the table AS OF a specific committed version (must
@@ -217,15 +423,9 @@ object LakeLayout {
       version: Long): DataFrame = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val manifest = new org.apache.hadoop.fs.Path(
-      commitsDir(table), versionName(version) + ".manifest")
-    require(fs.exists(manifest),
+    require(fs.exists(manifestPath(table, version)),
       s"version $version of $tablePath does not exist (or was vacuumed)")
-    val in = fs.open(manifest)
-    val dataRel =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")(0)
-      finally in.close()
-    spark.read.parquet(s"$tablePath/$dataRel")
+    commitFrame(spark, tablePath, readManifest(fs, table, version))
   }
 
   /** All live (un-vacuumed) version numbers, ascending. */
@@ -283,34 +483,58 @@ object LakeLayout {
     val cur = latestLakeCommit(spark, tablePath)
       .getOrElse(throw new IllegalArgumentException(
         s"compactLake: $tablePath has no committed version"))
-    val df = spark.read.parquet(s"$tablePath/${cur.dataDir}")
+    val df = commitFrame(spark, tablePath, cur)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val bytes = df.inputFiles
       .map(f => new org.apache.hadoop.fs.Path(f))
       .map(p => p.getFileSystem(hadoopConf).getFileStatus(p).getLen).sum
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    // statsKey: a compacted version's manifest carries tight DISJOINT
+    // per-file key ranges (repartitionByRange), the layout that makes
+    // the next upsertIntoLake touch few files
     commitLakeVersion(
       df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key)),
-      tablePath, s"compaction:${cur.version}", -1L)
+      tablePath, s"compaction:${cur.version}", -1L, Some(key))
   }
 
-  /** Drop all but the newest `keep` versions: manifest first (so no new
-    * reader can resolve a pointer about to dangle), then the data dir.
-    * `keep ≥ 2` leaves a grace version for readers that resolved just
-    * before a commit. */
+  /** Drop all but the newest `keep` versions — manifests first (so no
+    * new reader can resolve a pointer about to dangle), then every data
+    * file NO KEPT MANIFEST references. File-granular commits share
+    * files across versions by reference, so deletion is reference-
+    * counting over the kept manifests, never a per-version dir drop: a
+    * file written for version v but carried into v+1's list survives
+    * v's manifest. Orphan files from crashed commits (unreferenced by
+    * construction) are reclaimed by the same sweep. Runs inside the
+    * single-writer loop — never concurrently with a commit. `keep ≥ 2`
+    * leaves a grace version for readers that resolved just before a
+    * commit. */
   def vacuumLake(spark: SparkSession, tablePath: String, keep: Int = 2): Unit = {
     require(keep >= 1, "vacuum must keep at least the live version")
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val dir = commitsDir(table)
-    if (fs.exists(dir)) {
-      val versions = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
-        .sorted.reverse.drop(keep)
-      versions.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, versionName(v) + ".manifest"), false)
-        fs.delete(new org.apache.hadoop.fs.Path(table, s"data/${versionName(v)}"), true)
+    if (!fs.exists(dir)) return
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
+      .sorted.reverse
+    val dropped = versions.drop(keep)
+    if (dropped.isEmpty) return
+    val kept = versions.take(keep).map(readManifest(fs, table, _))
+    val refFiles: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
+    // legacy dir-pointer manifests reference their whole dir
+    val refDirs: Set[String] =
+      kept.filter(_.files.isEmpty).map(_.dataDir).toSet
+    dropped.foreach(v => fs.delete(manifestPath(table, v), false))
+    val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { dst =>
+      val dRel = s"data/${dst.getPath.getName}"
+      if (!refDirs.contains(dRel)) {
+        val entries = fs.listStatus(dst.getPath)
+        val (keepF, dropF) = entries.partition(st =>
+          refFiles.contains(s"$dRel/${st.getPath.getName}"))
+        if (keepF.isEmpty) fs.delete(dst.getPath, true)
+        else dropF.foreach(st => fs.delete(st.getPath, false))
       }
     }
   }

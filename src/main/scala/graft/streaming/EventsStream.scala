@@ -252,13 +252,16 @@ object EventsStream {
     * an append log. Each micro-batch:
     *   1. collapses in-batch duplicates per key (highest `ts` wins,
     *      `event_id` tie-break — deterministic under replay);
-    *   2. merges into the current committed version with
-    *      [[graft.sources.LakeLayout.upsert]] (anti-join + union —
-    *      matched keys replaced, new keys appended);
-    *   3. publishes the merge as the NEXT table version through
-    *      [[graft.sources.LakeLayout.commitLakeVersion]]: data lands in
-    *      a fresh immutable dir, the commit point is one atomic
-    *      manifest rename, and readers resolving through
+    *   2. commits the merge FILE-GRANULARLY with
+    *      [[graft.sources.LakeLayout.upsertIntoLake]]: only the files
+    *      whose key range intersects the batch are rewritten
+    *      (anti-join + union over their rows alone); every other file
+    *      is carried into the new version BY REFERENCE. Write
+    *      amplification per batch is O(batch + touched files), never
+    *      O(table) — the property that lets this sink run against a
+    *      100 TB table (the previous whole-table merge rewrote every
+    *      byte every micro-batch). The commit point is one atomic
+    *      manifest rename; readers resolving through
     *      [[graft.sources.LakeLayout.readLake]] see the old version
     *      until that instant — no missing-table window, and a crash on
     *      either side of the rename leaves a fully readable table.
@@ -267,15 +270,17 @@ object EventsStream {
     * log is skipped outright (it is the latest commit — merging it
     * again would be a no-op by idempotence, skipping it is free); a
     * replay from a FRESH checkpoint re-merges, which converges by the
-    * same idempotence. Superseded versions are vacuumed down to 2.
-    * `compactEveryBatches > 0` additionally runs
-    * [[graft.sources.LakeLayout.compactLake]] after every Nth batch —
-    * per-micro-batch commits write at the merge's parallelism and
-    * fragment over time; periodic key-clustered rewrites bound the live
-    * version's file count without blocking readers (a compaction commit
-    * between a crash and its replay is harmless: the replayed merge is
-    * idempotent on the compacted table). Blocks until the finite source
-    * drains (same harness shape as [[runToParquet]]). */
+    * same idempotence. Superseded versions are vacuumed down to 2
+    * (reference-counted: files carried into live manifests survive the
+    * versions that wrote them). `compactEveryBatches > 0` additionally
+    * runs [[graft.sources.LakeLayout.compactLake]] after every Nth
+    * batch — each upsert adds a few files, so the live version
+    * fragments over time; periodic key-clustered rewrites re-tighten
+    * the per-file key ranges (making the NEXT upserts touch few files)
+    * and bound the file count without blocking readers (a compaction
+    * commit between a crash and its replay is harmless: the replayed
+    * merge is idempotent on the compacted table). Blocks until the
+    * finite source drains (same harness shape as [[runToParquet]]). */
   def runUpsertToLake(updates: DataFrame, lakePath: String,
       checkpoint: String, key: String = "user_id",
       compactEveryBatches: Int = 0): StreamingQuery = {
@@ -293,16 +298,8 @@ object EventsStream {
           val deduped = batch
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).drop("rn")
-          val merged = LakeLayout.readLake(s, lakePath) match {
-            case Some(base) =>
-              // the streaming batch's projection can reorder columns
-              // relative to the table on disk — align to the table
-              LakeLayout.upsert(
-                base, deduped.select(base.columns.map(col).toIndexedSeq: _*),
-                key)
-            case None => deduped
-          }
-          LakeLayout.commitLakeVersion(merged, lakePath, checkpoint, batchId)
+          LakeLayout.upsertIntoLake(s, lakePath, deduped, key,
+            checkpoint, batchId)
           LakeLayout.vacuumLake(s, lakePath, keep = 2)
           if (compactEveryBatches > 0 &&
               (batchId + 1) % compactEveryBatches == 0) {

@@ -63,9 +63,14 @@ object LabelStream {
             .getOrElse(emptyLabels(s))
           val merged = Components.incrementalComponents(
             labels, batch.select(col("i"), col("j")))
+          // full-table commit by design: a pair batch can relabel whole
+          // components anywhere in the key space, so there is no
+          // file-local bound on the touched set the way a keyed upsert
+          // has — but stats are recorded so downstream keyed readers
+          // and future file-granular maintenance can use them
           LakeLayout.commitLakeVersion(
             merged.select(col("doc_id"), col("component")),
-            lakePath, checkpoint, batchId)
+            lakePath, checkpoint, batchId, statsKey = Some("doc_id"))
           LakeLayout.vacuumLake(s, lakePath, keep = 2)
         }
       }

@@ -253,6 +253,71 @@ class LakeLayoutSpec extends SparkSuite {
     assert(before.count() == 2000)
   }
 
+  test("file-granular upsert rewrites only key-intersecting files, carries the rest by reference") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-filegran").toString
+    // v0: 4 key-clustered files with disjoint ranges (the compacted shape)
+    val base = spark.range(0, 4000).select($"id", ($"id" % 97).as("v"))
+    LakeLayout.commitLakeVersion(
+      base.repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      table, "ck", 0L, statsKey = Some("id"))
+    val m0 = LakeLayout.latestLakeCommit(spark, table).get
+    assert(m0.files.size == 4, s"want 4 ranged files, got ${m0.files.size}")
+    assert(m0.files.forall(f => f.minKey.isDefined && f.maxKey.isDefined),
+      "every file must carry key stats")
+    def bytesOf(rel: String): (Long, Long) = {
+      val st = new java.io.File(s"$table/$rel")
+      (st.length(), st.lastModified())
+    }
+    val before = m0.files.map(f => f.path -> bytesOf(f.path)).toMap
+
+    // batch: one update inside the lowest range + one pure insert past
+    // every range
+    val r1 = LakeLayout.upsertIntoLake(spark, table,
+      Seq((5L, 1000L), (4200L, 2000L)).toDF("id", "v"), "id", "ck", 1L)
+    assert(r1.filesRewritten == 1 && r1.filesCarried == 3,
+      s"only the range containing key 5 may rewrite: $r1")
+    assert(r1.bytesWritten < r1.tableBytes / 2,
+      s"write amplification must be sub-table: $r1")
+    val m1 = LakeLayout.latestLakeCommit(spark, table).get
+    val carried = m1.files.map(_.path).toSet intersect m0.files.map(_.path).toSet
+    assert(carried.size == 3, "3 of v0's files must appear in v1 verbatim")
+    carried.foreach { p =>
+      assert(bytesOf(p) == before(p), s"carried file $p must be byte-untouched")
+    }
+    // merged content is the batch-applied truth
+    val got = LakeLayout.readLake(spark, table).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 4000L).map(i => i -> (i % 97)).toMap +
+      (5L -> 1000L) + (4200L -> 2000L)
+    assert(got == want)
+    // the key-level diff across the commit is exactly the batch's effect
+    val diff = LakeLayout.lakeDiff(spark, table, 0L, 1L, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(5L -> "update", 4200L -> "insert"), s"got $diff")
+
+    // a pure-insert batch (keys beyond every range) rewrites NOTHING
+    val r2 = LakeLayout.upsertIntoLake(spark, table,
+      Seq((9000L, 1L)).toDF("id", "v"), "id", "ck", 2L)
+    assert(r2.filesRewritten == 0,
+      s"keys outside every file range must touch no file: $r2")
+
+    // vacuum is reference-counting, not per-version dir drops: v0's
+    // carried files are referenced by live manifests and must survive
+    // v0's manifest being dropped
+    LakeLayout.vacuumLake(spark, table, keep = 2)
+    intercept[IllegalArgumentException] {
+      LakeLayout.readLakeVersion(spark, table, 0L)
+    }
+    carried.foreach { p =>
+      assert(new java.io.File(s"$table/$p").isFile,
+        s"carried file $p must survive vacuuming the version that wrote it")
+    }
+    val after = LakeLayout.readLake(spark, table).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == want + (9000L -> 1L), "vacuum must not change the live table")
+  }
+
   test("manifest commits: versioned publish, crash-orphan safety, vacuum") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-manifest").toString
