@@ -298,13 +298,20 @@ object EventsStream {
           val deduped = batch
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).drop("rn")
+          // vacuum grace must cover the commits one batch cycle can
+          // make: with compaction on, a cycle commits TWICE (merge,
+          // then compact) — keep=2 after the compact would drop the
+          // pre-cycle version a concurrent reader resolved moments
+          // earlier (the endurance drive catches exactly this race);
+          // keep=3 leaves it readable until the next cycle
+          val keep = if (compactEveryBatches > 0) 3 else 2
           LakeLayout.upsertIntoLake(s, lakePath, deduped, key,
             checkpoint, batchId)
-          LakeLayout.vacuumLake(s, lakePath, keep = 2)
+          LakeLayout.vacuumLake(s, lakePath, keep = keep)
           if (compactEveryBatches > 0 &&
               (batchId + 1) % compactEveryBatches == 0) {
             LakeLayout.compactLake(s, lakePath, key)
-            LakeLayout.vacuumLake(s, lakePath, keep = 2)
+            LakeLayout.vacuumLake(s, lakePath, keep = keep)
           }
         }
       }

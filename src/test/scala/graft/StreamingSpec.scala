@@ -218,6 +218,102 @@ class StreamingSpec extends SparkSuite {
       s"compacted live version must be few files, got ${lake2.inputFiles.length}")
   }
 
+  test("lake endurance: 21 upsert batches with compaction under a concurrent reader") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-endure")
+    val srcDir = s"$root/src"
+    val lake = s"$root/lake"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+    val m = 60L * 1000000000L
+    // one staged file per micro-batch; mtimes set EXPLICITLY so the file
+    // source processes them in order without per-file sleeps
+    def stage(name: String, order: Int,
+        rows: Seq[(Long, Long, Long)]): Unit = { // (event_id, ts, user_id)
+      rows.toDF("event_id", "ts", "user_id")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$srcDir/$name")
+      val d = new java.io.File(s"$srcDir/$name")
+      (d.listFiles() :+ d).foreach(_.setLastModified(1700000000000L + order * 4000L))
+    }
+    // batch 0: users 0..49; batches 1..20: update 5 contiguous users,
+    // insert one brand-new user each
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def record(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+      all ++= rows; rows
+    }
+    stage("b0", 0, record((0L until 50L).map(u => (u, m, u))))
+    // odd batches UPDATE 5 contiguous existing users (+1 insert); even
+    // batches are PURE INSERTS (keys beyond every file range) — the
+    // class of commit that provably rewrites nothing and carries the
+    // whole previous version by reference
+    for (b <- 1 to 20)
+      stage(s"b$b", b, record(
+        if (b % 2 == 1)
+          (0 until 5).map(i => (1000L + b * 10L + i, m + b * m, b * 2L + i)) :+
+            (2000L + b, m + b * m, 1000L + b)
+        else
+          (0 until 3).map(i => (3000L + b * 10L + i, m + b * m, 1500L + b * 10L + i))))
+    // concurrent reader: resolve + count in a loop for the whole drive;
+    // the manifest protocol + vacuum grace must keep every resolved
+    // version readable
+    @volatile var done = false
+    @volatile var readerError: Option[Throwable] = None
+    var reads = 0L
+    val reader = new Thread(() => {
+      while (!done && readerError.isEmpty) {
+        try {
+          graft.sources.LakeLayout.readLake(spark, lake).foreach { df =>
+            df.count(); reads += 1
+          }
+        } catch { case t: Throwable => readerError = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      val src = spark.readStream.schema(graft.sources.Tables.events)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+      val q = EventsStream.runUpsertToLake(src, lake, s"$root/ckpt",
+        compactEveryBatches = 5)
+      q.stop()
+    } finally {
+      done = true
+      reader.join(30000)
+    }
+    assert(readerError.isEmpty,
+      s"concurrent reader must never throw: ${readerError.map(_.toString)}")
+    assert(reads > 0, "reader must have completed reads during the drive")
+    // bounded versions and files after 21 commits + 4 compactions
+    val manifests = new java.io.File(s"$lake/_commits").listFiles()
+      .count(_.getName.endsWith(".manifest"))
+    assert(manifests <= 3, s"vacuum must bound live versions, got $manifests")
+    val dataFiles = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1L else 0L)
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(s"$lake/data"))
+    }
+    assert(dataFiles <= 50, s"vacuum+compaction must bound files, got $dataFiles")
+    // the last merge commit must carry files from the previous version
+    // by reference — the file-granular property, visible in streaming
+    val last2 = graft.sources.LakeLayout.lakeVersions(spark, lake).takeRight(2)
+    val shared = last2.map(v =>
+      graft.sources.LakeLayout.readLakeVersion(spark, lake, v)
+        .inputFiles.toSet).reduce(_ intersect _)
+    assert(shared.nonEmpty,
+      "consecutive versions must share carried files by reference")
+    // final table = batch-computed truth (latest (ts, event_id) per user)
+    val want = all.groupBy(_._3).map { case (u, rows) =>
+      u -> rows.maxBy(r => (r._2, r._1))._1
+    }
+    val got = graft.sources.LakeLayout.readLake(spark, lake).get
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "endurance drive must converge to the batch truth")
+  }
+
   test("stream-static join enriches exactly the batch join's rows") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.load(spark, sfDir, "events")
