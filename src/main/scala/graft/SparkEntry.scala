@@ -20,7 +20,8 @@ object SparkEntry {
       Multimodal.queries ++ HybridRetrieval.queries ++
       GraphTraversal.queries ++ AdvancedQueries.queries ++
       AsOfJoin.queries ++ Sampling.queries ++
-      graft.sources.LakeLayout.queries
+      graft.sources.LakeLayout.queries ++
+      graft.streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       Multimodal.oracle ++ HybridRetrieval.oracle ++
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
       AsOfJoin.oracle ++ Sampling.oracle ++
-      graft.sources.LakeLayout.oracle
+      graft.sources.LakeLayout.oracle ++
+      graft.streaming.EventsStream.oracle
 }

@@ -212,6 +212,67 @@ object EventsStream {
   def enrichWithStatic(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(userDim, Seq("user_id"))
 
+  /** Registry twin of [[enrichWithStatic]] with the static side served
+    * THROUGH THE LAKE: the per-user purchase dimension is committed as
+    * a manifest version ([[graft.sources.LakeLayout.commitLakeVersion]])
+    * and resolved back via [[graft.sources.LakeLayout.readLake]], so the
+    * oracle-checked plan exercises the exact read path a production
+    * stream-static join uses (Spark re-plans the static relation per
+    * micro-batch, picking up atomically-swapped lake versions — the
+    * StreamingSpec drive pins stream/batch join parity; this query pins
+    * the batch side against DuckDB). All-integer aggregates keep the
+    * hash compare exact. */
+  def qStreamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.sources.Tables.load(s, dir, "events")
+    // µs truncation: Spark reads ts as raw int64 nanoseconds while
+    // DuckDB resolves the same parquet column at timestamp[µs] — the
+    // sub-µs digits exist on one side only
+    val dim = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        min(expr("ts div 1000")).as("first_purchase_us"))
+    val sc = s.sparkContext
+    val root = sc.getCheckpointDir.getOrElse {
+      require(sc.master.startsWith("local"),
+        "qStreamStaticEnrich needs sparkContext.setCheckpointDir pointing " +
+          "at shared storage (HDFS/S3) on a non-local master")
+      java.nio.file.Files.createTempDirectory("graft-dim-lake").toString
+    }
+    val lakePath =
+      s"$root/dim-${java.util.UUID.randomUUID().toString.take(12)}"
+    graft.sources.LakeLayout.commitLakeVersion(dim, lakePath,
+      "registry-dim", 0L, statsKey = Some("user_id"))
+    val staticDim = graft.sources.LakeLayout.readLake(s, lakePath).get
+    enrichWithStatic(ev, staticDim)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_enriched"),
+        sum($"n_purchases").as("sum_purchases"),
+        min($"first_purchase_us").as("min_first_purchase_us"))
+      .orderBy($"event_type")
+  }
+
+  /** DuckDB oracle: the dimension as a subquery (the lake round-trip is
+    * semantically the identity), inner join = enrichWithStatic's
+    * contract. */
+  val qStreamStaticEnrichSql: String =
+    """WITH dim AS (
+         SELECT user_id, COUNT(*) AS n_purchases,
+           MIN(epoch_us(ts)) AS first_purchase_us
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT e.event_type,
+         COUNT(*) AS n_enriched,
+         CAST(SUM(d.n_purchases) AS BIGINT) AS sum_purchases,
+         MIN(d.first_purchase_us) AS min_first_purchase_us
+       FROM events e JOIN dim d ON e.user_id = d.user_id
+       GROUP BY e.event_type ORDER BY e.event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_static_enrich" -> (qStreamStaticEnrich _))
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_static_enrich" -> qStreamStaticEnrichSql)
+
   /** Run a streaming query to a named in-memory sink and block until the
     * (finite, file-backed) source drains — the local test harness for a
     * pipeline that runs unbounded in production. */
