@@ -324,6 +324,39 @@ object LakeLayout {
       filesRewritten: Int, filesAdded: Int, bytesWritten: Long,
       tableBytes: Long)
 
+  /** A commit's file list, with legacy dir-pointer manifests resolved
+    * to one stat-less (always-touched) entry per file — the first
+    * file-granular operation converts the table to listed form. */
+  private def resolveFiles(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, cur: LakeCommit): Seq[LakeFile] =
+    if (cur.files.nonEmpty) cur.files
+    else fs.listStatus(new org.apache.hadoop.fs.Path(table, cur.dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => LakeFile(s"${cur.dataDir}/$n", None, None)).toSeq
+
+  /** The subset of `files` some key in `keys` can live in: range
+    * semi-join of the (small, broadcastable) file-range list against
+    * the distinct keys; stat-less files are conservatively touched.
+    * ≤ one row per file reaches the driver. */
+  private def touchedFilePaths(spark: SparkSession, files: Seq[LakeFile],
+      keys: DataFrame, key: String): Set[String] = {
+    val (stated, statless) =
+      files.partition(f => f.minKey.isDefined && f.maxKey.isDefined)
+    val touchedStated: Set[String] =
+      if (stated.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val ranges = stated.map(f => (f.path, f.minKey.get, f.maxKey.get))
+          .toDF("__p", "__lo", "__hi")
+        val k = keys.select(col(key).cast("long").as("__k")).distinct()
+        ranges.join(k,
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"),
+            "left_semi")
+          .collect().map(_.getString(0)).toSet
+      }
+    statless.map(_.path).toSet ++ touchedStated
+  }
+
   /** FILE-GRANULAR upsert commit — the operation that makes a streaming
     * MERGE sink runnable at 100 TB. The whole-table form ([[upsert]] +
     * [[commitLakeVersion]]) rewrites O(table) bytes per batch; this
@@ -369,30 +402,8 @@ object LakeLayout {
         require(base.columns.sorted.sameElements(updates.columns.sorted),
           "upsertIntoLake requires identical column sets")
         val up = updates.select(base.columns.map(col).toIndexedSeq: _*)
-        // legacy dir-pointer manifests list no files: treat the dir's
-        // contents as one stat-less (always-touched) set — the first
-        // file-granular upsert converts the table to listed form
-        val files =
-          if (cur.files.nonEmpty) cur.files
-          else fs.listStatus(new org.apache.hadoop.fs.Path(table, cur.dataDir))
-            .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-            .map(n => LakeFile(s"${cur.dataDir}/$n", None, None)).toSeq
-        val (stated, statless) =
-          files.partition(f => f.minKey.isDefined && f.maxKey.isDefined)
-        val touchedStated: Set[String] =
-          if (stated.isEmpty) Set.empty
-          else {
-            import spark.implicits._
-            val ranges = stated.map(f => (f.path, f.minKey.get, f.maxKey.get))
-              .toDF("__p", "__lo", "__hi")
-            val keys = up.select(col(key).cast("long").as("__k")).distinct()
-            // small-side range semi-join; ≤ one row per file collected
-            ranges.join(keys,
-                col("__k") >= col("__lo") && col("__k") <= col("__hi"),
-                "left_semi")
-              .collect().map(_.getString(0)).toSet
-          }
-        val touched = statless.map(_.path).toSet ++ touchedStated
+        val files = resolveFiles(fs, table, cur)
+        val touched = touchedFilePaths(spark, files, up, key)
         val (rewritten, carried) = files.partition(f => touched(f.path))
         val v = cur.version + 1
         val dataRel = s"data/${versionName(v)}"
@@ -414,6 +425,70 @@ object LakeLayout {
           bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
     }
   }
+
+  /** FILE-GRANULAR delete — the removal operation a training-data
+    * pipeline needs for takedowns and decontamination: rows whose key
+    * appears in `deletes` vanish from the table. Only the files whose
+    * key range intersects the delete set are rewritten (anti-join away
+    * the deleted keys); every other file carries by reference — cost
+    * O(delete set + touched files), never O(table). A delete set
+    * hitting nothing publishes a no-op version (provenance still
+    * recorded, so replay detection works for delete batches too). */
+  def deleteFromLake(spark: SparkSession, tablePath: String,
+      deletes: DataFrame, key: String, checkpoint: String,
+      batchId: Long): LakeUpsertResult = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
+    }.sum
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"deleteFromLake: $tablePath has no committed version"))
+    val files = resolveFiles(fs, table, cur)
+    val touched = touchedFilePaths(spark, files, deletes, key)
+    val (rewritten, carried) = files.partition(f => touched(f.path))
+    val v = cur.version + 1
+    val dataRel = s"data/${versionName(v)}"
+    val newFiles =
+      if (rewritten.isEmpty) Seq.empty
+      else {
+        spark.read.parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
+          .join(deletes.select(col(key)).distinct(), Seq(key), "left_anti")
+          .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+        fileStats(spark, tablePath, dataRel, Some(key))
+      }
+    publishManifest(fs, table, v, dataRel, checkpoint, batchId,
+      carried ++ newFiles)
+    val bytesWritten = sizeOf(newFiles.map(_.path))
+    LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
+      bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
+  }
+
+  /** Key-range read with FILE PRUNING from manifest stats — the
+    * data-skipping read path (Delta/Iceberg's core read optimization):
+    * files whose [minKey, maxKey] cannot intersect [lo, hi] are never
+    * handed to Spark at all, so the FileIndex, the tasks, and the scan
+    * cover only candidate files; the residual row filter runs on top
+    * (and still prunes row groups via parquet footer stats within each
+    * candidate). On a key-clustered table a point/range lookup scans a
+    * handful of files out of thousands. Stat-less files are always
+    * candidates. None before the first commit. */
+  def readLakeKeyRange(spark: SparkSession, tablePath: String,
+      key: String, lo: Long, hi: Long): Option[DataFrame] =
+    latestLakeCommit(spark, tablePath).map { c =>
+      val frame =
+        if (c.files.isEmpty) spark.read.parquet(s"$tablePath/${c.dataDir}")
+        else {
+          val hit = c.files.filter(f => (f.minKey, f.maxKey) match {
+            case (Some(a), Some(b)) => b >= lo && a <= hi
+            case _ => true
+          })
+          if (hit.isEmpty) commitFrame(spark, tablePath, c).limit(0)
+          else spark.read.parquet(hit.map(f => s"$tablePath/${f.path}"): _*)
+        }
+      frame.filter(col(key) >= lo && col(key) <= hi)
+    }
 
   /** Time travel: the table AS OF a specific committed version (must
     * not have been vacuumed). The version list is the audit surface a
@@ -495,6 +570,49 @@ object LakeLayout {
     commitLakeVersion(
       df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key)),
       tablePath, s"compaction:${cur.version}", -1L, Some(key))
+  }
+
+  /** PARTIAL compaction: consolidate only the files under
+    * `smallFileMB` into ~`targetFileMB` key-clustered files; files
+    * already at size are carried by reference, byte-untouched. This is
+    * the compaction a 100 TB table actually runs: [[compactLake]]
+    * rewrites the WHOLE table — O(table) bytes, the same scale-killer
+    * the file-granular upsert removed, one level up — while this costs
+    * O(recently-written small bytes) per invocation. Streaming upserts
+    * add a few small files per batch; running this periodically keeps
+    * the steady state at "a few large files + the most recent batches'
+    * small files" with bounded work per cycle. The consolidated files'
+    * key ranges may overlap the carried large files' ranges (no global
+    * re-sort) — upsert touch-sets and range reads handle overlap
+    * correctly, exactly as Delta/Iceberg live with overlapping file
+    * ranges between compactions. No-op (current version returned) when
+    * fewer than two small files exist. Published through the same
+    * atomic manifest rename; [[lakeDiff]] across it is empty. */
+  def compactLakeSmallFiles(spark: SparkSession, tablePath: String,
+      key: String, smallFileMB: Int = 32, targetFileMB: Int = 128): Long = {
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"compactLakeSmallFiles: $tablePath has no committed version"))
+    // legacy dir-pointer manifests: full compaction converts to listed
+    // form first
+    if (cur.files.isEmpty) return compactLake(spark, tablePath, key, targetFileMB)
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val sized = cur.files.map(f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(table, f.path)).getLen)
+    val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
+    if (small.size < 2) return cur.version
+    val bytes = small.map(_._2).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val v = cur.version + 1
+    val dataRel = s"data/${versionName(v)}"
+    spark.read.parquet(small.map(f => s"$tablePath/${f._1.path}"): _*)
+      .repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+    publishManifest(fs, table, v, dataRel,
+      s"compaction-small:${cur.version}", -1L,
+      big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)))
+    v
   }
 
   /** Drop all but the newest `keep` versions — manifests first (so no

@@ -371,7 +371,10 @@ object EventsStream {
           LakeLayout.vacuumLake(s, lakePath, keep = keep)
           if (compactEveryBatches > 0 &&
               (batchId + 1) % compactEveryBatches == 0) {
-            LakeLayout.compactLake(s, lakePath, key)
+            // PARTIAL compaction: consolidates only the small files the
+            // recent batches added — O(recent bytes) per cycle, never
+            // O(table); at-size files carry by reference
+            LakeLayout.compactLakeSmallFiles(s, lakePath, key)
             LakeLayout.vacuumLake(s, lakePath, keep = keep)
           }
         }

@@ -318,6 +318,86 @@ class LakeLayoutSpec extends SparkSuite {
     assert(after == want + (9000L -> 1L), "vacuum must not change the live table")
   }
 
+  test("partial compaction consolidates small files only; range reads prune by stats; delete is file-granular") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-partial").toString
+    // v0: ONE large file (~8 MB, above the 1 MB small-file threshold
+    // used below) holding keys 0..199999
+    val bigDf = spark.range(0, 200000).select($"id",
+      md5($"id".cast("string")).as("payload"))
+    LakeLayout.commitLakeVersion(bigDf.coalesce(1), table, "ck", 0L,
+      statsKey = Some("id"))
+    val bigFile = LakeLayout.latestLakeCommit(spark, table).get.files match {
+      case Seq(f) => f
+      case other => fail(s"want one big file, got $other")
+    }
+    def statOf(rel: String): (Long, Long) = {
+      val f = new java.io.File(s"$table/$rel")
+      (f.length(), f.lastModified())
+    }
+    assert(statOf(bigFile.path)._1 > 1024 * 1024, "setup: file must exceed 1 MB")
+    val bigStat = statOf(bigFile.path)
+
+    // three small upsert batches → three fragments next to the big file
+    for (b <- 1 to 3)
+      LakeLayout.upsertIntoLake(spark, table,
+        Seq((500000L + b, "x")).toDF("id", "payload"), "id", "ck", b.toLong)
+    val frag = LakeLayout.latestLakeCommit(spark, table).get.files
+    assert(frag.size == 4, s"big + 3 fragments, got ${frag.size}")
+
+    // partial compaction: fragments consolidate, the big file is
+    // carried byte-untouched (a full compaction would rewrite 8 MB)
+    val v = LakeLayout.compactLakeSmallFiles(spark, table, "id",
+      smallFileMB = 1)
+    val compacted = LakeLayout.latestLakeCommit(spark, table).get
+    assert(compacted.version == v)
+    assert(compacted.files.map(_.path).contains(bigFile.path),
+      "large file must carry by reference")
+    assert(statOf(bigFile.path) == bigStat, "large file must be byte-untouched")
+    assert(compacted.files.size == 2,
+      s"3 fragments must consolidate to 1, got ${compacted.files.map(_.path)}")
+    assert(LakeLayout.lakeDiff(spark, table, v - 1, v, "id").count() == 0L,
+      "compaction moves bytes, not rows")
+    // idempotent: a second pass has nothing to consolidate
+    assert(LakeLayout.compactLakeSmallFiles(spark, table, "id",
+      smallFileMB = 1) == v, "no-op when fewer than two small files")
+
+    // stats-pruned range read: a key band inside the SMALL consolidated
+    // file's range must not scan the 8 MB file
+    val ranged = LakeLayout.readLakeKeyRange(spark, table, "id",
+      500001L, 500003L).get
+    assert(ranged.count() == 3)
+    assert(ranged.inputFiles.length == 1 &&
+      !ranged.inputFiles.head.contains(bigFile.path.split('/').last),
+      s"range read must prune the non-intersecting large file: ${ranged.inputFiles.toSeq}")
+    // and an empty band beyond every range reads nothing
+    assert(LakeLayout.readLakeKeyRange(spark, table, "id",
+      900000L, 900010L).get.count() == 0)
+    // parity with the unpruned filter
+    val full = LakeLayout.readLake(spark, table).get
+      .filter($"id".between(500001L, 500003L))
+    assert(ranged.exceptAll(full).count() == 0 &&
+      full.exceptAll(ranged).count() == 0)
+
+    // file-granular delete: keys in the small file only → the big file
+    // carries again; deleted keys vanish; diff records the deletes
+    val before = LakeLayout.readLake(spark, table).get.count()
+    val r = LakeLayout.deleteFromLake(spark, table,
+      Seq(500001L, 500002L).toDF("id"), "id", "ck-del", 99L)
+    assert(r.filesRewritten == 1 && r.bytesWritten < bigStat._1 / 4,
+      s"delete must rewrite only the small file: $r")
+    assert(statOf(bigFile.path) == bigStat)
+    assert(LakeLayout.readLake(spark, table).get.count() == before - 2)
+    val diff = LakeLayout.lakeDiff(spark, table, r.version - 1, r.version, "id")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(diff == Map(500001L -> "delete", 500002L -> "delete"), s"got $diff")
+    // a miss-everything delete publishes a no-op version
+    val r2 = LakeLayout.deleteFromLake(spark, table,
+      Seq(999999L).toDF("id"), "id", "ck-del", 100L)
+    assert(r2.filesRewritten == 0 &&
+      LakeLayout.readLake(spark, table).get.count() == before - 2)
+  }
+
   test("manifest commits: versioned publish, crash-orphan safety, vacuum") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-manifest").toString
