@@ -781,9 +781,91 @@ object LakeLayout {
        FROM keyed GROUP BY event_type ORDER BY event_type"""
   }
 
+  // ------------------------------------- lake lifecycle registry drives
+  private def registryLakeRoot(s: SparkSession): String = {
+    val sc = s.sparkContext
+    sc.getCheckpointDir.getOrElse {
+      require(sc.master.startsWith("local"),
+        "lake registry drives need sparkContext.setCheckpointDir pointing " +
+          "at shared storage (HDFS/S3) on a non-local master")
+      java.nio.file.Files.createTempDirectory("graft-lake-reg").toString
+    } + s"/lake-${java.util.UUID.randomUUID().toString.take(12)}"
+  }
+
+  /** Oracle-checked drive of [[deleteFromLake]]: orders committed
+    * key-clustered, every key ≡ 3 (mod 10) deleted file-granularly, the
+    * survivors aggregated. The oracle is a plain anti-filter — any rows
+    * the delete path loses, keeps, or duplicates break the hash.
+    * All-integer outputs. */
+  def qLakeDelete(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      orders.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    deleteFromLake(s, lake,
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey")),
+      "o_orderkey", "registry", 1L)
+    readLake(s, lake).get
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qLakeDeleteSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       FROM orders WHERE o_orderkey % 10 <> 3
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Oracle-checked drive of [[readLakeKeyRange]]: orders committed
+    * key-clustered across several files, the middle-quarter key band
+    * (derived from the table's own min/max in exact integer math, so
+    * it is non-empty at every sf) read through the stats-pruned path —
+    * only intersecting files reach the scan — then aggregated per
+    * priority. Oracle = the same band as a WHERE clause; the pruning
+    * must be invisible in the result. The min/max pair is the one
+    * bounded scalar that reaches the driver (same posture as
+    * pageRank's teleport constant). */
+  def qLakeRangeRead(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val ext = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (ext.getLong(0), ext.getLong(1))
+    val (lo, hi) = ((3 * mn + mx) / 4, (mn + mx) / 2)
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    readLakeKeyRange(s, lake, "o_orderkey", lo, hi).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qLakeRangeReadSql: String =
+    """WITH ext AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+                    FROM orders)
+       SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       FROM orders, ext
+       WHERE o_orderkey BETWEEN (3 * mn + mx) // 4 AND (mn + mx) // 2
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zorder_key_stats" -> (qZorderKeyStats _))
+    "q_zorder_key_stats" -> (qZorderKeyStats _),
+    "q_lake_delete" -> (qLakeDelete _),
+    "q_lake_range_read" -> (qLakeRangeRead _))
 
   val oracle: Map[String, String] = Map(
-    "q_zorder_key_stats" -> qZorderKeyStatsSql)
+    "q_zorder_key_stats" -> qZorderKeyStatsSql,
+    "q_lake_delete" -> qLakeDeleteSql,
+    "q_lake_range_read" -> qLakeRangeReadSql)
 }
