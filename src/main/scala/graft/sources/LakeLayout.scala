@@ -177,8 +177,9 @@ object LakeLayout {
     *    orphan data dir no manifest references; the retry recomputes the
     *    same next version number and overwrites it — safe because
     *    unreferenced.
-    * Single-writer per table (the streaming-sink contract); the rename
-    * fails loudly if two writers race the same version.
+    * Writers: the streaming sink is single-writer per table (a lost
+    * race fails loudly); concurrent writers use [[upsertIntoLakeOcc]],
+    * which layers optimistic retry over the same atomic claim.
     *
     * Manifest wire format (one file per version):
     * {{{
@@ -210,10 +211,32 @@ object LakeLayout {
   }
 
   /** Atomically publish a version: tmp write + rename (the commit
-    * point). */
+    * point). Single-writer form — a lost race fails loudly. Concurrent
+    * writers go through [[tryPublishManifest]] (the OCC commit point). */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
-      checkpoint: String, batchId: Long, files: Seq[LakeFile]): Unit = {
+      checkpoint: String, batchId: Long, files: Seq[LakeFile]): Unit =
+    require(tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
+        files),
+      s"manifest commit lost a race: ${manifestPath(table, v)} " +
+        "(single-writer caller; use the OCC path for concurrent writers)")
+
+  /** Attempt to claim version `v`: tmp write + an ATOMIC claim of the
+    * manifest path. Returns false iff another writer already claimed
+    * this version number — the OCC conflict signal. The claim must
+    * stay atomic under contention:
+    *  - on the local filesystem Hadoop's rename silently REPLACES an
+    *    existing destination (java.io.File.renameTo → POSIX rename(2)),
+    *    so a raced rename would overwrite a published commit; the claim
+    *    is a hard link instead — link(2) fails EEXIST atomically;
+    *  - on HDFS-like stores, rename-without-overwrite is atomic and
+    *    fails if the destination exists (the FileSystem contract), so
+    *    the rename itself is the claim.
+    * `tmpTag` keeps racing writers' tmp files from colliding. */
+  private def tryPublishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
+      checkpoint: String, batchId: Long, files: Seq[LakeFile],
+      tmpTag: String = ""): Boolean = {
     fs.mkdirs(commitsDir(table))
     val body = new StringBuilder()
       .append("format:2\n").append(dataRel).append('\n')
@@ -224,13 +247,25 @@ object LakeLayout {
         .append(f.maxKey.map(_.toString).getOrElse("-")).append('\n')
     }
     val tmp = new org.apache.hadoop.fs.Path(commitsDir(table),
-      s".tmp-${versionName(v)}")
+      s".tmp-$tmpTag${versionName(v)}")
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, manifestPath(table, v)),
-      s"manifest commit lost a race: ${manifestPath(table, v)} " +
-        "(tables are single-writer)")
+    val dst = manifestPath(table, v)
+    val claimed =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    // the link path and a failed claim both leave the tmp file behind
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    claimed
   }
 
   /** The files of a just-written data dir, with per-file min/max of
@@ -384,7 +419,21 @@ object LakeLayout {
     * caller to assert/record. */
   def upsertIntoLake(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String, checkpoint: String,
-      batchId: Long): LakeUpsertResult = {
+      batchId: Long): LakeUpsertResult =
+    upsertAttempt(spark, tablePath, updates, key, checkpoint, batchId, "")
+      .getOrElse(throw new IllegalStateException(
+        s"upsertIntoLake lost a commit race on $tablePath (single-writer " +
+          "contract); concurrent writers must use upsertIntoLakeOcc"))
+
+  /** One upsert attempt against the CURRENT snapshot. Returns None iff
+    * another writer claimed the target version number first; the
+    * attempt's own data dir is deleted on that path (it is referenced
+    * by nothing). `dirTag` makes racing writers' data dirs disjoint —
+    * without it two writers racing version N would interleave bytes in
+    * the same `data/vN` before the claim decides the winner. */
+  private def upsertAttempt(spark: SparkSession, tablePath: String,
+      updates: DataFrame, key: String, checkpoint: String,
+      batchId: Long, dirTag: String): Option[LakeUpsertResult] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
@@ -392,11 +441,18 @@ object LakeLayout {
     }.sum
     latestLakeCommit(spark, tablePath) match {
       case None =>
-        val v = commitLakeVersion(updates, tablePath, checkpoint, batchId,
-          Some(key))
-        val files = readManifest(fs, table, v).files
-        val bytes = sizeOf(files.map(_.path))
-        LakeUpsertResult(v, 0, 0, files.size, bytes, bytes)
+        val v = 0L
+        val dataRel = s"data/${versionName(v)}$dirTag"
+        updates.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+        val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
+        if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
+            newFiles, dirTag)) {
+          val bytes = sizeOf(newFiles.map(_.path))
+          Some(LakeUpsertResult(v, 0, 0, newFiles.size, bytes, bytes))
+        } else {
+          fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
+          None
+        }
       case Some(cur) =>
         val base = commitFrame(spark, tablePath, cur)
         require(base.columns.sorted.sameElements(updates.columns.sorted),
@@ -406,7 +462,7 @@ object LakeLayout {
         val touched = touchedFilePaths(spark, files, up, key)
         val (rewritten, carried) = files.partition(f => touched(f.path))
         val v = cur.version + 1
-        val dataRel = s"data/${versionName(v)}"
+        val dataRel = s"data/${versionName(v)}$dirTag"
         val merged =
           if (rewritten.isEmpty) up
           else upsert(
@@ -418,11 +474,71 @@ object LakeLayout {
             up, key)
         merged.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
-        publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-          carried ++ newFiles)
-        val bytesWritten = sizeOf(newFiles.map(_.path))
-        LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
-          bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
+        if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
+            carried ++ newFiles, dirTag)) {
+          val bytesWritten = sizeOf(newFiles.map(_.path))
+          Some(LakeUpsertResult(v, carried.size, rewritten.size,
+            newFiles.size, bytesWritten,
+            bytesWritten + sizeOf(carried.map(_.path))))
+        } else {
+          fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
+          None
+        }
+    }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY upsert — the multi-writer commit protocol
+    * (Delta/Iceberg's optimistic transaction core). Each attempt merges
+    * against the latest snapshot, writes its rows to a WRITER-UNIQUE
+    * data dir, and tries to claim the next version number via the
+    * atomic manifest claim ([[tryPublishManifest]]). Losing the claim
+    * means another writer committed first: the loser deletes its
+    * unreferenced attempt dir and recomputes against the new snapshot.
+    *
+    * The schedule is SERIALIZABLE by construction — every published
+    * version's merge was computed against exactly its predecessor
+    * snapshot, so the table history equals applying the committed
+    * batches in version order; lost updates are impossible even when
+    * writers touch the same keys. A retry costs O(batch + touched
+    * files), never O(table) — the file-granular rewrite is what makes
+    * optimistic retries affordable at 100 TB. A writer that crashes
+    * mid-attempt leaves an unreferenced dir that [[vacuumLake]]'s
+    * orphan sweep reclaims.
+    *
+    * Replay detection under concurrency must scan all live versions
+    * (another writer's commit may be the latest) — see
+    * [[lakeHasCommit]]. `writerId` doubles as the commit's checkpoint
+    * provenance. */
+  def upsertIntoLakeOcc(spark: SparkSession, tablePath: String,
+      updates: DataFrame, key: String, writerId: String,
+      batchId: Long, maxAttempts: Int = 8): LakeUpsertResult = {
+    require(writerId.nonEmpty && !writerId.contains("/"),
+      "writerId must be a non-empty path-safe token")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      upsertAttempt(spark, tablePath, updates, key, writerId, batchId,
+          s"-$writerId") match {
+        case Some(r) => return r
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"upsertIntoLakeOcc: $maxAttempts consecutive commit conflicts on " +
+        s"$tablePath — raise maxAttempts or reduce writer fan-in")
+  }
+
+  /** Whether any LIVE version carries this (checkpoint, batchId)
+    * provenance — exactly-once replay detection for concurrent
+    * writers, where the latest manifest may belong to a different
+    * writer. Cost: one small manifest read per live version (vacuum
+    * bounds those). */
+  def lakeHasCommit(spark: SparkSession, tablePath: String,
+      checkpoint: String, batchId: Long): Boolean = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    lakeVersions(spark, tablePath).exists { v =>
+      val c = readManifest(fs, table, v)
+      c.checkpoint == checkpoint && c.batchId == batchId
     }
   }
 
@@ -501,6 +617,17 @@ object LakeLayout {
     require(fs.exists(manifestPath(table, version)),
       s"version $version of $tablePath does not exist (or was vacuumed)")
     commitFrame(spark, tablePath, readManifest(fs, table, version))
+  }
+
+  /** The commit record (provenance + file list) of a live version —
+    * the inspection API audits and the OCC serializability spec use. */
+  def lakeCommitAt(spark: SparkSession, tablePath: String,
+      version: Long): LakeCommit = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(manifestPath(table, version)),
+      s"version $version of $tablePath does not exist (or was vacuumed)")
+    readManifest(fs, table, version)
   }
 
   /** All live (un-vacuumed) version numbers, ascending. */
