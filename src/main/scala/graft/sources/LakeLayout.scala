@@ -151,9 +151,13 @@ object LakeLayout {
     * landed in, and the (checkpoint, batchId) provenance used for
     * exactly-once replay detection. An empty file list means a legacy
     * dir-pointer manifest: the version is exactly `dataDir`'s
-    * contents. */
+    * contents. `schemaJson` is the version's TABLE schema (Iceberg's
+    * schema-in-metadata idea): readers apply it to every listed file,
+    * so files written before a column existed null-fill it without any
+    * footer merging; None on legacy manifests → infer from footers. */
   final case class LakeCommit(version: Long, dataDir: String,
-      checkpoint: String, batchId: Long, files: Seq[LakeFile] = Seq.empty)
+      checkpoint: String, batchId: Long, files: Seq[LakeFile] = Seq.empty,
+      schemaJson: Option[String] = None)
 
   private def commitsDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_commits")
@@ -199,14 +203,15 @@ object LakeLayout {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = content.split("\n")
-    if (lines(0) == "format:2") {
+    if (lines(0) == "format:2" || lines(0) == "format:3") {
       def num(s: String): Option[Long] =
         if (s == "-") None else Some(s.toLong)
       val files = lines.drop(4).filter(_.startsWith("f\t")).map { ln =>
         val p = ln.split("\t")
         LakeFile(p(1), num(p(2)), num(p(3)))
       }.toSeq
-      LakeCommit(v, lines(1), lines(2), lines(3).toLong, files)
+      val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
+      LakeCommit(v, lines(1), lines(2), lines(3).toLong, files, schema)
     } else LakeCommit(v, lines(0), lines(1), lines(2).toLong)
   }
 
@@ -215,9 +220,10 @@ object LakeLayout {
     * writers go through [[tryPublishManifest]] (the OCC commit point). */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
-      checkpoint: String, batchId: Long, files: Seq[LakeFile]): Unit =
+      checkpoint: String, batchId: Long, files: Seq[LakeFile],
+      schemaJson: Option[String] = None): Unit =
     require(tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-        files),
+        files, schemaJson = schemaJson),
       s"manifest commit lost a race: ${manifestPath(table, v)} " +
         "(single-writer caller; use the OCC path for concurrent writers)")
 
@@ -236,11 +242,15 @@ object LakeLayout {
   private def tryPublishManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile],
-      tmpTag: String = ""): Boolean = {
+      tmpTag: String = "", schemaJson: Option[String] = None): Boolean = {
     fs.mkdirs(commitsDir(table))
+    // format:3 = format:2 plus an `s\t<json>` table-schema line;
+    // schema-less commits keep writing format:2 (bit-stable manifests)
     val body = new StringBuilder()
-      .append("format:2\n").append(dataRel).append('\n')
+      .append(if (schemaJson.isDefined) "format:3\n" else "format:2\n")
+      .append(dataRel).append('\n')
       .append(checkpoint).append('\n').append(batchId).append('\n')
+    schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
     files.foreach { f =>
       body.append("f\t").append(f.path).append('\t')
         .append(f.minKey.map(_.toString).getOrElse("-")).append('\t')
@@ -307,10 +317,22 @@ object LakeLayout {
   /** The DataFrame of a commit: explicit file paths (so a pinned reader
     * keeps its exact version even as newer commits land), or the data
     * dir for legacy manifests. */
+  /** A reader honoring the commit's recorded table schema (format:3):
+    * applied to every file, so files written before a column was added
+    * null-fill it — no footer merging, no inference. */
+  private def schemaReader(spark: SparkSession, c: LakeCommit) =
+    c.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+
   private def commitFrame(spark: SparkSession, tablePath: String,
       c: LakeCommit): DataFrame =
-    if (c.files.isEmpty) spark.read.parquet(s"$tablePath/${c.dataDir}")
-    else spark.read.parquet(c.files.map(f => s"$tablePath/${f.path}"): _*)
+    if (c.files.isEmpty) schemaReader(spark, c).parquet(s"$tablePath/${c.dataDir}")
+    else schemaReader(spark, c)
+      .parquet(c.files.map(f => s"$tablePath/${f.path}"): _*)
 
   def latestLakeCommit(spark: SparkSession, tablePath: String): Option[LakeCommit] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -348,7 +370,7 @@ object LakeLayout {
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      fileStats(s, tablePath, dataRel, statsKey))
+      fileStats(s, tablePath, dataRel, statsKey), Some(df.schema.json))
     v
   }
 
@@ -419,8 +441,9 @@ object LakeLayout {
     * caller to assert/record. */
   def upsertIntoLake(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String, checkpoint: String,
-      batchId: Long): LakeUpsertResult =
-    upsertAttempt(spark, tablePath, updates, key, checkpoint, batchId, "")
+      batchId: Long, evolveSchema: Boolean = false): LakeUpsertResult =
+    upsertAttempt(spark, tablePath, updates, key, checkpoint, batchId, "",
+        evolveSchema)
       .getOrElse(throw new IllegalStateException(
         s"upsertIntoLake lost a commit race on $tablePath (single-writer " +
           "contract); concurrent writers must use upsertIntoLakeOcc"))
@@ -433,7 +456,8 @@ object LakeLayout {
     * the same `data/vN` before the claim decides the winner. */
   private def upsertAttempt(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String, checkpoint: String,
-      batchId: Long, dirTag: String): Option[LakeUpsertResult] = {
+      batchId: Long, dirTag: String,
+      evolveSchema: Boolean = false): Option[LakeUpsertResult] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
@@ -446,7 +470,7 @@ object LakeLayout {
         updates.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-            newFiles, dirTag)) {
+            newFiles, dirTag, Some(updates.schema.json))) {
           val bytes = sizeOf(newFiles.map(_.path))
           Some(LakeUpsertResult(v, 0, 0, newFiles.size, bytes, bytes))
         } else {
@@ -455,9 +479,29 @@ object LakeLayout {
         }
       case Some(cur) =>
         val base = commitFrame(spark, tablePath, cur)
-        require(base.columns.sorted.sameElements(updates.columns.sorted),
-          "upsertIntoLake requires identical column sets")
-        val up = updates.select(base.columns.map(col).toIndexedSeq: _*)
+        // schema evolution (opt-in): the committed schema grows by the
+        // update batch's NEW columns; shared columns must keep their
+        // type; either side's missing columns null-fill. Off = the
+        // strict identical-column-set contract.
+        val extra = updates.schema.fields
+          .filterNot(f => base.columns.contains(f.name))
+        if (!evolveSchema)
+          require(extra.isEmpty &&
+              base.columns.sorted.sameElements(updates.columns.sorted),
+            "upsertIntoLake requires identical column sets " +
+              "(pass evolveSchema=true to add columns)")
+        updates.schema.fields.filter(f => base.columns.contains(f.name))
+          .foreach { f =>
+            val committed = base.schema(f.name).dataType
+            require(f.dataType == committed,
+              s"column ${f.name}: batch type ${f.dataType} conflicts " +
+                s"with committed type $committed")
+          }
+        val evolved = org.apache.spark.sql.types.StructType(
+          base.schema.fields ++ extra)
+        val up = updates.select(evolved.fields.map(f =>
+          if (updates.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
         val files = resolveFiles(fs, table, cur)
         val touched = touchedFilePaths(spark, files, up, key)
         val (rewritten, carried) = files.partition(f => touched(f.path))
@@ -466,16 +510,16 @@ object LakeLayout {
         val merged =
           if (rewritten.isEmpty) up
           else upsert(
-            // align the subset read to the full table's column order —
-            // multi-file schema inference takes the first footer's
-            // order, which for a subset need not match the full list's
-            spark.read.parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
-              .select(base.columns.map(col).toIndexedSeq: _*),
+            // read the subset under the EVOLVED table schema: fixes the
+            // column order (multi-file inference takes the first
+            // footer's) and null-fills columns the files predate
+            spark.read.schema(evolved)
+              .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*),
             up, key)
         merged.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-            carried ++ newFiles, dirTag)) {
+            carried ++ newFiles, dirTag, Some(evolved.json))) {
           val bytesWritten = sizeOf(newFiles.map(_.path))
           Some(LakeUpsertResult(v, carried.size, rewritten.size,
             newFiles.size, bytesWritten,
@@ -511,13 +555,14 @@ object LakeLayout {
     * provenance. */
   def upsertIntoLakeOcc(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String, writerId: String,
-      batchId: Long, maxAttempts: Int = 8): LakeUpsertResult = {
+      batchId: Long, maxAttempts: Int = 8,
+      evolveSchema: Boolean = false): LakeUpsertResult = {
     require(writerId.nonEmpty && !writerId.contains("/"),
       "writerId must be a non-empty path-safe token")
     var attempt = 0
     while (attempt < maxAttempts) {
       upsertAttempt(spark, tablePath, updates, key, writerId, batchId,
-          s"-$writerId") match {
+          s"-$writerId", evolveSchema) match {
         case Some(r) => return r
         case None => attempt += 1
       }
@@ -569,13 +614,14 @@ object LakeLayout {
     val newFiles =
       if (rewritten.isEmpty) Seq.empty
       else {
-        spark.read.parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
+        schemaReader(spark, cur)
+          .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
           .join(deletes.select(col(key)).distinct(), Seq(key), "left_anti")
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         fileStats(spark, tablePath, dataRel, Some(key))
       }
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      carried ++ newFiles)
+      carried ++ newFiles, cur.schemaJson)
     val bytesWritten = sizeOf(newFiles.map(_.path))
     LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
       bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
@@ -594,14 +640,16 @@ object LakeLayout {
       key: String, lo: Long, hi: Long): Option[DataFrame] =
     latestLakeCommit(spark, tablePath).map { c =>
       val frame =
-        if (c.files.isEmpty) spark.read.parquet(s"$tablePath/${c.dataDir}")
+        if (c.files.isEmpty)
+          schemaReader(spark, c).parquet(s"$tablePath/${c.dataDir}")
         else {
           val hit = c.files.filter(f => (f.minKey, f.maxKey) match {
             case (Some(a), Some(b)) => b >= lo && a <= hi
             case _ => true
           })
           if (hit.isEmpty) commitFrame(spark, tablePath, c).limit(0)
-          else spark.read.parquet(hit.map(f => s"$tablePath/${f.path}"): _*)
+          else schemaReader(spark, c)
+            .parquet(hit.map(f => s"$tablePath/${f.path}"): _*)
         }
       frame.filter(col(key) >= lo && col(key) <= hi)
     }
@@ -653,12 +701,17 @@ object LakeLayout {
       fromVersion: Long, toVersion: Long, key: String): DataFrame = {
     val from = readLakeVersion(spark, tablePath, fromVersion)
     val to = readLakeVersion(spark, tablePath, toVersion)
-    require(from.columns.sameElements(to.columns),
-      "lakeDiff requires identical schemas across versions")
+    // versions straddling a schema evolution diff over the UNION of
+    // their columns, missing side null-filled — a row whose only
+    // change is a new column that is null on both sides stays
+    // unchanged, matching the reader's null-fill semantics
+    val union = from.columns ++ to.columns.filterNot(from.columns.contains)
+    def aligned(df: DataFrame): Seq[Column] = union.toIndexedSeq.map(c =>
+      if (df.columns.contains(c)) col(c) else lit(null).as(c))
     val fromH = from.select(col(key),
-      xxhash64(struct(from.columns.map(col).toIndexedSeq: _*)).as("h_from"))
+      xxhash64(struct(aligned(from): _*)).as("h_from"))
     val toH = to.select(col(key),
-      xxhash64(struct(to.columns.map(col).toIndexedSeq: _*)).as("h_to"))
+      xxhash64(struct(aligned(to): _*)).as("h_to"))
     fromH.join(toH, Seq(key), "full_outer")
       .withColumn("change",
         when(col("h_from").isNull, lit("insert"))
@@ -733,12 +786,14 @@ object LakeLayout {
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     val v = cur.version + 1
     val dataRel = s"data/${versionName(v)}"
-    spark.read.parquet(small.map(f => s"$tablePath/${f._1.path}"): _*)
+    schemaReader(spark, cur)
+      .parquet(small.map(f => s"$tablePath/${f._1.path}"): _*)
       .repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     publishManifest(fs, table, v, dataRel,
       s"compaction-small:${cur.version}", -1L,
-      big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)))
+      big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
+      cur.schemaJson)
     v
   }
 
@@ -986,13 +1041,52 @@ object LakeLayout {
        WHERE o_orderkey BETWEEN (3 * mn + mx) // 4 AND (mn + mx) // 2
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Registry drive for SCHEMA EVOLUTION: commit orders without any
+    * flag column, then upsert every 7th order carrying a NEW
+    * `priority_flag` column (`evolveSchema = true`). The readback
+    * groups on the evolved column — rows in files that PREDATE the
+    * column surface it as null (the format:3 schema-in-manifest
+    * null-fill), which is the group the oracle checks alongside the
+    * updated ones. Aggregates stay on integer columns (no
+    * float-sum drift in the hash compare). */
+  def qLakeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      orders.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    val updates = orders
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .withColumn("priority_flag", substring(col("o_orderpriority"), 1, 1))
+    upsertIntoLake(s, lake, updates, "o_orderkey", "registry", 1L,
+      evolveSchema = true)
+    readLake(s, lake).get
+      .groupBy(col("priority_flag"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy(col("priority_flag"))
+  }
+
+  val qLakeEvolveSql: String =
+    """SELECT CASE WHEN o_orderkey % 7 = 0
+                   THEN substr(o_orderpriority, 1, 1) END AS priority_flag,
+         COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+         COUNT(DISTINCT o_orderstatus) AS n_status
+       FROM orders
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_key_stats" -> (qZorderKeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
-    "q_lake_range_read" -> (qLakeRangeRead _))
+    "q_lake_range_read" -> (qLakeRangeRead _),
+    "q_lake_evolve" -> (qLakeEvolve _))
 
   val oracle: Map[String, String] = Map(
     "q_zorder_key_stats" -> qZorderKeyStatsSql,
     "q_lake_delete" -> qLakeDeleteSql,
-    "q_lake_range_read" -> qLakeRangeReadSql)
+    "q_lake_range_read" -> qLakeRangeReadSql,
+    "q_lake_evolve" -> qLakeEvolveSql)
 }

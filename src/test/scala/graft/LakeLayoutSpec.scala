@@ -526,4 +526,65 @@ class LakeLayoutSpec extends SparkSuite {
     assert(LakeLayout.lakeHasCommit(spark, table, "wA", 0L))
     assert(!LakeLayout.lakeHasCommit(spark, table, "wA", 99L))
   }
+
+  test("schema evolution: evolving upsert adds a column, old files null-fill, history stays diffable") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 8L).map(k => (k, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      table, "ck", 0L, statsKey = Some("id"))
+
+    // strict mode still rejects a widened batch
+    val widened = Seq((0L, "V0", "W0"), (1L, "V1", "W1")).toDF("id", "v", "w")
+    intercept[IllegalArgumentException] {
+      LakeLayout.upsertIntoLake(spark, table, widened, "id", "ck", 1L)
+    }
+
+    val r1 = LakeLayout.upsertIntoLake(spark, table, widened, "id", "ck", 1L,
+      evolveSchema = true)
+    assert(r1.filesCarried >= 1,
+      "evolution must not force a full rewrite: the untouched file carries")
+    val cur = LakeLayout.readLake(spark, table).get
+    assert(cur.columns.sameElements(Array("id", "v", "w")))
+    val rows = cur.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(rows(0L) == (("V0", Some("W0"))) && rows(1L) == (("V1", Some("W1"))))
+    (2L until 8L).foreach { k =>
+      assert(rows(k) == ((s"v$k", None)),
+        s"pre-evolution row $k must null-fill the new column")
+    }
+
+    // a NARROWER batch under the evolved schema null-fills the column
+    LakeLayout.upsertIntoLake(spark, table, Seq((2L, "VV2")).toDF("id", "v"),
+      "id", "ck", 2L, evolveSchema = true)
+    val after = LakeLayout.readLake(spark, table).get.filter(col("id") === 2L).head()
+    assert(after.getString(1) == "VV2" && after.isNullAt(2))
+
+    // time travel reads each version under ITS schema
+    assert(LakeLayout.readLakeVersion(spark, table, 0L).columns
+      .sameElements(Array("id", "v")))
+
+    // diff across the evolution boundary: exactly the touched keys
+    def diff(a: Long, b: Long): Set[(Long, String)] =
+      LakeLayout.lakeDiff(spark, table, a, b, "id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff(0L, 1L) == Set((0L, "update"), (1L, "update")))
+    assert(diff(1L, 2L) == Set((2L, "update")))
+
+    // shared-column type conflicts are rejected, not silently coerced
+    intercept[IllegalArgumentException] {
+      LakeLayout.upsertIntoLake(spark, table,
+        Seq((3L, "x", 9)).toDF("id", "v", "w"), "id", "ck", 3L,
+        evolveSchema = true)
+    }
+
+    // delete and partial compaction keep honoring the evolved schema
+    LakeLayout.deleteFromLake(spark, table,
+      Seq(Tuple1(7L)).toDF("id"), "id", "ck", 4L)
+    LakeLayout.compactLakeSmallFiles(spark, table, "id", smallFileMB = 64)
+    val fin = LakeLayout.readLake(spark, table).get
+    assert(fin.columns.sameElements(Array("id", "v", "w")))
+    assert(fin.count() == 7)
+  }
 }
