@@ -457,20 +457,27 @@ object LakeLayout {
   private def upsertAttempt(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String, checkpoint: String,
       batchId: Long, dirTag: String,
-      evolveSchema: Boolean = false): Option[LakeUpsertResult] = {
+      evolveSchema: Boolean = false,
+      deleteWhen: Option[Column] = None): Option[LakeUpsertResult] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
     }.sum
+    // rows the merge KEEPS from the source side: delete-marked source
+    // rows remove their matched base row and are never inserted (a
+    // delete-marked key absent from the table is a no-op)
+    def keepRows(df: DataFrame): DataFrame =
+      deleteWhen.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     latestLakeCommit(spark, tablePath) match {
       case None =>
         val v = 0L
         val dataRel = s"data/${versionName(v)}$dirTag"
-        updates.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+        val keep = keepRows(updates)
+        keep.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-            newFiles, dirTag, Some(updates.schema.json))) {
+            newFiles, dirTag, Some(keep.schema.json))) {
           val bytes = sizeOf(newFiles.map(_.path))
           Some(LakeUpsertResult(v, 0, 0, newFiles.size, bytes, bytes))
         } else {
@@ -499,23 +506,27 @@ object LakeLayout {
           }
         val evolved = org.apache.spark.sql.types.StructType(
           base.schema.fields ++ extra)
-        val up = updates.select(evolved.fields.map(f =>
+        // delete-marked rows participate in the touch set and the
+        // anti-join (their base rows must go) but not in the union
+        val upAll = updates.select(evolved.fields.map(f =>
           if (updates.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        val upKeep = keepRows(upAll)
         val files = resolveFiles(fs, table, cur)
-        val touched = touchedFilePaths(spark, files, up, key)
+        val touched = touchedFilePaths(spark, files, upAll, key)
         val (rewritten, carried) = files.partition(f => touched(f.path))
         val v = cur.version + 1
         val dataRel = s"data/${versionName(v)}$dirTag"
         val merged =
-          if (rewritten.isEmpty) up
-          else upsert(
+          if (rewritten.isEmpty) upKeep
+          else
             // read the subset under the EVOLVED table schema: fixes the
             // column order (multi-file inference takes the first
             // footer's) and null-fills columns the files predate
             spark.read.schema(evolved)
-              .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*),
-            up, key)
+              .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
+              .join(upAll.select(col(key)).distinct(), Seq(key), "left_anti")
+              .unionByName(upKeep)
         merged.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
@@ -571,6 +582,29 @@ object LakeLayout {
       s"upsertIntoLakeOcc: $maxAttempts consecutive commit conflicts on " +
         s"$tablePath — raise maxAttempts or reduce writer fan-in")
   }
+
+  /** MERGE INTO in ONE atomic file-granular commit — the three-clause
+    * merge a CDC/decontamination pipeline runs:
+    *  - source row matched + `deleteWhen` holds → base row REMOVED;
+    *  - source row matched otherwise → base row REPLACED (update);
+    *  - source row unmatched and not delete-marked → INSERTED
+    *    (a delete-marked key absent from the table is a no-op).
+    * All three clauses land in a single version: only files whose key
+    * range intersects ANY source key (including delete-marked ones)
+    * are rewritten, the rest carry by reference — cost
+    * O(source + touched files), never O(table). `deleteWhen` evaluates
+    * over the source row's columns; null counts as false. Pass
+    * `evolveSchema = true` to let the source add columns
+    * (schema-in-manifest null-fill, as in [[upsertIntoLake]]). */
+  def mergeIntoLake(spark: SparkSession, tablePath: String,
+      source: DataFrame, key: String, deleteWhen: Column,
+      checkpoint: String, batchId: Long,
+      evolveSchema: Boolean = false): LakeUpsertResult =
+    upsertAttempt(spark, tablePath, source, key, checkpoint, batchId, "",
+        evolveSchema, Some(deleteWhen))
+      .getOrElse(throw new IllegalStateException(
+        s"mergeIntoLake lost a commit race on $tablePath (single-writer " +
+          "contract)"))
 
   /** Whether any LIVE version carries this (checkpoint, batchId)
     * provenance — exactly-once replay detection for concurrent
@@ -1078,15 +1112,60 @@ object LakeLayout {
        FROM orders
        GROUP BY 1 ORDER BY 1"""
 
+  /** Registry drive for MERGE INTO: one atomic three-clause merge into
+    * a committed orders lake. Source = every 5th order re-marked
+    * '9-UPD' (update) plus the same rows shifted 10M keys up and marked
+    * '9-INS' (insert); delete clause = source status 'F', so F-status
+    * matches are removed and F-status insert candidates are dropped.
+    * The readback groups by priority — the oracle reproduces the merge
+    * relationally over plain orders. Integer-only aggregates. */
+  def qLakeMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      orders.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    val subset = orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    val source = subset
+      .withColumn("o_orderpriority", lit("9-UPD"))
+      .unionByName(subset
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderpriority", lit("9-INS")))
+    mergeIntoLake(s, lake, source, "o_orderkey",
+      deleteWhen = col("o_orderstatus") === "F", "registry", 1L)
+    readLake(s, lake).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qLakeMergeSql: String =
+    """WITH final AS (
+         SELECT o_orderpriority, o_orderkey
+         FROM orders WHERE o_orderkey % 5 <> 0
+         UNION ALL
+         SELECT '9-UPD', o_orderkey
+         FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'F'
+         UNION ALL
+         SELECT '9-INS', o_orderkey + 10000000
+         FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'F')
+       SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       FROM final GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_key_stats" -> (qZorderKeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_range_read" -> (qLakeRangeRead _),
-    "q_lake_evolve" -> (qLakeEvolve _))
+    "q_lake_evolve" -> (qLakeEvolve _),
+    "q_lake_merge" -> (qLakeMerge _))
 
   val oracle: Map[String, String] = Map(
     "q_zorder_key_stats" -> qZorderKeyStatsSql,
     "q_lake_delete" -> qLakeDeleteSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
-    "q_lake_evolve" -> qLakeEvolveSql)
+    "q_lake_evolve" -> qLakeEvolveSql,
+    "q_lake_merge" -> qLakeMergeSql)
 }

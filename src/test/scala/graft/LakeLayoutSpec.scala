@@ -587,4 +587,33 @@ class LakeLayoutSpec extends SparkSuite {
     assert(fin.columns.sameElements(Array("id", "v", "w")))
     assert(fin.count() == 7)
   }
+
+  test("mergeIntoLake: update, insert, and delete clauses land in one atomic file-granular version") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 8L).map(k => (k, s"v$k", false)).toDF("id", "v", "del")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      table, "ck", 0L, statsKey = Some("id"))
+    // source: update 1, delete 2, insert 100, delete-marked-unmatched 101
+    val source = Seq(
+      (1L, "UPD", false), (2L, "gone", true),
+      (100L, "INS", false), (101L, "noop", true)).toDF("id", "v", "del")
+    val r = LakeLayout.mergeIntoLake(spark, table, source, "id",
+      deleteWhen = col("del"), "ck", 1L)
+    assert(r.version == 1L, "all three clauses in one committed version")
+    assert(r.filesCarried >= 1,
+      s"file holding keys 4-7 must carry by reference, got $r")
+    val rows = LakeLayout.readLake(spark, table).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "UPD", "matched source row updates")
+    assert(!rows.contains(2L), "delete-marked matched row is removed")
+    assert(rows(100L) == "INS", "unmatched source row inserts")
+    assert(!rows.contains(101L), "delete-marked unmatched key is a no-op")
+    assert(rows.size == 8, s"0,1,3..7 + 100, got ${rows.keySet.toSeq.sorted}")
+    // diff sees exactly the merge's effects
+    val d = LakeLayout.lakeDiff(spark, table, 0L, 1L, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((1L, "update"), (2L, "delete"), (100L, "insert")))
+  }
 }
