@@ -342,6 +342,42 @@ object EventsStream {
     * commit between a crash and its replay is harmless: the replayed
     * merge is idempotent on the compacted table). Blocks until the
     * finite source drains (same harness shape as [[runToParquet]]). */
+  /** MULTI-WRITER streaming merge sink: several independent streams
+    * upsert the SAME lake table, each commit going through the
+    * optimistic-concurrency protocol ([[graft.sources.LakeLayout
+    * .upsertIntoLakeOcc]]) — a conflict recomputes against the new
+    * snapshot at O(batch + touched files). Replay detection scans all
+    * live versions ([[graft.sources.LakeLayout.lakeHasCommit]]),
+    * because after a restart the latest manifest may belong to another
+    * writer. No vacuum inside the loop — under concurrent writers,
+    * retention runs out-of-band in a single maintenance role (the
+    * vacuum contract). `writerId` must be stable across restarts of
+    * the same logical writer (it is the provenance key). */
+  def runUpsertToLakeOcc(updates: DataFrame, lakePath: String,
+      checkpoint: String, writerId: String,
+      key: String = "user_id"): StreamingQuery = {
+    import graft.sources.LakeLayout
+    val q = updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (!LakeLayout.lakeHasCommit(s, lakePath, writerId, batchId)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val deduped = batch
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          LakeLayout.upsertIntoLakeOcc(s, lakePath, deduped, key,
+            writerId, batchId)
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   def runUpsertToLake(updates: DataFrame, lakePath: String,
       checkpoint: String, key: String = "user_id",
       compactEveryBatches: Int = 0): StreamingQuery = {

@@ -218,6 +218,57 @@ class StreamingSpec extends SparkSuite {
       s"compacted live version must be few files, got ${lake2.inputFiles.length}")
   }
 
+  test("two concurrent streaming writers OCC-merge into one lake table without lost updates") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-occ-stream")
+    val lake = s"$root/lake"
+    // writer w1 owns users 0-4, writer w2 owns users 10-14; 3 source
+    // files each → 3 micro-batches per writer (maxFilesPerTrigger=1)
+    val m = 60L * 1000000000L
+    def writeSrc(writer: String, userBase: Long, b: Int): Unit =
+      spark.range(0, 5).select(
+          (lit(userBase * 1000 + b * 100) + col("id")).as("event_id"),
+          (lit((b + 1) * m) + col("id")).as("ts"),
+          (lit(userBase) + col("id")).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$root/src-$writer/b$b")
+    for (b <- 0 until 3) {
+      writeSrc("w1", 0L, b); writeSrc("w2", 10L, b)
+      Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    }
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("w1", "w2").map { w =>
+      new Thread(() => {
+        start.await()
+        try {
+          val src = spark.readStream.schema(graft.sources.Tables.events)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/src-$w/*")
+          EventsStream.runUpsertToLakeOcc(src, lake, s"$root/ckpt-$w", w)
+            .stop()
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer failed: ${Option(errors.peek())}")
+    // no lost updates: every user's final event is its writer's LAST batch
+    val rows = graft.sources.LakeLayout.readLake(spark, lake).get
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == ((0L until 5L) ++ (10L until 15L)).toSet)
+    (0L until 5L).foreach(u => assert(rows(u) == 200 + u,
+      s"user $u must end at w1's batch-2 event, got ${rows(u)}"))
+    (10L until 15L).foreach(u => assert(rows(u) == 10200 + (u - 10),
+      s"user $u must end at w2's batch-2 event, got ${rows(u)}"))
+    // the version chain is contiguous and carries all 6 commits
+    val versions = graft.sources.LakeLayout.lakeVersions(spark, lake)
+    assert(versions == (0L until 6L), s"got $versions")
+    for (w <- Seq("w1", "w2"); b <- 0L until 3L)
+      assert(graft.sources.LakeLayout.lakeHasCommit(spark, lake, w, b),
+        s"commit ($w, $b) was lost")
+  }
+
   test("lake endurance: 21 upsert batches with compaction under a concurrent reader") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
