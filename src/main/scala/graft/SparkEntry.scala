@@ -20,7 +20,7 @@ object SparkEntry {
       Multimodal.queries ++ HybridRetrieval.queries ++
       GraphTraversal.queries ++ AdvancedQueries.queries ++
       AsOfJoin.queries ++ Sampling.queries ++
-      graft.sources.LakeLayout.queries ++
+      graft.sources.LakeLayout.queries ++ IncrementalAgg.queries ++
       graft.streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +32,6 @@ object SparkEntry {
       Multimodal.oracle ++ HybridRetrieval.oracle ++
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
       AsOfJoin.oracle ++ Sampling.oracle ++
-      graft.sources.LakeLayout.oracle ++
+      graft.sources.LakeLayout.oracle ++ IncrementalAgg.oracle ++
       graft.streaming.EventsStream.oracle
 }

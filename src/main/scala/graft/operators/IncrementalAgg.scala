@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.sources.{LakeLayout, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Incremental maintenance of a grouped aggregate over a
+  * manifest-committed lake table — the INCREMENTAL-CONSUMER side of the
+  * lake's commit contract. A downstream metrics/reporting job keeps a
+  * per-group (count, sum) state current across table versions WITHOUT
+  * rescanning the table.
+  *
+  * The change feed is derived from the manifests alone: between any two
+  * versions, files present only in the FROM list were rewritten away
+  * (they hold the old copies of every touched row) and files present
+  * only in the TO list are the commits' own writes (the new copies).
+  * Unchanged rows inside rewritten files appear on BOTH sides and
+  * cancel in any linear aggregate, so
+  *
+  *   delta = agg(new-only files) − agg(from-only files)
+  *
+  * is EXACT for count/sum-class aggregates over ANY version pair, not
+  * just adjacent ones — carried-by-reference files never enter the
+  * computation. Cost is O(touched files across the span), the same
+  * order as the commits themselves; a 100 TB table whose day saw a few
+  * GB of upserts advances its metrics by reading a few GB. (Compaction
+  * rewrites files without changing rows — its delta is provably zero
+  * but costs the compacted bytes; advance across spans that are pure
+  * compaction is wasted work, use [[graft.sources.LakeLayout.lakeDiff]]
+  * emptiness to skip.)
+  *
+  * Only LINEAR aggregates can be maintained this way (count, sum, and
+  * anything derived from them such as mean); min/max need the full
+  * group on deletion and are out of scope. */
+object IncrementalAgg {
+
+  /** The maintained state: one row per `groupCol` value with row count
+    * `cnt` and `sum(valueCol)` as `total`. Null groups are first-class
+    * (union + re-aggregate, never joined on the group key). */
+  def fullAgg(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+
+  private def schemaOf(c: LakeLayout.LakeCommit): StructType =
+    DataType.fromJson(c.schemaJson.getOrElse(throw new IllegalArgumentException(
+      s"version ${c.version} has no recorded schema (legacy manifest); " +
+        "incremental maintenance needs format:3 commits")))
+      .asInstanceOf[StructType]
+
+  private def frameOf(spark: SparkSession, tablePath: String,
+      files: Seq[LakeLayout.LakeFile], schema: StructType): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+
+  /** The (oldCopies, newCopies) change regions between two committed
+    * versions: rows of files rewritten away vs rows of files added,
+    * each read under its own version's schema. Requires file-granular
+    * manifests on both ends. */
+  def changeRegions(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
+    val from = LakeLayout.lakeCommitAt(spark, tablePath, fromVersion)
+    val to = LakeLayout.lakeCommitAt(spark, tablePath, toVersion)
+    require(from.files.nonEmpty && to.files.nonEmpty,
+      "changeRegions needs file-granular (listed) manifests on both ends")
+    val toPaths = to.files.map(_.path).toSet
+    val fromPaths = from.files.map(_.path).toSet
+    val oldOnly = from.files.filterNot(f => toPaths(f.path))
+    val newOnly = to.files.filterNot(f => fromPaths(f.path))
+    (frameOf(spark, tablePath, oldOnly, schemaOf(from)),
+      frameOf(spark, tablePath, newOnly, schemaOf(to)))
+  }
+
+  /** Advance a maintained (cnt, total) state from `fromVersion`'s table
+    * to `toVersion`'s, reading ONLY the two change regions. `groupCol`
+    * and `valueCol` must exist in both versions' schemas. Groups whose
+    * count reaches zero drop out of the state. */
+  def advance(spark: SparkSession, tablePath: String, prev: DataFrame,
+      groupCol: String, valueCol: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val (oldCopies, newCopies) =
+      changeRegions(spark, tablePath, fromVersion, toVersion)
+    val signed = newCopies
+      .select(col(groupCol), lit(1L).as("cnt"), col(valueCol).as("v"))
+      .unionByName(oldCopies
+        .select(col(groupCol), lit(-1L).as("cnt"), (-col(valueCol)).as("v")))
+    val delta = signed.groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("v")).as("total"))
+    prev.unionByName(delta)
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** Registry drive: maintain a per-priority (count, sum-of-keys)
+    * aggregate over an orders lake across an upsert and a delete,
+    * advancing version-by-version from the manifests' change regions —
+    * never rescanning the table. The oracle recomputes the FINAL state
+    * directly over plain orders, so a hash match proves the
+    * incremental path lands exactly on the full-recompute answer. */
+  def qLakeIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = LakeLayout.registryLakeRoot(s)
+    LakeLayout.commitLakeVersion(
+      orders.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    LakeLayout.upsertIntoLake(s, lake,
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        .withColumn("o_orderpriority", lit("9-UPD")),
+      "o_orderkey", "registry", 1L)
+    LakeLayout.deleteFromLake(s, lake,
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey")),
+      "o_orderkey", "registry", 2L)
+    val state0 = fullAgg(LakeLayout.readLakeVersion(s, lake, 0L),
+      "o_orderpriority", "o_orderkey")
+    val state1 = advance(s, lake, state0, "o_orderpriority", "o_orderkey", 0L, 1L)
+    val state2 = advance(s, lake, state1, "o_orderpriority", "o_orderkey", 1L, 2L)
+    state2.select(col("o_orderpriority"),
+        col("cnt").as("n_orders"),
+        col("total").cast("long").as("sum_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qLakeIncrAggSql: String =
+    """WITH final AS (
+         SELECT CASE WHEN o_orderkey % 4 = 0 THEN '9-UPD'
+                     ELSE o_orderpriority END AS o_orderpriority,
+                o_orderkey
+         FROM orders WHERE o_orderkey % 10 <> 3)
+       SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       FROM final GROUP BY 1 ORDER BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lake_incr_agg" -> (qLakeIncrAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "q_lake_incr_agg" -> qLakeIncrAggSql)
+}

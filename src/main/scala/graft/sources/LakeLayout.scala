@@ -998,7 +998,7 @@ object LakeLayout {
   }
 
   // ------------------------------------- lake lifecycle registry drives
-  private def registryLakeRoot(s: SparkSession): String = {
+  private[graft] def registryLakeRoot(s: SparkSession): String = {
     val sc = s.sparkContext
     sc.getCheckpointDir.getOrElse {
       require(sc.master.startsWith("local"),
