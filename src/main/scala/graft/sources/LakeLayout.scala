@@ -379,7 +379,7 @@ object LakeLayout {
     * is the NEW files only; tableBytes the whole committed version. */
   final case class LakeUpsertResult(version: Long, filesCarried: Int,
       filesRewritten: Int, filesAdded: Int, bytesWritten: Long,
-      tableBytes: Long)
+      tableBytes: Long, attempts: Int = 1)
 
   /** A commit's file list, with legacy dir-pointer manifests resolved
     * to one stat-less (always-touched) entry per file — the first
@@ -448,6 +448,14 @@ object LakeLayout {
         s"upsertIntoLake lost a commit race on $tablePath (single-writer " +
           "contract); concurrent writers must use upsertIntoLakeOcc"))
 
+  /** What a failed claim leaves behind when the caller asked to keep
+    * the attempt's files for a possible rebase: everything needed to
+    * re-point them at a newer version without recomputing the merge. */
+  private final case class UpsertConflict(dataRel: String,
+      newFiles: Seq[LakeFile], rewrittenPaths: Set[String],
+      basePaths: Set[String], bytesWritten: Long,
+      schemaJson: Option[String])
+
   /** One upsert attempt against the CURRENT snapshot. Returns None iff
     * another writer claimed the target version number first; the
     * attempt's own data dir is deleted on that path (it is referenced
@@ -458,7 +466,17 @@ object LakeLayout {
       updates: DataFrame, key: String, checkpoint: String,
       batchId: Long, dirTag: String,
       evolveSchema: Boolean = false,
-      deleteWhen: Option[Column] = None): Option[LakeUpsertResult] = {
+      deleteWhen: Option[Column] = None): Option[LakeUpsertResult] =
+    upsertAttemptEx(spark, tablePath, updates, key, checkpoint, batchId,
+      dirTag, evolveSchema, deleteWhen, keepOnConflict = false).toOption
+
+  private def upsertAttemptEx(spark: SparkSession, tablePath: String,
+      updates: DataFrame, key: String, checkpoint: String,
+      batchId: Long, dirTag: String,
+      evolveSchema: Boolean = false,
+      deleteWhen: Option[Column] = None,
+      keepOnConflict: Boolean = false)
+      : Either[Option[UpsertConflict], LakeUpsertResult] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
@@ -479,10 +497,15 @@ object LakeLayout {
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
             newFiles, dirTag, Some(keep.schema.json))) {
           val bytes = sizeOf(newFiles.map(_.path))
-          Some(LakeUpsertResult(v, 0, 0, newFiles.size, bytes, bytes))
-        } else {
+          Right(LakeUpsertResult(v, 0, 0, newFiles.size, bytes, bytes))
+        } else if (keepOnConflict)
+          // a raced first commit is a pure-insert attempt: rebasable if
+          // the winner's keys are disjoint (empty base/rewritten sets)
+          Left(Some(UpsertConflict(dataRel, newFiles, Set.empty, Set.empty,
+            sizeOf(newFiles.map(_.path)), Some(keep.schema.json))))
+        else {
           fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
-          None
+          Left(None)
         }
       case Some(cur) =>
         val base = commitFrame(spark, tablePath, cur)
@@ -527,17 +550,33 @@ object LakeLayout {
               .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
               .join(upAll.select(col(key)).distinct(), Seq(key), "left_anti")
               .unionByName(upKeep)
-        merged.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+        // OPTIMIZED WRITE: without this the merged rows land in the
+        // join's HASH partitioning — up to shuffle-partition files per
+        // commit, each spanning nearly the whole key domain. A few such
+        // commits and every file's range overlaps everything: batch
+        // touch-sets balloon, stats-pruned reads stop pruning, and OCC
+        // rebases (which need key-disjoint writers to stay disjoint at
+        // the FILE level) become impossible. Range-partitioning the
+        // merged output keeps each new file's key range tight and
+        // disjoint at the cost of one O(batch + touched rows) shuffle.
+        val outParts = math.max(1, rewritten.size)
+        merged.repartitionByRange(outParts, col(key))
+          .sortWithinPartitions(col(key))
+          .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
             carried ++ newFiles, dirTag, Some(evolved.json))) {
           val bytesWritten = sizeOf(newFiles.map(_.path))
-          Some(LakeUpsertResult(v, carried.size, rewritten.size,
+          Right(LakeUpsertResult(v, carried.size, rewritten.size,
             newFiles.size, bytesWritten,
             bytesWritten + sizeOf(carried.map(_.path))))
-        } else {
+        } else if (keepOnConflict)
+          Left(Some(UpsertConflict(dataRel, newFiles,
+            rewritten.map(_.path).toSet, files.map(_.path).toSet,
+            sizeOf(newFiles.map(_.path)), Some(evolved.json))))
+        else {
           fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
-          None
+          Left(None)
         }
     }
   }
@@ -570,12 +609,81 @@ object LakeLayout {
       evolveSchema: Boolean = false): LakeUpsertResult = {
     require(writerId.nonEmpty && !writerId.contains("/"),
       "writerId must be a non-empty path-safe token")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
+    }.sum
+    // jittered backoff before a recompute breaks the livelock two
+    // writers with equal-length merges otherwise fall into (observed:
+    // the loser's recompute finishing just after each winner's claim,
+    // 8 straight losses); seeded per (writer, batch) so racing writers
+    // desynchronize deterministically
+    val rnd = new scala.util.Random(writerId.hashCode * 31 + batchId)
+    /** Fast REBASE on conflict (the Delta conflict-resolution core):
+      * our merge's result files stay valid against the winner's newer
+      * snapshot iff (a) the winner did not rewrite any file our merge
+      * read (else both touched the same rows) and (b) no file the
+      * winner ADDED can hold one of our batch's keys (range check —
+      * else last-writer-wins would be violated). Then the new manifest
+      * is the winner's file list minus our rewritten files plus our
+      * new files: pure manifest surgery, zero recompute, zero new
+      * bytes. Condition (a) plus the original touch-set stats argument
+      * guarantee every row of one of our batch keys lives either in a
+      * file we rewrote or in one of our new files. Schema must match
+      * the winner's (a concurrent evolution falls back to recompute). */
+    def occLog(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_OCC_DEBUG"))
+        System.err.println(s"[occ $writerId/$batchId] $msg")
+    def tryRebase(c: UpsertConflict, rebaseTries: Int): Option[LakeUpsertResult] = {
+      var i = 0
+      while (i < rebaseTries) {
+        val latest = latestLakeCommit(spark, tablePath).get
+        val latestPaths = latest.files.map(_.path).toSet
+        val aOk = latest.files.nonEmpty &&
+          c.rewrittenPaths.forall(latestPaths.contains)
+        val winnerNew = latest.files.filterNot(f => c.basePaths(f.path))
+        val schemaOk = latest.schemaJson == c.schemaJson
+        if (!aOk || !schemaOk) {
+          occLog(s"rebase fallback: aOk=$aOk schemaOk=$schemaOk " +
+            s"rewritten=${c.rewrittenPaths.size} latest=v${latest.version}")
+          return None
+        }
+        val bOk = touchedFilePaths(spark, winnerNew, updates, key).isEmpty
+        if (!bOk) {
+          occLog(s"rebase fallback: winner files overlap batch keys " +
+            s"(winnerNew=${winnerNew.size}, latest=v${latest.version})")
+          return None
+        }
+        val newList = latest.files.filterNot(f => c.rewrittenPaths(f.path)) ++
+          c.newFiles
+        if (tryPublishManifest(fs, table, latest.version + 1, c.dataRel,
+            writerId, batchId, newList, s"-$writerId-rb", c.schemaJson))
+          return Some(LakeUpsertResult(latest.version + 1,
+            newList.size - c.newFiles.size, c.rewrittenPaths.size,
+            c.newFiles.size, c.bytesWritten,
+            c.bytesWritten + sizeOf(newList.filterNot(c.newFiles.contains)
+              .map(_.path))))
+        // claim raced again — re-read the even newer snapshot and retry
+        i += 1
+      }
+      None
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
-      upsertAttempt(spark, tablePath, updates, key, writerId, batchId,
-          s"-$writerId", evolveSchema) match {
-        case Some(r) => return r
-        case None => attempt += 1
+      attempt += 1
+      upsertAttemptEx(spark, tablePath, updates, key, writerId, batchId,
+          s"-$writerId", evolveSchema, keepOnConflict = true) match {
+        case Right(r) => return r.copy(attempts = attempt)
+        case Left(Some(c)) =>
+          tryRebase(c, rebaseTries = 4 * maxAttempts) match {
+            case Some(r) => return r.copy(attempts = attempt)
+            case None =>
+              fs.delete(new org.apache.hadoop.fs.Path(table, c.dataRel), true)
+              Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
+          }
+        case Left(None) =>
+          Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
       }
     }
     throw new IllegalStateException(
@@ -651,6 +759,10 @@ object LakeLayout {
         schemaReader(spark, cur)
           .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
           .join(deletes.select(col(key)).distinct(), Seq(key), "left_anti")
+          // same optimized write as the upsert path: keep the surviving
+          // rows' files tight and key-disjoint
+          .repartitionByRange(math.max(1, rewritten.size), col(key))
+          .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         fileStats(spark, tablePath, dataRel, Some(key))
       }
