@@ -21,7 +21,8 @@ object SparkEntry {
       GraphTraversal.queries ++ AdvancedQueries.queries ++
       AsOfJoin.queries ++ Sampling.queries ++
       graft.sources.LakeLayout.queries ++ IncrementalAgg.queries ++
-      graft.streaming.EventsStream.queries
+      graft.streaming.EventsStream.queries ++
+      graft.streaming.CdfStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
       AsOfJoin.oracle ++ Sampling.oracle ++
       graft.sources.LakeLayout.oracle ++ IncrementalAgg.oracle ++
-      graft.streaming.EventsStream.oracle
+      graft.streaming.EventsStream.oracle ++
+      graft.streaming.CdfStream.oracle
 }

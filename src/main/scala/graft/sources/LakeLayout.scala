@@ -381,6 +381,45 @@ object LakeLayout {
       filesRewritten: Int, filesAdded: Int, bytesWritten: Long,
       tableBytes: Long, attempts: Int = 1)
 
+  /** APPEND-ONLY commit: write `rows` as new files and publish a
+    * version carrying every current file BY REFERENCE plus the new
+    * ones — no merge join, no rewrite, cost O(batch) regardless of
+    * table size. This is the primitive for insert-only ingest and for
+    * append LOGS (a change-data feed, an audit trail) where
+    * upsert-by-key semantics would be wrong: duplicate keys across
+    * appends are kept, never merged. Single-writer (same contract as
+    * [[upsertIntoLake]]); the first commit on an empty table is
+    * allowed. The batch's columns must match the table's recorded
+    * schema by name and type — an append log never evolves silently. */
+  def appendToLake(spark: SparkSession, tablePath: String,
+      rows: DataFrame, checkpoint: String, batchId: Long,
+      statsKey: Option[String] = None): LakeUpsertResult = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
+    }.sum
+    val cur = latestLakeCommit(spark, tablePath)
+    cur.flatMap(_.schemaJson).foreach { j =>
+      val old = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .map(f => (f.name, f.dataType))
+      val nw = rows.schema.map(f => (f.name, f.dataType))
+      require(old == nw,
+        s"appendToLake: batch schema $nw must match the table's $old")
+    }
+    val v = cur.map(_.version + 1).getOrElse(0L)
+    val carried = cur.map(c => resolveFiles(fs, table, c)).getOrElse(Seq.empty)
+    val dataRel = s"data/${versionName(v)}-app"
+    rows.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+    val newFiles = fileStats(spark, tablePath, dataRel, statsKey)
+    publishManifest(fs, table, v, dataRel, checkpoint, batchId,
+      carried ++ newFiles, Some(rows.schema.json))
+    val bytes = sizeOf(newFiles.map(_.path))
+    LakeUpsertResult(v, carried.size, 0, newFiles.size, bytes,
+      bytes + sizeOf(carried.map(_.path)))
+  }
+
   /** A commit's file list, with legacy dir-pointer manifests resolved
     * to one stat-less (always-touched) entry per file — the first
     * file-granular operation converts the table to listed form. */

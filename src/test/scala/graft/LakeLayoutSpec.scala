@@ -493,6 +493,27 @@ class LakeLayoutSpec extends SparkSuite {
     assert(got.size == 100)
     assert(got(0L) == s"wA-b${batchesPerWriter - 1}")
     assert(got(99L) == s"wB-b${batchesPerWriter - 1}")
+    // full serializability replay — this is what holds the REBASE fast
+    // path (which only disjoint-key races can take; a rebased commit's
+    // data dir is named for the version its merge originally targeted)
+    // to the same contract as a clean publish, whenever it fired
+    val rebased = versions.count { v =>
+      val c = LakeLayout.lakeCommitAt(spark, table, v)
+      "data/v(\\d+)-".r.findFirstMatchIn(c.dataDir)
+        .exists(_.group(1).toLong != v)
+    }
+    info(s"rebased commits this run: $rebased/${versions.size}")
+    versions.foldLeft(Map.empty[Long, String]) { (prev, v) =>
+      val c = LakeLayout.lakeCommitAt(spark, table, v)
+      val base = if (c.checkpoint == "wA") 0L else 50L
+      val expected = prev ++
+        (base until base + 50L).map(k => k -> s"${c.checkpoint}-b${c.batchId}")
+      val cur = LakeLayout.readLakeVersion(spark, table, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(cur == expected,
+        s"version $v (${c.checkpoint}, b${c.batchId}) diverges from replay")
+      cur
+    }
   }
 
   test("OCC: contended same-key writers serialize — history replays exactly") {
@@ -586,6 +607,33 @@ class LakeLayoutSpec extends SparkSuite {
     val fin = LakeLayout.readLake(spark, table).get
     assert(fin.columns.sameElements(Array("id", "v", "w")))
     assert(fin.count() == 7)
+  }
+
+  test("appendToLake: O(batch) append-only commits carry prior files by reference, keep duplicate keys") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val r0 = LakeLayout.appendToLake(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "log", 0L, Some("id"))
+    assert(r0.version == 0L && r0.filesCarried == 0 && r0.filesAdded >= 1)
+    val r1 = LakeLayout.appendToLake(spark, table,
+      Seq((1L, "a2")).toDF("id", "v"), "log", 1L, Some("id"))
+    assert(r1.filesCarried >= 1 && r1.filesRewritten == 0,
+      "an append must never rewrite existing files")
+    // every v0 file carried verbatim into v1's manifest
+    val v0Paths = LakeLayout.lakeCommitAt(spark, table, 0L).files.map(_.path).toSet
+    val v1Paths = LakeLayout.lakeCommitAt(spark, table, 1L).files.map(_.path).toSet
+    assert(v0Paths.subsetOf(v1Paths), "append must carry all prior files by reference")
+    // a log keeps duplicate keys — append is not upsert
+    val got = LakeLayout.readLake(spark, table).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (1L, "a2")))
+    // provenance recorded per append (the CDF pump's replay guard)
+    assert(LakeLayout.lakeHasCommit(spark, table, "log", 1L))
+    // a drifted batch schema is rejected — an append log never evolves silently
+    intercept[IllegalArgumentException] {
+      LakeLayout.appendToLake(spark, table,
+        Seq((1L, "x", 1.0)).toDF("id", "v", "w"), "log", 2L)
+    }
   }
 
   test("mergeIntoLake: update, insert, and delete clauses land in one atomic file-granular version") {
