@@ -134,6 +134,45 @@ object LakeLayout {
       .saveAsTable(table)
 
   // ------------------------------------------- manifest-pointer commits
+  /** A TYPED per-file key bound. Long-keyed tables store numeric
+    * bounds; STRING-keyed tables (the training-corpus norm — dedup
+    * keys on md5-hex doc ids) store the min/max string, compared in
+    * UNSIGNED UTF-8 BYTE order — exactly Spark's binary string
+    * ordering (UTF8String.compareTo) and DuckDB's default varchar
+    * collation, so the same file is pruned by all three judges of the
+    * range. Without typed bounds a string-keyed lake silently loses
+    * ALL file granularity (a cast-to-long nulls every stat) and each
+    * upsert degrades to an O(table) rewrite. */
+  sealed trait KeyBound { def enc: String }
+  final case class LongKey(v: Long) extends KeyBound {
+    def enc: String = "l" + v
+  }
+  final case class StrKey(v: String) extends KeyBound {
+    def enc: String = "s" + java.net.URLEncoder.encode(v, "UTF-8")
+  }
+  object KeyBound {
+    def decode(s: String): Option[KeyBound] = s match {
+      case "-" => None
+      case _ if s.startsWith("l") => Some(LongKey(s.drop(1).toLong))
+      case _ if s.startsWith("s") =>
+        Some(StrKey(java.net.URLDecoder.decode(s.drop(1), "UTF-8")))
+      // legacy format:2/3 manifests wrote bare decimal longs
+      case _ => Some(LongKey(s.toLong))
+    }
+    /** a <= b in unsigned UTF-8 byte order (Spark's string ordering;
+      * java String.compareTo would disagree on supplementary chars). */
+    def strLeq(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length <= y.length
+    }
+  }
+
   /** One data file of a committed version: path RELATIVE to the table
     * root, plus optional min/max stats of the table's merge key. The
     * stats are what make upserts FILE-GRANULAR: a batch can only touch
@@ -142,8 +181,8 @@ object LakeLayout {
     * everything else is carried into the next version by reference.
     * None = stats unknown → the file is conservatively always
     * rewritten. */
-  final case class LakeFile(path: String, minKey: Option[Long],
-      maxKey: Option[Long])
+  final case class LakeFile(path: String, minKey: Option[KeyBound],
+      maxKey: Option[KeyBound])
 
   /** One committed table version: the FILE LIST the version is made of
     * (possibly spanning several data dirs — untouched files are carried
@@ -154,10 +193,15 @@ object LakeLayout {
     * contents. `schemaJson` is the version's TABLE schema (Iceberg's
     * schema-in-metadata idea): readers apply it to every listed file,
     * so files written before a column existed null-fill it without any
-    * footer merging; None on legacy manifests → infer from footers. */
+    * footer merging; None on legacy manifests → infer from footers.
+    * `op` types the commit for incremental consumers: `data` commits
+    * change rows; `compact` commits provably move only bytes (CDC and
+    * metric consumers skip them without opening a single data file);
+    * `delete` commits only remove rows. Legacy manifests read as
+    * `data` (the conservative type). */
   final case class LakeCommit(version: Long, dataDir: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile] = Seq.empty,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None, op: String = "data")
 
   private def commitsDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_commits")
