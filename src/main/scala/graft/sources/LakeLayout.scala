@@ -247,15 +247,16 @@ object LakeLayout {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = content.split("\n")
-    if (lines(0) == "format:2" || lines(0) == "format:3") {
-      def num(s: String): Option[Long] =
-        if (s == "-") None else Some(s.toLong)
+    if (lines(0) == "format:2" || lines(0) == "format:3" ||
+        lines(0) == "format:4") {
       val files = lines.drop(4).filter(_.startsWith("f\t")).map { ln =>
         val p = ln.split("\t")
-        LakeFile(p(1), num(p(2)), num(p(3)))
+        LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)))
       }.toSeq
       val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
-      LakeCommit(v, lines(1), lines(2), lines(3).toLong, files, schema)
+      val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
+        .getOrElse("data")
+      LakeCommit(v, lines(1), lines(2), lines(3).toLong, files, schema, op)
     } else LakeCommit(v, lines(0), lines(1), lines(2).toLong)
   }
 
@@ -265,9 +266,9 @@ object LakeLayout {
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile],
-      schemaJson: Option[String] = None): Unit =
+      schemaJson: Option[String] = None, op: String = "data"): Unit =
     require(tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-        files, schemaJson = schemaJson),
+        files, schemaJson = schemaJson, op = op),
       s"manifest commit lost a race: ${manifestPath(table, v)} " +
         "(single-writer caller; use the OCC path for concurrent writers)")
 
