@@ -80,6 +80,19 @@ object IncrementalAgg {
   def advance(spark: SparkSession, tablePath: String, prev: DataFrame,
       groupCol: String, valueCol: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
+    // op-typed short-circuit: a span of pure `compact` commits moves
+    // bytes, never rows — the delta is zero BY MANIFEST TYPE, so the
+    // state advances without reading the compacted bytes (which the
+    // file-list diff would otherwise scan on both sides, the one
+    // O(compacted bytes) cost this consumer can be spared). A vacuumed
+    // middle manifest → cannot prove the span pure → normal path (which
+    // only needs the two END manifests anyway).
+    val pureCompact = try {
+      fromVersion < toVersion &&
+        ((fromVersion + 1) to toVersion).forall(v =>
+          LakeLayout.lakeCommitAt(spark, tablePath, v).op == "compact")
+    } catch { case _: IllegalArgumentException => false }
+    if (pureCompact) return prev
     val (oldCopies, newCopies) =
       changeRegions(spark, tablePath, fromVersion, toVersion)
     val signed = newCopies
@@ -92,6 +105,41 @@ object IncrementalAgg {
       .groupBy(col(groupCol))
       .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
       .filter(col("cnt") > 0)
+  }
+
+  /** Walk the state across MANY versions with a state-commit CADENCE —
+    * the long-running-consumer form of [[advance]]. A bare advance
+    * chain is lazy: after N versions the state's logical plan stacks N
+    * delta unions, and every action re-derives all of them (plan depth
+    * — and analysis/optimization time — grows linearly with versions;
+    * the classic unmaterialized-lineage trap). Here the state is
+    * COMMITTED every `cadence` advances to `stateTable` — a lake table
+    * of its own, so the checkpoint is atomic, versioned, and replayable
+    * — and the walk restarts from the committed bytes: plan depth stays
+    * O(cadence) no matter how far the state advances, and a crashed
+    * consumer resumes from its last committed state version instead of
+    * re-walking the source history. Pure-compact spans still
+    * short-circuit per [[advance]]. */
+  def advanceMany(spark: SparkSession, tablePath: String, prev: DataFrame,
+      groupCol: String, valueCol: String,
+      fromVersion: Long, toVersion: Long,
+      stateTable: String, cadence: Int = 8): DataFrame = {
+    require(cadence >= 1, "cadence must be at least 1")
+    var state = prev
+    var sinceCommit = 0
+    for (v <- (fromVersion + 1) to toVersion) {
+      state = advance(spark, tablePath, state, groupCol, valueCol, v - 1, v)
+      sinceCommit += 1
+      // the walk's end is always committed (even off-cadence): a
+      // resuming consumer picks up at `toVersion` from bytes, and the
+      // returned frame is the committed state, not live lineage
+      if (sinceCommit >= cadence || v == toVersion) {
+        LakeLayout.commitLakeVersion(state, stateTable, "incr-state", v)
+        state = LakeLayout.readLake(spark, stateTable).get
+        sinceCommit = 0
+      }
+    }
+    state
   }
 
   /** Registry drive: maintain a per-priority (count, sum-of-keys)

@@ -70,4 +70,25 @@ object Catalog {
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     for (t <- tableNames)
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+
+  /** Expose a manifest-committed LAKE table to plain `spark.sql`: the
+    * view pins the exact file list of the latest manifest at
+    * registration time (a consistent snapshot — concurrent commits
+    * never tear a running query); re-register to advance to a newer
+    * version. This is the SQL face of [[LakeLayout.readLake]] — the
+    * committed schema applies (format:3 null-fill included), so SQL
+    * and DataFrame readers see byte-identical tables. */
+  def registerLakeView(spark: SparkSession, tablePath: String,
+      viewName: String): Unit =
+    LakeLayout.readLake(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"registerLakeView: $tablePath has no committed version"))
+      .createOrReplaceTempView(viewName)
+
+  /** Time travel from SQL: pin a specific committed lake VERSION as a
+    * view (must not have been vacuumed). */
+  def registerLakeVersionView(spark: SparkSession, tablePath: String,
+      version: Long, viewName: String): Unit =
+    LakeLayout.readLakeVersion(spark, tablePath, version)
+      .createOrReplaceTempView(viewName)
 }

@@ -287,19 +287,26 @@ object LakeLayout {
   private def tryPublishManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile],
-      tmpTag: String = "", schemaJson: Option[String] = None): Boolean = {
+      tmpTag: String = "", schemaJson: Option[String] = None,
+      op: String = "data"): Boolean = {
     fs.mkdirs(commitsDir(table))
     // format:3 = format:2 plus an `s\t<json>` table-schema line;
-    // schema-less commits keep writing format:2 (bit-stable manifests)
+    // format:4 adds the `o\t<op>` commit-type line. Plain data commits
+    // keep the older headers so their manifests stay bit-stable.
+    val header =
+      if (op != "data") "format:4\n"
+      else if (schemaJson.isDefined) "format:3\n"
+      else "format:2\n"
     val body = new StringBuilder()
-      .append(if (schemaJson.isDefined) "format:3\n" else "format:2\n")
+      .append(header)
       .append(dataRel).append('\n')
       .append(checkpoint).append('\n').append(batchId).append('\n')
     schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
+    if (op != "data") body.append("o\t").append(op).append('\n')
     files.foreach { f =>
       body.append("f\t").append(f.path).append('\t')
-        .append(f.minKey.map(_.toString).getOrElse("-")).append('\t')
-        .append(f.maxKey.map(_.toString).getOrElse("-")).append('\n')
+        .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
+        .append(f.maxKey.map(_.enc).getOrElse("-")).append('\n')
     }
     val tmp = new org.apache.hadoop.fs.Path(commitsDir(table),
       s".tmp-$tmpTag${versionName(v)}")
@@ -324,9 +331,13 @@ object LakeLayout {
   }
 
   /** The files of a just-written data dir, with per-file min/max of
-    * `statsKey` (cast to long; non-castable or absent key → stats
-    * unknown). One column-pruned scan of ONLY the new files — the key
-    * column of the bytes just written, never the table. */
+    * `statsKey`, TYPED by the key column's dataType: StringType keys
+    * record [[StrKey]] bounds (Spark's `min`/`max` on strings is
+    * unsigned-UTF-8 binary order — the [[KeyBound.strLeq]] contract);
+    * everything else casts to long → [[LongKey]] (non-castable or
+    * absent key → stats unknown). One column-pruned scan of ONLY the
+    * new files — the key column of the bytes just written, never the
+    * table. */
   private def fileStats(spark: SparkSession, tablePath: String,
       dataRel: String, statsKey: Option[String]): Seq[LakeFile] = {
     val dir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tablePath), dataRel)
@@ -338,20 +349,25 @@ object LakeLayout {
       val df = spark.read.parquet(s"$tablePath/$dataRel")
       statsKey.filter(df.columns.contains) match {
         case Some(k) =>
+          val isStr = df.schema(k).dataType ==
+            org.apache.spark.sql.types.StringType
+          val keyCol = if (isStr) col(k) else col(k).cast("long")
           // ≤ one row per new file reaches the driver — bounded
           val stats = df
             .groupBy(input_file_name().as("__f"))
-            .agg(min(col(k).cast("long")).as("__lo"),
-              max(col(k).cast("long")).as("__hi"))
+            .agg(min(keyCol).as("__lo"), max(keyCol).as("__hi"))
             .collect()
             .map { r =>
               val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
-              val lo = if (r.isNullAt(1)) None else Some(r.getLong(1))
-              val hi = if (r.isNullAt(2)) None else Some(r.getLong(2))
-              name -> (lo, hi)
+              def bound(i: Int): Option[KeyBound] =
+                if (r.isNullAt(i)) None
+                else if (isStr) Some(StrKey(r.getString(i)))
+                else Some(LongKey(r.getLong(i)))
+              name -> (bound(1), bound(2))
             }.toMap
           names.map { n =>
-            val (lo, hi) = stats.getOrElse(n, (None, None))
+            val (lo, hi) = stats.getOrElse(n,
+              (None: Option[KeyBound], None: Option[KeyBound]))
             LakeFile(s"$dataRel/$n", lo, hi)
           }
         case None => names.map(n => LakeFile(s"$dataRel/$n", None, None))
@@ -405,7 +421,7 @@ object LakeLayout {
     * version number. */
   def commitLakeVersion(df: DataFrame, tablePath: String,
       checkpoint: String, batchId: Long,
-      statsKey: Option[String] = None): Long = {
+      statsKey: Option[String] = None, op: String = "data"): Long = {
     val s = df.sparkSession
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())
@@ -415,7 +431,7 @@ object LakeLayout {
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      fileStats(s, tablePath, dataRel, statsKey), Some(df.schema.json))
+      fileStats(s, tablePath, dataRel, statsKey), Some(df.schema.json), op)
     v
   }
 
@@ -425,6 +441,16 @@ object LakeLayout {
   final case class LakeUpsertResult(version: Long, filesCarried: Int,
       filesRewritten: Int, filesAdded: Int, bytesWritten: Long,
       tableBytes: Long, attempts: Int = 1)
+
+  /** Output-partition count for a commit write of ~`estBytes`:
+    * ⌈bytes / target-file-size⌉, target `graft.lake.targetFileMB`
+    * (default 128 — the parquet sweet spot), capped so a wildly-off
+    * optimizer estimate can't spray tens of thousands of tiny files. */
+  private def sizeParts(spark: SparkSession, estBytes: BigInt): Int = {
+    val target = BigInt(spark.conf.getOption("graft.lake.targetFileMB")
+      .map(_.toLong).getOrElse(128L) * 1024L * 1024L)
+    ((estBytes + target - 1) / target).max(1).min(4096).toInt
+  }
 
   /** APPEND-ONLY commit: write `rows` as new files and publish a
     * version carrying every current file BY REFERENCE plus the new
@@ -481,21 +507,34 @@ object LakeLayout {
     * ≤ one row per file reaches the driver. */
   private def touchedFilePaths(spark: SparkSession, files: Seq[LakeFile],
       keys: DataFrame, key: String): Set[String] = {
-    val (stated, statless) =
-      files.partition(f => f.minKey.isDefined && f.maxKey.isDefined)
-    val touchedStated: Set[String] =
-      if (stated.isEmpty) Set.empty
-      else {
-        import spark.implicits._
-        val ranges = stated.map(f => (f.path, f.minKey.get, f.maxKey.get))
-          .toDF("__p", "__lo", "__hi")
-        val k = keys.select(col(key).cast("long").as("__k")).distinct()
-        ranges.join(k,
-            col("__k") >= col("__lo") && col("__k") <= col("__hi"),
-            "left_semi")
-          .collect().map(_.getString(0)).toSet
-      }
-    statless.map(_.path).toSet ++ touchedStated
+    import spark.implicits._
+    // bound-typed partitions: the sealed trait never enters a DataFrame
+    // (no encoder exists for it) — long and string ranges each run
+    // their own typed semi-join; Spark's `>=` on StringType is
+    // unsigned-UTF-8 binary order, the same collation the bounds were
+    // computed under. Mixed/absent bounds → conservatively touched.
+    val longRanges = files.collect {
+      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b))) => (p, a, b)
+    }
+    val strRanges = files.collect {
+      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b))) => (p, a, b)
+    }
+    val typed = (longRanges.map(_._1) ++ strRanges.map(_._1)).toSet
+    val statless = files.map(_.path).filterNot(typed).toSet
+    def semiJoin(ranges: DataFrame, k: DataFrame): Set[String] =
+      ranges.join(k,
+          col("__k") >= col("__lo") && col("__k") <= col("__hi"),
+          "left_semi")
+        .collect().map(_.getString(0)).toSet
+    val longHit =
+      if (longRanges.isEmpty) Set.empty[String]
+      else semiJoin(longRanges.toDF("__p", "__lo", "__hi"),
+        keys.select(col(key).cast("long").as("__k")).distinct())
+    val strHit =
+      if (strRanges.isEmpty) Set.empty[String]
+      else semiJoin(strRanges.toDF("__p", "__lo", "__hi"),
+        keys.select(col(key).cast("string").as("__k")).distinct())
+    statless ++ longHit ++ strHit
   }
 
   /** FILE-GRANULAR upsert commit — the operation that makes a streaming
@@ -643,7 +682,15 @@ object LakeLayout {
         // the FILE level) become impossible. Range-partitioning the
         // merged output keeps each new file's key range tight and
         // disjoint at the cost of one O(batch + touched rows) shuffle.
-        val outParts = math.max(1, rewritten.size)
+        // SIZED BY VOLUME, not by touched-file count: a pure-insert
+        // commit touches zero files but may carry terabytes — counting
+        // files would funnel it through one task into one oversized
+        // file. Rewritten bytes are exact (manifest-listed files); the
+        // insert side is the optimizer's size estimate of the batch
+        // (file-backed sources report real bytes).
+        val outParts = sizeParts(spark,
+          BigInt(sizeOf(rewritten.map(_.path))) +
+            upKeep.queryExecution.optimizedPlan.stats.sizeInBytes)
         merged.repartitionByRange(outParts, col(key))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
@@ -690,7 +737,8 @@ object LakeLayout {
   def upsertIntoLakeOcc(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String, writerId: String,
       batchId: Long, maxAttempts: Int = 8,
-      evolveSchema: Boolean = false): LakeUpsertResult = {
+      evolveSchema: Boolean = false,
+      deleteWhen: Option[Column] = None): LakeUpsertResult = {
     require(writerId.nonEmpty && !writerId.contains("/"),
       "writerId must be a non-empty path-safe token")
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -757,7 +805,8 @@ object LakeLayout {
     while (attempt < maxAttempts) {
       attempt += 1
       upsertAttemptEx(spark, tablePath, updates, key, writerId, batchId,
-          s"-$writerId", evolveSchema, keepOnConflict = true) match {
+          s"-$writerId", evolveSchema, deleteWhen,
+          keepOnConflict = true) match {
         case Right(r) => return r.copy(attempts = attempt)
         case Left(Some(c)) =>
           tryRebase(c, rebaseTries = 4 * maxAttempts) match {
@@ -797,6 +846,23 @@ object LakeLayout {
       .getOrElse(throw new IllegalStateException(
         s"mergeIntoLake lost a commit race on $tablePath (single-writer " +
           "contract)"))
+
+  /** [[mergeIntoLake]] under the OCC multi-writer protocol: the same
+    * three-clause merge (update / insert / `deleteWhen` removal), each
+    * attempt recomputed against the latest snapshot on conflict. The
+    * rebase fast path stays sound with deletes because delete-marked
+    * keys participate in the touch set exactly like updates: every
+    * file that could hold one of them was rewritten by our attempt
+    * (condition (a) pins those), and the winner's added files hold
+    * none of our keys (condition (b) checks the FULL source, deletes
+    * included) — so re-pointing our result files at the newer snapshot
+    * preserves last-writer-wins for all three clauses. */
+  def mergeIntoLakeOcc(spark: SparkSession, tablePath: String,
+      source: DataFrame, key: String, deleteWhen: Column,
+      writerId: String, batchId: Long, maxAttempts: Int = 8,
+      evolveSchema: Boolean = false): LakeUpsertResult =
+    upsertIntoLakeOcc(spark, tablePath, source, key, writerId, batchId,
+      maxAttempts, evolveSchema, Some(deleteWhen))
 
   /** Whether any LIVE version carries this (checkpoint, batchId)
     * provenance — exactly-once replay detection for concurrent
@@ -844,14 +910,17 @@ object LakeLayout {
           .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
           .join(deletes.select(col(key)).distinct(), Seq(key), "left_anti")
           // same optimized write as the upsert path: keep the surviving
-          // rows' files tight and key-disjoint
-          .repartitionByRange(math.max(1, rewritten.size), col(key))
+          // rows' files tight and key-disjoint; survivors are bounded
+          // by the rewritten files' exact bytes
+          .repartitionByRange(
+            sizeParts(spark, BigInt(sizeOf(rewritten.map(_.path)))),
+            col(key))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         fileStats(spark, tablePath, dataRel, Some(key))
       }
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      carried ++ newFiles, cur.schemaJson)
+      carried ++ newFiles, cur.schemaJson, op = "delete")
     val bytesWritten = sizeOf(newFiles.map(_.path))
     LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
       bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
@@ -868,20 +937,39 @@ object LakeLayout {
     * candidates. None before the first commit. */
   def readLakeKeyRange(spark: SparkSession, tablePath: String,
       key: String, lo: Long, hi: Long): Option[DataFrame] =
+    prunedRange(spark, tablePath, {
+      case (Some(LongKey(a)), Some(LongKey(b))) => b >= lo && a <= hi
+      // stat-less or differently-typed bounds: always a candidate
+      case _ => true
+    }, col(key) >= lo && col(key) <= hi)
+
+  /** [[readLakeKeyRange]] for STRING-keyed tables (md5-hex doc ids —
+    * the training-corpus norm): [lo, hi] in unsigned-UTF-8 binary
+    * order, the collation the [[StrKey]] stats were computed under and
+    * the one Spark's string comparison uses — the residual filter and
+    * the file pruning judge the range identically. */
+  def readLakeKeyRangeStr(spark: SparkSession, tablePath: String,
+      key: String, lo: String, hi: String): Option[DataFrame] =
+    prunedRange(spark, tablePath, {
+      case (Some(StrKey(a)), Some(StrKey(b))) =>
+        KeyBound.strLeq(a, hi) && KeyBound.strLeq(lo, b)
+      case _ => true
+    }, col(key) >= lo && col(key) <= hi)
+
+  private def prunedRange(spark: SparkSession, tablePath: String,
+      candidate: ((Option[KeyBound], Option[KeyBound])) => Boolean,
+      residual: Column): Option[DataFrame] =
     latestLakeCommit(spark, tablePath).map { c =>
       val frame =
         if (c.files.isEmpty)
           schemaReader(spark, c).parquet(s"$tablePath/${c.dataDir}")
         else {
-          val hit = c.files.filter(f => (f.minKey, f.maxKey) match {
-            case (Some(a), Some(b)) => b >= lo && a <= hi
-            case _ => true
-          })
+          val hit = c.files.filter(f => candidate((f.minKey, f.maxKey)))
           if (hit.isEmpty) commitFrame(spark, tablePath, c).limit(0)
           else schemaReader(spark, c)
             .parquet(hit.map(f => s"$tablePath/${f.path}"): _*)
         }
-      frame.filter(col(key) >= lo && col(key) <= hi)
+      frame.filter(residual)
     }
 
   /** Time travel: the table AS OF a specific committed version (must
@@ -979,7 +1067,8 @@ object LakeLayout {
     // the next upsertIntoLake touch few files
     commitLakeVersion(
       df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key)),
-      tablePath, s"compaction:${cur.version}", -1L, Some(key))
+      tablePath, s"compaction:${cur.version}", -1L, Some(key),
+      op = "compact")
   }
 
   /** PARTIAL compaction: consolidate only the files under
@@ -1023,7 +1112,7 @@ object LakeLayout {
     publishManifest(fs, table, v, dataRel,
       s"compaction-small:${cur.version}", -1L,
       big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
-      cur.schemaJson)
+      cur.schemaJson, op = "compact")
     v
   }
 
@@ -1351,17 +1440,108 @@ object LakeLayout {
          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
        FROM final GROUP BY 1 ORDER BY 1"""
 
+  /** The documents table under its north-star STRING merge key: the
+    * md5-hex of the doc id — the key shape every dedup/corpus pipeline
+    * in this repo actually uses (Dedup.scala keys on md5 throughout).
+    * Reproduced verbatim by DuckDB's `md5(CAST(doc_id AS VARCHAR))`
+    * (both emit lowercase hex). */
+  private def keyedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("doc_key", md5(col("doc_id").cast("string").cast("binary")))
+
+  /** Registry drive of the STRING-KEYED lake lifecycle: documents
+    * committed key-clustered on the md5-hex `doc_key`, an update wave
+    * (first hex nibble 0–3 → lang rewritten) upserted FILE-GRANULARLY,
+    * a takedown (nibble f) deleted, the survivors aggregated. The
+    * [[StrKey]] stats are what keep this file-granular — before typed
+    * bounds a string key nulled every stat and each commit degraded to
+    * an O(table) rewrite. min/max over the key land in the result, so
+    * the hash also pins the string-collation contract (binary order in
+    * Spark, DuckDB, and [[KeyBound.strLeq]] — identical on hex ASCII
+    * and on any UTF-8 when compared bytewise). */
+  def qLakeStrUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = keyedDocs(s, dir)
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      docs.repartitionByRange(6, col("doc_key"))
+        .sortWithinPartitions(col("doc_key")),
+      lake, "registry", 0L, statsKey = Some("doc_key"))
+    upsertIntoLake(s, lake,
+      docs.filter(substring(col("doc_key"), 1, 1).isin("0", "1", "2", "3"))
+        .withColumn("lang", lit("xx")),
+      "doc_key", "registry", 1L)
+    deleteFromLake(s, lake,
+      docs.filter(substring(col("doc_key"), 1, 1) === "f")
+        .select(col("doc_key")),
+      "doc_key", "registry", 2L)
+    readLake(s, lake).get
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_key")).as("min_key"),
+        max(col("doc_key")).as("max_key"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qLakeStrUpsertSql: String =
+    """WITH keyed AS (
+         SELECT md5(CAST(doc_id AS VARCHAR)) AS doc_key, lang, n_chars
+         FROM documents),
+       final AS (
+         SELECT doc_key,
+           CASE WHEN substr(doc_key, 1, 1) IN ('0','1','2','3')
+                THEN 'xx' ELSE lang END AS lang,
+           n_chars
+         FROM keyed WHERE substr(doc_key, 1, 1) <> 'f')
+       SELECT lang, COUNT(*) AS n_docs,
+         MIN(doc_key) AS min_key, MAX(doc_key) AS max_key,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM final GROUP BY lang ORDER BY lang"""
+
+  /** Registry drive of [[readLakeKeyRangeStr]]: a string key band over
+    * the md5-keyed documents lake, read through the StrKey-pruned path
+    * — files whose hex range misses ['4','8'] never reach the scan —
+    * then aggregated per source. Oracle = the same band as a WHERE
+    * clause; pruning must be invisible in the result. */
+  def qLakeStrRange(s: SparkSession, dir: String): DataFrame = {
+    val docs = keyedDocs(s, dir)
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      docs.repartitionByRange(8, col("doc_key"))
+        .sortWithinPartitions(col("doc_key")),
+      lake, "registry", 0L, statsKey = Some("doc_key"))
+    readLakeKeyRangeStr(s, lake, "doc_key", "4", "8").get
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_key")).as("min_key"),
+        max(col("doc_key")).as("max_key"))
+      .orderBy(col("source"))
+  }
+
+  val qLakeStrRangeSql: String =
+    """WITH keyed AS (
+         SELECT md5(CAST(doc_id AS VARCHAR)) AS doc_key, source
+         FROM documents)
+       SELECT source, COUNT(*) AS n_docs,
+         MIN(doc_key) AS min_key, MAX(doc_key) AS max_key
+       FROM keyed WHERE doc_key >= '4' AND doc_key <= '8'
+       GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_key_stats" -> (qZorderKeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_evolve" -> (qLakeEvolve _),
-    "q_lake_merge" -> (qLakeMerge _))
+    "q_lake_merge" -> (qLakeMerge _),
+    "q_lake_str_upsert" -> (qLakeStrUpsert _),
+    "q_lake_str_range" -> (qLakeStrRange _))
 
   val oracle: Map[String, String] = Map(
     "q_zorder_key_stats" -> qZorderKeyStatsSql,
     "q_lake_delete" -> qLakeDeleteSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
     "q_lake_evolve" -> qLakeEvolveSql,
-    "q_lake_merge" -> qLakeMergeSql)
+    "q_lake_merge" -> qLakeMergeSql,
+    "q_lake_str_upsert" -> qLakeStrUpsertSql,
+    "q_lake_str_range" -> qLakeStrRangeSql)
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** Explicit-schema readers for the driver testdata tables
@@ -64,9 +65,12 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is parquet INT64 TIMESTAMP(NANOS) — Spark's vectorized reader
-    * has no nanosecond TimestampType, so it is declared LongType and read
-    * as raw epoch-nanoseconds. Derive micros/timestamps downstream via
+  /** `ts` is declared LongType and read as the raw INT64 whatever the
+    * parquet footer's time unit — the driver generator has emitted both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds. [[load]]
+    * normalizes to the engine contract: epoch-NANOSECONDS (Spark has no
+    * ns TimestampType, so the integral form is the lossless one).
+    * Derive micros/timestamps downstream via
     * `timestamp_micros(ts div 1000)`; keeping the integral form also
     * makes cross-engine time arithmetic exact. */
   val events: StructType = StructType(Seq(
@@ -95,9 +99,42 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Read one table from an sf directory with its declared schema. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+  /** Whether a parquet events file/dir stores `ts` as TIMESTAMP(MICROS)
+    * (Spark infers TimestampType) rather than TIMESTAMP(NANOS) (no ns
+    * TimestampType exists, so Spark infers LongType). The testdata
+    * generator has emitted BOTH across rounds; the engine contract is
+    * pinned to int64 NANOS (see [[events]]), so µs sources scale ×1000
+    * at load. Footer-only check, cached per path — unreadable/absent
+    * footers fall back to the legacy ns assumption. */
+  private val tsMicrosCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def eventsTsIsMicros(spark: SparkSession, path: String): Boolean =
+    tsMicrosCache.getOrElseUpdate(path,
+      try spark.read.parquet(path).schema("ts").dataType match {
+        // µs footers infer as TimestampType (isAdjustedToUTC) or
+        // TimestampNTZType (tz-naive writers — pandas/pyarrow default);
+        // ns footers infer as LongType (Spark has no ns timestamp)
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      } catch { case scala.util.control.NonFatal(_) => false })
+
+  /** Scale an events frame read under the declared LongType schema
+    * (which surfaces the raw INT64 regardless of the footer's time
+    * unit) to the pinned ns contract. */
+  def normalizeEventsTs(df: DataFrame, isMicros: Boolean): DataFrame =
+    if (isMicros) df.withColumn("ts", col("ts") * lit(1000L)) else df
+
+  /** Read one table from an sf directory with its declared schema.
+    * `events.ts` is normalized to epoch-NANOS whatever unit the parquet
+    * carries — every downstream `ts div 1000` / oracle `epoch_ns(ts)`
+    * pair stays exact (epoch_ns is unit-independent on the DuckDB
+    * side). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      normalizeEventsTs(df, eventsTsIsMicros(spark, s"$sfDir/$name.parquet"))
+    else df
+  }
 
   def schemaOf(name: String): StructType = schemas(name)
 

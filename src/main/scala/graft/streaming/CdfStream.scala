@@ -45,7 +45,26 @@ object CdfStream {
     val live = LakeLayout.lakeVersions(spark, tablePath)
     require(live.contains(v),
       s"version $v of $tablePath is not live (vacuumed or never committed)")
-    if (!live.contains(v - 1)) {
+    val cur = LakeLayout.lakeCommitAt(spark, tablePath, v)
+    // op-typed short-circuit: a compact commit provably moves only
+    // bytes — its change set is empty BY MANIFEST TYPE, so the feed
+    // emits zero rows without opening (or even listing for the scan) a
+    // single data file. Without this, every compaction costs the CDC
+    // consumer a full diff of the compacted bytes for a guaranteed-
+    // empty result.
+    if (cur.op == "compact" && live.contains(v - 1)) {
+      val tableSchema = cur.schemaJson
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(LakeLayout.readLakeVersion(spark, tablePath, v).schema)
+      val out = org.apache.spark.sql.types.StructType(tableSchema.fields :+
+        org.apache.spark.sql.types.StructField("_change",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    } else if (!live.contains(v - 1)) {
       val snap = LakeLayout.readLakeVersion(spark, tablePath, v)
       snap.withColumn("_change", lit("insert"))
         .withColumn("_version", lit(v))

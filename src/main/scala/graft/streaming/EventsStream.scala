@@ -20,12 +20,18 @@ object EventsStream {
   /** Streaming source over a DIRECTORY of events parquet files with the
     * declared schema (Spark's file stream source watches a directory;
     * maxFilesPerTrigger simulates incremental arrival). */
-  def source(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.events)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(eventsDir)
+  def source(spark: SparkSession, eventsDir: String): DataFrame = {
+    // the stream's declared LongType schema surfaces the raw INT64; the
+    // footer's time unit decides whether it is µs or the contract's ns
+    // (batch footer peek at the already-staged dir — see Tables)
+    val isMicros = Tables.eventsTsIsMicros(spark, eventsDir)
+    Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(Tables.events)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsDir), isMicros)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling 1-hour windowed aggregation with a 10-minute watermark:
     * count + sum(value) + distinct-ish user count per (window,

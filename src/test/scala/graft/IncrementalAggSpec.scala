@@ -72,4 +72,50 @@ class IncrementalAggSpec extends SparkSuite {
       "emptied group must leave the state")
     assert(stateOf(state) == stateOf(recompute(v4 + 1)))
   }
+
+  test("advanceMany: 20+ version walk commits state on cadence and keeps plan depth bounded") {
+    val table = java.nio.file.Files.createTempDirectory("graft-incrmany").toString
+    val stateTable = java.nio.file.Files.createTempDirectory("graft-incrstate").toString
+    val base = (0L until 60L).map(k => (k, s"g${k % 3}", k)).toDF("id", "g", "v")
+    LakeLayout.commitLakeVersion(
+      base.repartitionByRange(3, col("id")).sortWithinPartitions(col("id")),
+      table, "ck", 0L, statsKey = Some("id"))
+    // 22 data versions: each upsert moves 4 keys into a new group and
+    // bumps their value — every version has a non-trivial delta
+    val last = 22L
+    (1L to last).foreach { b =>
+      LakeLayout.upsertIntoLake(spark, table,
+        (0L until 4L).map(i => (b * 2 + i, s"g${(b + i) % 4}", b * 100 + i))
+          .toDF("id", "g", "v"),
+        "id", "ck", b)
+    }
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case n => n }.size
+    val state0 = IncrementalAgg.fullAgg(
+      LakeLayout.readLakeVersion(spark, table, 0L), "g", "v")
+    // naive chain: plan grows with every advance (the trap)
+    val naive = (1L to last).foldLeft(state0)((st, v) =>
+      IncrementalAgg.advance(spark, table, st, "g", "v", v - 1, v))
+    // cadenced walk: state committed every 6 advances, plan restarts
+    // from the committed parquet
+    val walked = IncrementalAgg.advanceMany(spark, table, state0,
+      "g", "v", 0L, last, stateTable, cadence = 6)
+    val expected = IncrementalAgg.fullAgg(
+      LakeLayout.readLakeVersion(spark, table, last), "g", "v")
+    assert(stateOf(walked) == stateOf(expected),
+      "cadenced walk must land exactly on the full recompute")
+    assert(stateOf(naive) == stateOf(expected))
+    val (nWalked, nNaive) = (planNodes(walked), planNodes(naive))
+    assert(nWalked * 2 < nNaive,
+      s"cadence must bound the plan ($nWalked nodes) far below the " +
+        s"unmaterialized chain ($nNaive nodes)")
+    // depth is O(cadence): at most (cadence) advances stacked on a scan
+    assert(nWalked < 120, s"walked plan has $nWalked nodes — not bounded")
+    // the state table is itself a versioned lake: last commit carries
+    // the walk's provenance and the committed bytes match the state
+    val committed = LakeLayout.readLake(spark, stateTable).get
+    assert(stateOf(committed.select(col("g"), col("cnt"), col("total")))
+      == stateOf(walked.select(col("g"), col("cnt"), col("total"))),
+      "committed state must equal the in-flight state at walk end")
+  }
 }

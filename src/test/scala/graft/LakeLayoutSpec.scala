@@ -664,4 +664,165 @@ class LakeLayoutSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(d == Set((1L, "update"), (2L, "delete"), (100L, "insert")))
   }
+
+  test("string-keyed upsert stays file-granular: StrKey stats carry untouched files by reference") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-strkey").toString
+    // md5-hex keys — the corpus norm (dedup keys on md5 doc ids)
+    val base = spark.range(0, 4000)
+      .select(md5($"id".cast("string")).as("k"), ($"id" % 97).as("v"))
+    LakeLayout.commitLakeVersion(
+      base.repartitionByRange(4, $"k").sortWithinPartitions($"k"),
+      table, "ck", 0L, statsKey = Some("k"))
+    val m0 = LakeLayout.latestLakeCommit(spark, table).get
+    assert(m0.files.size == 4, s"want 4 ranged files, got ${m0.files.size}")
+    assert(m0.files.forall(f =>
+        f.minKey.exists(_.isInstanceOf[LakeLayout.StrKey]) &&
+        f.maxKey.exists(_.isInstanceOf[LakeLayout.StrKey])),
+      "a string-keyed table must record STRING stats, not nulled longs")
+    def bytesOf(rel: String): (Long, Long) = {
+      val st = new java.io.File(s"$table/$rel")
+      (st.length(), st.lastModified())
+    }
+    val before = m0.files.map(f => f.path -> bytesOf(f.path)).toMap
+    // batch confined to the table's lowest keys — one file's range
+    val lowKeys = base.orderBy($"k").limit(3).collect().map(_.getString(0))
+    val r1 = LakeLayout.upsertIntoLake(spark, table,
+      lowKeys.toSeq.map(k => (k, 1000L)).toDF("k", "v"), "k", "ck", 1L)
+    assert(r1.filesCarried > 0,
+      s"string stats must keep the upsert file-granular (carried=0 means " +
+        s"every commit is an O(table) rewrite): $r1")
+    assert(r1.filesRewritten == 1,
+      s"3 keys inside one file's range may rewrite only that file: $r1")
+    val m1 = LakeLayout.latestLakeCommit(spark, table).get
+    val carried = m1.files.map(_.path).toSet intersect m0.files.map(_.path).toSet
+    carried.foreach { p =>
+      assert(bytesOf(p) == before(p), s"carried file $p must be byte-untouched")
+    }
+    // merged truth survives the string round-trip through the manifest
+    val got = LakeLayout.readLake(spark, table).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 4000)
+    lowKeys.foreach(k => assert(got(k) == 1000L))
+    // string-band range read prunes at the manifest before the scan
+    val all = LakeLayout.readLake(spark, table).get.inputFiles.length
+    val band = LakeLayout.readLakeKeyRangeStr(spark, table, "k",
+      lowKeys.min, lowKeys.max).get
+    assert(band.inputFiles.length < all,
+      s"StrKey pruning must hand Spark fewer than all $all files")
+    assert(band.count() >= 3)
+  }
+
+  test("op-typed manifests: compact commits are skipped by CDF and incremental agg without reading data") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-optyped").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 100L).map(k => (k, k % 7)).toDF("id", "v").repartition(8),
+      table, "ck", 0L, statsKey = Some("id"))
+    LakeLayout.upsertIntoLake(spark, table,
+      Seq((5L, 999L), (200L, 1L)).toDF("id", "v"), "id", "ck", 1L)
+    val vCompact = LakeLayout.compactLake(spark, table, "id")
+    assert(vCompact == 2L)
+    assert(LakeLayout.lakeCommitAt(spark, table, vCompact).op == "compact",
+      "compaction must publish an op-typed (format:4) manifest")
+    assert(LakeLayout.lakeCommitAt(spark, table, 1L).op == "data")
+    // CDF: the compact version emits ZERO rows from ZERO data files —
+    // the manifest type alone decides, no diff of the compacted bytes
+    val ch = graft.streaming.CdfStream.changesForVersion(
+      spark, table, vCompact, "id")
+    assert(ch.inputFiles.isEmpty,
+      "a compact version's change set must not open any data file")
+    assert(ch.count() == 0L)
+    assert(ch.columns.contains("_change") && ch.columns.contains("_version"))
+    // data versions still emit through the normal path
+    val ch1 = graft.streaming.CdfStream.changesForVersion(spark, table, 1L, "id")
+    assert(ch1.count() == 2L)
+    // incremental agg: advancing across a pure-compaction span returns
+    // the state AS IS (same plan — no delta union stacked on top)
+    val st1 = graft.operators.IncrementalAgg.fullAgg(
+      LakeLayout.readLakeVersion(spark, table, 1L), "v", "id")
+    val st2 = graft.operators.IncrementalAgg.advance(
+      spark, table, st1, "v", "id", 1L, vCompact)
+    assert(st2 eq st1, "a pure-compact span must short-circuit to prev")
+    // delete commits are typed too — but stay visible to CDF
+    LakeLayout.deleteFromLake(spark, table, Seq(Tuple1(5L)).toDF("id"),
+      "id", "ck", 3L)
+    assert(LakeLayout.lakeCommitAt(spark, table, 3L).op == "delete")
+    assert(graft.streaming.CdfStream.changesForVersion(spark, table, 3L, "id")
+      .count() == 1L, "delete commits change rows and must emit")
+  }
+
+  test("insert-path writes are sized by batch volume, not touched-file count") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-inssize").toString
+    spark.conf.set("graft.lake.targetFileMB", "1")
+    try {
+      LakeLayout.commitLakeVersion(
+        (0L until 100L).map(k => (k, "seed")).toDF("id", "payload").coalesce(1),
+        table, "ck", 0L, statsKey = Some("id"))
+      // pure-insert wave, ~8 MB of rows beyond every existing range:
+      // rewrites nothing, but must NOT funnel through one task/file
+      val wave = spark.range(10000, 210000)
+        .select($"id", md5($"id".cast("string")).as("payload"))
+      val r = LakeLayout.upsertIntoLake(spark, table, wave, "id", "ck", 1L)
+      assert(r.filesRewritten == 0, s"pure insert touches nothing: $r")
+      assert(r.filesAdded > 1,
+        s"a multi-MB insert must spread across files (1-MB target): $r")
+      // the new files' key ranges are tight and pairwise disjoint —
+      // the property upsert touch-sets and OCC rebases ride on
+      val newFiles = LakeLayout.lakeCommitAt(spark, table, 1L).files
+        .filter(_.path.startsWith("data/v00000000000000000001"))
+      val ranges = newFiles.flatMap(f => (f.minKey, f.maxKey) match {
+        case (Some(LakeLayout.LongKey(a)), Some(LakeLayout.LongKey(b))) =>
+          Some((a, b))
+        case _ => None
+      }).sorted
+      assert(ranges.size == r.filesAdded)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) =>
+          assert(hi1 < lo2, s"file ranges must be disjoint: $ranges")
+        case _ =>
+      }
+    } finally spark.conf.unset("graft.lake.targetFileMB")
+  }
+
+  test("OCC merge with deletes: contended two-writer history replays serializably") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-occmerge").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 40L).map(k => (k, "base", false)).toDF("id", "v", "del")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      table, "ck", 0L, statsKey = Some("id"))
+    // each writer's batch b: update its even keys, DELETE its odd keys,
+    // insert one fresh key — overlapping bands force real contention
+    def src(w: String, b: Int): Seq[(Long, String, Boolean)] = {
+      val band = if (w == "wA") 0L until 20L else 10L until 30L
+      band.map(k => (k, s"$w-b$b", k % 2 == 1)) :+
+        ((1000L + (if (w == "wA") 0L else 100L) + b, s"$w-ins$b", false))
+    }
+    raceWriters(Seq("wA", "wB")) { w =>
+      (0 until 3).foreach { b =>
+        LakeLayout.mergeIntoLakeOcc(spark, table,
+          src(w, b).toDF("id", "v", "del"), "id",
+          deleteWhen = col("del"), w, b.toLong)
+      }
+    }
+    val versions = LakeLayout.lakeVersions(spark, table)
+    assert(versions == (0L to 6L), s"got $versions")
+    // serializable: every version = predecessor + its batch's 3 clauses
+    def tableAt(v: Long): Map[Long, String] =
+      LakeLayout.readLakeVersion(spark, table, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    versions.tail.foldLeft(tableAt(0L)) { (prev, v) =>
+      val c = LakeLayout.lakeCommitAt(spark, table, v)
+      val batch = src(c.checkpoint, c.batchId.toInt)
+      val expected = (prev -- batch.filter(_._3).map(_._1)) ++
+        batch.filterNot(_._3).map(t => t._1 -> t._2)
+      val got = tableAt(v)
+      assert(got == expected,
+        s"version $v (${c.checkpoint}, b${c.batchId}) diverges from " +
+          "sequential replay")
+      got
+    }
+  }
 }

@@ -36,6 +36,41 @@ class SqlParitySpec extends SparkSuite {
     info(s"three-way parity: $parity queries, $skipped DuckDB-specific skipped")
   }
 
+  test("lake tables are reachable from plain spark.sql via catalog views") {
+    import spark.implicits._
+    import graft.sources.LakeLayout
+    val table = java.nio.file.Files.createTempDirectory("graft-lakeview").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 50L).map(k => (k, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      table, "ck", 0L, statsKey = Some("id"))
+    LakeLayout.upsertIntoLake(spark, table,
+      Seq((7L, "UPD"), (100L, "INS")).toDF("id", "v"), "id", "ck", 1L)
+    // latest-version view: SQL sees exactly what readLake sees
+    Catalog.registerLakeView(spark, table, "lake_t")
+    val viaSql = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(id) AS s FROM lake_t").head()
+    assert(viaSql.getLong(0) == 51L)
+    assert(viaSql.getLong(1) == (0L until 50L).sum + 100L)
+    assert(spark.sql("SELECT v FROM lake_t WHERE id = 7").head().getString(0)
+      == "UPD")
+    // time-travel view pins the pre-upsert state
+    Catalog.registerLakeVersionView(spark, table, 0L, "lake_t_v0")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM lake_t_v0").head().getLong(0)
+      == 50L)
+    assert(spark.sql("SELECT v FROM lake_t_v0 WHERE id = 7").head().getString(0)
+      == "v7")
+    // a view is a pinned snapshot: a commit AFTER registration must not
+    // tear or advance it (consistent reads under concurrent writers)
+    LakeLayout.deleteFromLake(spark, table,
+      Seq(Tuple1(7L)).toDF("id"), "id", "ck", 2L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM lake_t").head().getLong(0)
+      == 51L, "registered view must keep its snapshot")
+    Catalog.registerLakeView(spark, table, "lake_t")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM lake_t").head().getLong(0)
+      == 50L, "re-registration advances to the latest version")
+  }
+
   test("every registered query emits only driver-sortable scalar columns") {
     // The driver's harness (rows-only included) loads results into pandas
     // and sorts — array/map/struct cells crash it with numpy `unhashable
