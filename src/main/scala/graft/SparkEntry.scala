@@ -21,6 +21,7 @@ object SparkEntry {
       GraphTraversal.queries ++ AdvancedQueries.queries ++
       AsOfJoin.queries ++ Sampling.queries ++
       graft.sources.LakeLayout.queries ++ IncrementalAgg.queries ++
+      graft.sources.Catalog.queries ++
       graft.streaming.EventsStream.queries ++
       graft.streaming.CdfStream.queries
 
@@ -34,6 +35,7 @@ object SparkEntry {
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
       AsOfJoin.oracle ++ Sampling.oracle ++
       graft.sources.LakeLayout.oracle ++ IncrementalAgg.oracle ++
+      graft.sources.Catalog.oracle ++
       graft.streaming.EventsStream.oracle ++
       graft.streaming.CdfStream.oracle
 }

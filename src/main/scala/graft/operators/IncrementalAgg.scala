@@ -163,11 +163,20 @@ object IncrementalAgg {
       orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
         .select(col("o_orderkey")),
       "o_orderkey", "registry", 2L)
+    // v3: pure-compact span — the timed drive must exercise the
+    // op-typed manifest skip (state passes through without reading the
+    // compacted bytes; see OpTypedSkipSpec for the zero-file-open proof)
+    // full compactLake: after the delete wave the table may already sit
+    // in one file, which the small-files path would no-op on — the
+    // drive needs the compact COMMIT to exist, deterministically
+    val v3 = LakeLayout.compactLake(s, lake, "o_orderkey")
+    require(v3 == 3L, s"expected compact to publish v3, got $v3")
     val state0 = fullAgg(LakeLayout.readLakeVersion(s, lake, 0L),
       "o_orderpriority", "o_orderkey")
     val state1 = advance(s, lake, state0, "o_orderpriority", "o_orderkey", 0L, 1L)
     val state2 = advance(s, lake, state1, "o_orderpriority", "o_orderkey", 1L, 2L)
-    state2.select(col("o_orderpriority"),
+    val state3 = advance(s, lake, state2, "o_orderpriority", "o_orderkey", 2L, 3L)
+    state3.select(col("o_orderpriority"),
         col("cnt").as("n_orders"),
         col("total").cast("long").as("sum_key"))
       .orderBy(col("o_orderpriority"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Hive-metastore catalog surface (the declared spark_approach:
   * "Spark SQL with Hive metastore" — storage stays external parquet,
@@ -91,4 +91,79 @@ object Catalog {
       version: Long, viewName: String): Unit =
     LakeLayout.readLakeVersion(spark, tablePath, version)
       .createOrReplaceTempView(viewName)
+
+  // -------------------------- dynamic partition pruning registry drive
+
+  /** Stage events as a DATE-PARTITIONED external table (dirs keyed by
+    * `day_id` = epoch-day of `ts`) plus a small day-dimension parquet
+    * (`day_id`, `dow`). `repartition(day_id)` before the partitioned
+    * write keeps it to ~one file per day instead of
+    * (tasks × days) shards. The dim is written to DISK and read back so
+    * its `dow` column is opaque to the optimizer — a dim built in-plan
+    * with `dow = day_id % 7` would let constraint propagation infer a
+    * STATIC partition filter on the fact and the demo would never need
+    * DPP. */
+  def stageDppTables(spark: SparkSession, sfDir: String,
+      root: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val fact = Tables.load(spark, sfDir, "events")
+      .withColumn("day_id", expr("ts div 86400000000000"))
+    fact.repartition(col("day_id"))
+      .write.partitionBy("day_id").mode("overwrite")
+      .parquet(s"$root/events_by_day")
+    fact.select(col("day_id")).distinct()
+      .withColumn("dow", pmod(col("day_id"), lit(7)))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/days")
+  }
+
+  /** Dynamic-partition-pruning drive — the single most important scan
+    * optimization at 100×: a day-partitioned fact joined to a filtered
+    * dim on the partition key must scan ONLY the surviving days'
+    * partitions, the filter arriving at the fact scan AT RUNTIME from
+    * the dim side (`dynamicpruningexpression` in PartitionFilters —
+    * asserted by PlanShapeSpec; the dim's broadcast exchange is reused
+    * as the pruning subquery, so pruning costs nothing extra). At
+    * 100 TB the partitioned fact already exists — the staging write
+    * here is drive scaffolding, re-done per run into a fresh dir. The
+    * external table is registered through the session catalog
+    * (in-memory or Hive metastore alike) with MSCK partition recovery,
+    * so the fact is driven through the full catalog surface, not a
+    * bare path read. */
+  def qDppEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    stageDppTables(spark, sfDir, root)
+    val dataCols = Tables.events.toDDL // partition col appended below
+    spark.sql("DROP TABLE IF EXISTS graft_dpp_events")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE graft_dpp_events ($dataCols, day_id BIGINT)
+          USING parquet
+          PARTITIONED BY (day_id)
+          LOCATION '$root/events_by_day'""")
+    spark.sql("MSCK REPAIR TABLE graft_dpp_events")
+    val dim = spark.read.parquet(s"$root/days")
+      .filter(col("dow") === 1)
+    spark.table("graft_dpp_events")
+      .join(broadcast(dim), "day_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDppEventsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events
+       WHERE (epoch_ns(ts) // 86400000000000) % 7 = 1
+       GROUP BY 1 ORDER BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_events" -> (qDppEvents _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dpp_events" -> qDppEventsSql)
 }

@@ -447,9 +447,39 @@ object LakeLayout {
     * (default 128 — the parquet sweet spot), capped so a wildly-off
     * optimizer estimate can't spray tens of thousands of tiny files. */
   private def sizeParts(spark: SparkSession, estBytes: BigInt): Int = {
-    val target = BigInt(spark.conf.getOption("graft.lake.targetFileMB")
-      .map(_.toLong).getOrElse(128L) * 1024L * 1024L)
+    val mb = spark.conf.getOption("graft.lake.targetFileMB").map { s =>
+      val v = scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.lake.targetFileMB must be a positive integer, got '$s'"))
+      require(v > 0 && v <= 16384,
+        s"graft.lake.targetFileMB out of range (1..16384): $v")
+      v
+    }.getOrElse(128L)
+    val target = BigInt(mb * 1024L * 1024L)
     ((estBytes + target - 1) / target).max(1).min(4096).toInt
+  }
+
+  /** The insert-side byte estimate for [[sizeParts]]. Statless plans
+    * (RDD-backed / streaming-derived batches) report
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue from the optimizer —
+    * feeding that to sizeParts pins every such upsert at the 4096-part
+    * cap, paying a huge range-sample shuffle for a tiny batch. Treat
+    * anything at/above the configured default as UNKNOWN and fall back
+    * to rows × estimated-row-width (from the schema's default sizes —
+    * the same per-type table the optimizer itself uses). */
+  private def insertBytesEstimate(df: DataFrame): BigInt = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val unknown = BigInt(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (stats.sizeInBytes < unknown) stats.sizeInBytes
+    else {
+      val rowWidth = math.max(8L,
+        df.schema.fields.map(_.dataType.defaultSize.toLong).sum)
+      stats.rowCount match {
+        case Some(n) => n * rowWidth
+        case None => BigInt(df.count()) * rowWidth // one bounded pass
+      }
+    }
   }
 
   /** APPEND-ONLY commit: write `rows` as new files and publish a
@@ -687,10 +717,11 @@ object LakeLayout {
         // files would funnel it through one task into one oversized
         // file. Rewritten bytes are exact (manifest-listed files); the
         // insert side is the optimizer's size estimate of the batch
-        // (file-backed sources report real bytes).
+        // (file-backed sources report real bytes; statless plans fall
+        // back to a row-width estimate — see insertBytesEstimate).
         val outParts = sizeParts(spark,
           BigInt(sizeOf(rewritten.map(_.path))) +
-            upKeep.queryExecution.optimizedPlan.stats.sizeInBytes)
+            insertBytesEstimate(upKeep))
         merged.repartitionByRange(outParts, col(key))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
@@ -1114,6 +1145,62 @@ object LakeLayout {
       big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
       cur.schemaJson, op = "compact")
     v
+  }
+
+  /** [[compactLakeSmallFiles]] under the OCC multi-writer protocol —
+    * the maintenance job a 100 TB table runs CONCURRENTLY with ingest
+    * writers. Each attempt compacts the latest snapshot's small files
+    * into a writer-tagged data dir and publishes optimistically; on
+    * losing the claim the whole attempt recomputes against the new
+    * latest (compaction reads only the snapshot it targets, so a
+    * retry is always sound — unlike upserts there is nothing to
+    * rebase: the winner may have rewritten the very files we
+    * consolidated). Lost attempts' data dirs are unreferenced by
+    * construction and reclaimed by [[vacuumLake]]'s orphan sweep.
+    * Returns the published version, or the current version when fewer
+    * than two small files exist. */
+  def compactLakeOcc(spark: SparkSession, tablePath: String, key: String,
+      writerId: String, maxAttempts: Int = 8,
+      smallFileMB: Int = 32, targetFileMB: Int = 128): Long = {
+    require(writerId.nonEmpty && !writerId.contains("/"),
+      "writerId must be a non-empty path-safe token")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val rnd = new scala.util.Random(writerId.hashCode)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = latestLakeCommit(spark, tablePath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"compactLakeOcc: $tablePath has no committed version"))
+      require(cur.files.nonEmpty,
+        "compactLakeOcc needs file-granular manifests (run a single-writer " +
+          "full compaction once to convert a legacy dir-pointer table)")
+      val sized = cur.files.map(f => f ->
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(table, f.path)).getLen)
+      val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
+      if (small.size < 2) return cur.version
+      val bytes = small.map(_._2).sum
+      val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+      val v = cur.version + 1
+      val dataRel = s"data/${versionName(v)}-$writerId-cmp"
+      schemaReader(spark, cur)
+        .parquet(small.map(f => s"$tablePath/${f._1.path}"): _*)
+        .repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key))
+        .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+      if (tryPublishManifest(fs, table, v, dataRel,
+          s"compaction-occ:$writerId", -1L,
+          big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
+          s"-$writerId-cmp", cur.schemaJson, op = "compact"))
+        return v
+      // claim raced: our consolidated files may include rows the winner
+      // just rewrote — drop the orphan and recompute from the new tip
+      fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
+      Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
+    }
+    throw new IllegalStateException(
+      s"compactLakeOcc: $maxAttempts consecutive commit conflicts on " +
+        s"$tablePath — raise maxAttempts or run compaction less often")
   }
 
   /** Drop all but the newest `keep` versions — manifests first (so no

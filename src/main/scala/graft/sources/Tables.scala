@@ -104,19 +104,42 @@ object Tables {
     * TimestampType exists, so Spark infers LongType). The testdata
     * generator has emitted BOTH across rounds; the engine contract is
     * pinned to int64 NANOS (see [[events]]), so µs sources scale ×1000
-    * at load. Footer-only check, cached per path — unreadable/absent
-    * footers fall back to the legacy ns assumption. */
+    * at load.
+    *
+    * A wrong unit is a silent ×1000 error in every derived timestamp /
+    * window / watermark, so this probe FAILS LOUDLY instead of guessing:
+    * an empty or absent path (a streaming watch dir probed before files
+    * are staged) and an unreadable footer both throw. The cache is keyed
+    * by a fingerprint of the path's parquet files (name:length:mtime),
+    * so a path re-generated with a different unit inside one JVM is
+    * re-probed rather than served the stale unit. */
   private val tsMicrosCache =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  def eventsTsIsMicros(spark: SparkSession, path: String): Boolean =
-    tsMicrosCache.getOrElseUpdate(path,
-      try spark.read.parquet(path).schema("ts").dataType match {
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+  def eventsTsIsMicros(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true) // throws FileNotFoundException: fail loudly
+    while (it.hasNext && files.size < 4096) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith("."))
+        files += s"$n:${f.getLen}:${f.getModificationTime}"
+    }
+    require(files.nonEmpty,
+      s"events time-unit probe: no data files under $path — stage the " +
+        "directory before building a source over it (an empty-dir default " +
+        "would silently pin the wrong time unit for this JVM)")
+    val fp = files.sorted.mkString("|")
+    tsMicrosCache.getOrElseUpdate((path, fp),
+      spark.read.parquet(path).schema("ts").dataType match {
         // µs footers infer as TimestampType (isAdjustedToUTC) or
         // TimestampNTZType (tz-naive writers — pandas/pyarrow default);
         // ns footers infer as LongType (Spark has no ns timestamp)
         case TimestampType | TimestampNTZType => true
         case _ => false
-      } catch { case scala.util.control.NonFatal(_) => false })
+      })
+  }
 
   /** Scale an events frame read under the declared LongType schema
     * (which surfaces the raw INT64 regardless of the footer's time

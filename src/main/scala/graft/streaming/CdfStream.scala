@@ -57,13 +57,16 @@ object CdfStream {
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
         .getOrElse(LakeLayout.readLakeVersion(spark, tablePath, v).schema)
-      val out = org.apache.spark.sql.types.StructType(tableSchema.fields :+
-        org.apache.spark.sql.types.StructField("_change",
-          org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("_version",
-          org.apache.spark.sql.types.LongType, nullable = false))
+      // Build the zero-row frame through the same column derivations as
+      // the data paths (lit()-derived _change/_version, both
+      // non-nullable) so the change feed's schema+nullability is
+      // identical for every version op — a consumer unioning or writing
+      // per-version frames under strict schema checks must never see a
+      // compact version differ. Still opens/lists no data files.
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+        .withColumn("_change", lit("compact"))
+        .withColumn("_version", lit(v))
     } else if (!live.contains(v - 1)) {
       val snap = LakeLayout.readLakeVersion(spark, tablePath, v)
       snap.withColumn("_change", lit("insert"))
@@ -87,8 +90,13 @@ object CdfStream {
             .when(col("__h_old") =!= col("__h_new"), lit("update")))
         .filter(col("_change").isNotNull)
       val pick = coalesce(col("__row_new"), col("__row_old"))
+      // coalesce is a runtime no-op (the filter above dropped nulls) but
+      // flips _change to non-nullable — same schema as the bootstrap and
+      // compact paths, so per-version frames union without nullability
+      // drift.
       j.select(union.map(c => pick.getField(c).as(c)) :+
-        col("_change") :+ lit(v).as("_version"): _*)
+        coalesce(col("_change"), lit("update")).as("_change") :+
+        lit(v).as("_version"): _*)
     }
   }
 
@@ -164,7 +172,12 @@ object CdfStream {
       orders.filter(pmod(col("o_orderkey"), lit(100)) === 7)
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)),
       "o_orderkey", "registry", 3L)
-    (1L to 3L).map(v => changesForVersion(s, lake, v, "o_orderkey"))
+    // v4: compact — its change set must be empty BY MANIFEST TYPE, so
+    // the timed feed exercises the op-typed short-circuit (zero rows,
+    // zero data files opened; proof in OpTypedSkipSpec)
+    val v4 = LakeLayout.compactLake(s, lake, "o_orderkey")
+    require(v4 == 4L, s"expected compact to publish v4, got $v4")
+    (1L to 4L).map(v => changesForVersion(s, lake, v, "o_orderkey"))
       .reduce(_ unionByName _)
       .groupBy(col("_version"), col("_change"))
       .agg(count(lit(1)).as("n_rows"),

@@ -825,4 +825,190 @@ class LakeLayoutSpec extends SparkSuite {
       got
     }
   }
+
+  test("OCC N=4: upsert + merge-delete + compact writers linearize; vacuum leaves no orphans") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-occ4").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 40L).map(k => (k, "base", false)).toDF("id", "v", "del")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      table, "ck", 0L, statsKey = Some("id"))
+    // overlapping key bands force real contention; wD compacts in the
+    // middle of the storm via the OCC compaction path
+    def upBatch(w: String, b: Int): Seq[(Long, String, Boolean)] = {
+      val band = if (w == "wA") 0L until 25L else 15L until 40L
+      band.map(k => (k, s"$w-b$b", false))
+    }
+    def mergeBatch(b: Int): Seq[(Long, String, Boolean)] =
+      (10L until 30L).map(k => (k, s"wC-b$b", k % 2 == 1)) :+
+        ((500L + b, s"wC-ins$b", false))
+    raceWriters(Seq("wA", "wB", "wC", "wD")) {
+      case w @ ("wA" | "wB") =>
+        (0 until 3).foreach { b =>
+          LakeLayout.upsertIntoLakeOcc(spark, table,
+            upBatch(w, b).toDF("id", "v", "del"), "id", w, b.toLong,
+            maxAttempts = 16)
+        }
+      case "wC" =>
+        (0 until 3).foreach { b =>
+          LakeLayout.mergeIntoLakeOcc(spark, table,
+            mergeBatch(b).toDF("id", "v", "del"), "id",
+            deleteWhen = col("del"), "wC", b.toLong, maxAttempts = 16)
+        }
+      case _ =>
+        (0 until 3).foreach { _ =>
+          LakeLayout.compactLakeOcc(spark, table, "id", "wD",
+            maxAttempts = 16, smallFileMB = 1024)
+          Thread.sleep(30)
+        }
+    }
+    val versions = LakeLayout.lakeVersions(spark, table)
+    assert(versions.head == 0L &&
+      versions == (versions.head to versions.last),
+      s"version chain must be contiguous, got $versions")
+    val compacts = versions.count(v =>
+      LakeLayout.lakeCommitAt(spark, table, v).op == "compact")
+    assert(versions.size == 10 + compacts,
+      s"9 writer commits + $compacts compacts expected, got ${versions.size}")
+    // every writer batch's provenance landed in exactly one version
+    for (w <- Seq("wA", "wB", "wC"); b <- 0 until 3)
+      assert(LakeLayout.lakeHasCommit(spark, table, w, b.toLong),
+        s"commit ($w, $b) was lost")
+    // full serializable replay across ALL four ops: compact versions
+    // are identities, writer versions apply exactly their batch
+    def tableAt(v: Long): Map[Long, String] =
+      LakeLayout.readLakeVersion(spark, table, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    versions.tail.foldLeft(tableAt(0L)) { (prev, v) =>
+      val c = LakeLayout.lakeCommitAt(spark, table, v)
+      val expected =
+        if (c.op == "compact") prev
+        else if (c.checkpoint == "wC") {
+          val batch = mergeBatch(c.batchId.toInt)
+          (prev -- batch.filter(_._3).map(_._1)) ++
+            batch.filterNot(_._3).map(t => t._1 -> t._2)
+        } else prev ++ upBatch(c.checkpoint, c.batchId.toInt)
+          .map(t => t._1 -> t._2)
+      val got = tableAt(v)
+      assert(got == expected,
+        s"version $v (${c.checkpoint}, b${c.batchId}, op=${c.op}) " +
+          "diverges from sequential replay")
+      got
+    }
+    val finalState = tableAt(versions.last)
+    // vacuum after the retry storm: lost OCC attempts orphaned data
+    // dirs; the sweep must reclaim them all without touching a byte any
+    // kept manifest references
+    LakeLayout.vacuumLake(spark, table, keep = 2)
+    assert(LakeLayout.readLake(spark, table).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == finalState,
+      "vacuum must not change the visible table")
+    val kept = LakeLayout.lakeVersions(spark, table)
+    assert(kept.size == 2, s"keep=2 must leave two versions, got $kept")
+    val referenced = kept.flatMap(v =>
+      LakeLayout.lakeCommitAt(spark, table, v).files.map(_.path)).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+    val onDisk = walk(new java.io.File(s"$table/data"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath.stripPrefix(
+        new java.io.File(table).getAbsolutePath + "/"))
+    val orphans = onDisk.filterNot(referenced.contains)
+    assert(orphans.isEmpty,
+      s"manifest orphans survived vacuum: ${orphans.take(5)}")
+  }
+
+  test("string-keyed endurance: 21 batches, compactions, concurrent pruned reader") {
+    // The StrKey twin of the round-10 long-key endurance drive: 21
+    // upsert batches on an md5-keyed table with compaction + vacuum
+    // interleaved and a concurrent reader exercising the StrKey-pruned
+    // range path the whole time. Pure-insert batches use keys BEYOND
+    // every hex range ("zz-…" > "f…"), the string edition of the
+    // provably-rewrites-nothing class — they must carry every prior
+    // file by reference even immediately after a compaction.
+    val root = java.nio.file.Files.createTempDirectory("graft-endure-str")
+    val lake = s"$root/lake"
+    def md5Keyed(ids: Seq[Long], tag: String) =
+      ids.toDF("id")
+        .select(md5(concat(lit("k"), col("id"))).as("doc_key"),
+          col("id"), lit(tag).as("tag"))
+    def zzKeyed(names: Seq[String], tag: String) =
+      names.toDF("doc_key")
+        .select(col("doc_key"), lit(-1L).as("id"), lit(tag).as("tag"))
+    val truth = scala.collection.mutable.Map.empty[String, String]
+    def md5Of(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"k$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    LakeLayout.commitLakeVersion(
+      md5Keyed(0L until 500L, "base")
+        .repartitionByRange(6, col("doc_key"))
+        .sortWithinPartitions(col("doc_key")),
+      lake, "endure", 0L, statsKey = Some("doc_key"))
+    (0L until 500L).foreach(i => truth(md5Of(i)) = "base")
+
+    @volatile var done = false
+    @volatile var readerError: Option[Throwable] = None
+    var reads = 0L
+    val reader = new Thread(() => {
+      while (!done && readerError.isEmpty) {
+        try LakeLayout.readLakeKeyRangeStr(spark, lake, "doc_key", "4", "8")
+          .foreach { df => df.count(); reads += 1 }
+        catch { case t: Throwable => readerError = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      for (b <- 1 to 20) {
+        if (b % 2 == 1) {
+          val ids = (b * 13L) until (b * 13L + 5L)
+          val extra = f"zz-$b%03d"
+          // version numbers run ahead of b once compactions interleave
+          // their own commits — only the provenance (checkpoint, batch)
+          // pair is pinned to b
+          LakeLayout.upsertIntoLake(spark, lake,
+            md5Keyed(ids, s"u$b").unionByName(zzKeyed(Seq(extra), s"u$b")),
+            "doc_key", "endure", b.toLong)
+          ids.foreach(i => truth(md5Of(i)) = s"u$b")
+          truth(extra) = s"u$b"
+        } else {
+          val names = (0 until 3).map(i => f"zz-$b%03d-$i")
+          val r = LakeLayout.upsertIntoLake(spark, lake,
+            zzKeyed(names, s"i$b"), "doc_key", "endure", b.toLong)
+          assert(r.filesRewritten == 0,
+            s"batch $b is beyond every key range — must rewrite nothing " +
+              s"(rewrote ${r.filesRewritten})")
+          assert(r.filesCarried > 0,
+            s"batch $b must carry all prior files by reference " +
+              "(including right after a compaction)")
+          names.foreach(n => truth(n) = s"i$b")
+        }
+        if (b % 7 == 0) {
+          LakeLayout.compactLakeSmallFiles(spark, lake, "doc_key")
+          LakeLayout.vacuumLake(spark, lake, keep = 2)
+        }
+      }
+    } finally {
+      done = true
+      reader.join(30000)
+    }
+    assert(readerError.isEmpty,
+      s"concurrent pruned reader must never throw: ${readerError.map(_.toString)}")
+    assert(reads > 0, "reader must have completed pruned reads during the drive")
+    // converged to the batch truth
+    val got = LakeLayout.readLake(spark, lake).get
+      .select(col("doc_key"), col("tag")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == truth.toMap,
+      "string-keyed endurance drive must converge to the batch truth")
+    // consecutive versions still share files by reference at the end
+    val last2 = LakeLayout.lakeVersions(spark, lake).takeRight(2)
+    val shared = last2.map(v =>
+      LakeLayout.readLakeVersion(spark, lake, v).inputFiles.toSet)
+      .reduce(_ intersect _)
+    assert(shared.nonEmpty,
+      "consecutive versions must share carried files by reference")
+  }
 }

@@ -108,6 +108,37 @@ class PlanShapeSpec extends SparkSuite {
       "within-cell pairing must stay an equi-join on the cell key")
   }
 
+  test("dpp drive: fact partitions pruned at runtime by the dim filter") {
+    val df = graft.sources.Catalog.qDppEvents(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruningexpression PartitionFilter — " +
+        "without it every day's partition is read and the dim filter " +
+        "only drops rows post-scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "tiny day-dim must broadcast (DPP reuses its exchange for free)")
+    // the pruning must actually bite: fewer partition dirs read than
+    // exist. AQE hides scans inside query stages, so this half runs the
+    // same drive with AQE off — the registry query itself stays AQE-on.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df2 = graft.sources.Catalog.qDppEvents(spark, sfDir)
+      df2.collect()
+      val factScan = df2.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("events_by_day"))
+          => s
+      }.headOption
+      assert(factScan.nonEmpty, "no FileSourceScanExec over events_by_day")
+      val read = factScan.get.metrics("numPartitions").value
+      val total = spark.table("graft_dpp_events")
+        .select("day_id").distinct().count()
+      assert(read > 0 && read < total,
+        s"DPP read $read of $total partitions — expected a strict subset")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("whole-stage codegen covers the relational aggregation path") {
     // AQE shows codegen spans only in the finalized plan — execute first
     val df = RelationalQueries.q1PricingSummary(spark, sfDir)
