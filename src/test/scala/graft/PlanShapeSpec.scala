@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{AdvancedQueries, RecallQueries, RelationalQueries, Similarity}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** Physical-plan shape assertions — the scale posture as executable
   * checks. If a refactor drops a pushed filter, un-broadcasts a dim, or
@@ -137,6 +138,40 @@ class PlanShapeSpec extends SparkSuite {
       assert(read > 0 && read < total,
         s"DPP read $read of $total partitions — expected a strict subset")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("runtime bloom-filter pruning reaches the fact side of a selective shuffle join") {
+    // The row-level counterpart of DPP for NON-partitioned joins: a
+    // selective dim side should inject a bloom filter into the fact
+    // scan so non-joining rows die before the shuffle. Thresholds are
+    // sized for clusters (10 GB application side), so this pins the
+    // MECHANISM at test SF by scoping them down — at 100 TB the
+    // defaults fire on their own. Broadcast is disabled in-scope: a
+    // broadcast join already row-prunes via the hash relation, so the
+    // bloom path only matters (and only injects) for shuffle joins.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val lineitem = graft.sources.Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        "selective dim side must inject a runtime bloom filter into the " +
+          "fact scan when the join shuffles")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the scoped conf must have produced a shuffle join")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("whole-stage codegen covers the relational aggregation path") {
