@@ -338,40 +338,97 @@ object LakeLayout {
     * absent key → stats unknown). One column-pruned scan of ONLY the
     * new files — the key column of the bytes just written, never the
     * table. */
+  /** Per-file key bounds for a freshly-written data dir, read from the
+    * PARQUET FOOTERS driver-side — no Spark job, no second pass over
+    * the bytes just written (the previous groupBy(input_file_name)
+    * implementation re-read every commit's fresh data in full; at
+    * 100 TB that doubles the write path's I/O). Footer chunk statistics
+    * are exact when present (parquet-mr drops, never truncates,
+    * chunk-level min/max — truncation applies only to column indexes),
+    * and their sort orders match the pruning comparators: signed for
+    * int64 = [[LongKey]], unsigned lexicographic for UTF-8 binary =
+    * [[KeyBound.strLeq]]. Any file/chunk without usable stats yields
+    * `None` bounds — the file is simply never pruned, correct by
+    * construction. Footers are read concurrently (bounded pool): on
+    * object storage each is one small ranged GET, and files-per-commit
+    * is already capped by sizeParts. */
   private def fileStats(spark: SparkSession, tablePath: String,
       dataRel: String, statsKey: Option[String]): Seq[LakeFile] = {
     val dir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tablePath), dataRel)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
     val names = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).toSeq
+      .filter(_.endsWith(".parquet")).toSeq.sorted
     if (names.isEmpty) Seq.empty
-    else {
-      val df = spark.read.parquet(s"$tablePath/$dataRel")
-      statsKey.filter(df.columns.contains) match {
-        case Some(k) =>
-          val isStr = df.schema(k).dataType ==
-            org.apache.spark.sql.types.StringType
-          val keyCol = if (isStr) col(k) else col(k).cast("long")
-          // ≤ one row per new file reaches the driver — bounded
-          val stats = df
-            .groupBy(input_file_name().as("__f"))
-            .agg(min(keyCol).as("__lo"), max(keyCol).as("__hi"))
-            .collect()
-            .map { r =>
-              val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
-              def bound(i: Int): Option[KeyBound] =
-                if (r.isNullAt(i)) None
-                else if (isStr) Some(StrKey(r.getString(i)))
-                else Some(LongKey(r.getLong(i)))
-              name -> (bound(1), bound(2))
-            }.toMap
-          names.map { n =>
-            val (lo, hi) = stats.getOrElse(n,
-              (None: Option[KeyBound], None: Option[KeyBound]))
-            LakeFile(s"$dataRel/$n", lo, hi)
-          }
-        case None => names.map(n => LakeFile(s"$dataRel/$n", None, None))
-      }
+    else statsKey match {
+      case Some(k) =>
+        def boundsOf(name: String): (Option[KeyBound], Option[KeyBound]) = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(dir, name), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val footer = reader.getFooter
+            val schema = footer.getFileMetaData.getSchema
+            if (!schema.containsField(k)) return (None, None)
+            val tpe = schema.getType(Seq(k): _*)
+            if (!tpe.isPrimitive) return (None, None)
+            val prim = tpe.asPrimitiveType().getPrimitiveTypeName
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val chunks = scala.jdk.CollectionConverters
+              .ListHasAsScala(footer.getBlocks).asScala.flatMap { b =>
+                scala.jdk.CollectionConverters
+                  .ListHasAsScala(b.getColumns).asScala
+                  .find(_.getPath.toDotString == k)
+              }
+            val stats = chunks.map(_.getStatistics)
+            // every chunk must carry usable stats or the bound is
+            // unknowable (a chunk of all-nulls or dropped stats could
+            // hide rows outside the other chunks' range)
+            if (stats.isEmpty ||
+                stats.exists(s => s == null || s.isEmpty || !s.hasNonNullValue))
+              return (None, None)
+            prim match {
+              case INT64 =>
+                val los = stats.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Long].longValue())
+                val his = stats.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Long].longValue())
+                (Some(LongKey(los.min)), Some(LongKey(his.max)))
+              case INT32 =>
+                val los = stats.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Integer].longValue())
+                val his = stats.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Integer].longValue())
+                (Some(LongKey(los.min)), Some(LongKey(his.max)))
+              case BINARY =>
+                val los = stats.map(_.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8)
+                val his = stats.map(_.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8)
+                (Some(StrKey(los.reduce((a, b) =>
+                    if (KeyBound.strLeq(a, b)) a else b))),
+                  Some(StrKey(his.reduce((a, b) =>
+                    if (KeyBound.strLeq(a, b)) b else a))))
+              case _ => (None, None)
+            }
+          } finally reader.close()
+        }
+        // bounded-parallel footer reads; preserves `names` order
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, names.size))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futs = names.map(n =>
+            scala.concurrent.Future(n -> boundsOf(n)))
+          scala.concurrent.Await
+            .result(scala.concurrent.Future.sequence(futs),
+              scala.concurrent.duration.Duration(300, "s"))
+            .map { case (n, (lo, hi)) => LakeFile(s"$dataRel/$n", lo, hi) }
+        } finally pool.shutdown()
+      case None => names.map(n => LakeFile(s"$dataRel/$n", None, None))
     }
   }
 
