@@ -134,8 +134,23 @@ object CdfStream {
           }.sorted
         versions.foreach { v =>
           if (!LakeLayout.lakeHasCommit(s, outTable, "cdf", v)) {
-            LakeLayout.appendToLake(s, outTable,
-              changesForVersion(s, tablePath, v, key), "cdf", v)
+            // op-typed skip, stream edition: a compact version's change
+            // set is empty BY MANIFEST TYPE (same condition as
+            // changesForVersion's short-circuit — a vacuumed v-1 means
+            // v feeds as a bootstrap snapshot and must NOT skip), so
+            // appending a zero-row log version per compaction would
+            // only bloat the out table's history. Restart-safe: the
+            // file-source checkpoint delivers each manifest once, and a
+            // re-delivered compact version skips again by the same
+            // test.
+            val compactNoop = {
+              val c = LakeLayout.lakeCommitAt(s, tablePath, v)
+              c.op == "compact" &&
+                LakeLayout.lakeVersions(s, tablePath).contains(v - 1)
+            }
+            if (!compactNoop)
+              LakeLayout.appendToLake(s, outTable,
+                changesForVersion(s, tablePath, v, key), "cdf", v)
           }
         }
       }

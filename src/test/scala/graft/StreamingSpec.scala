@@ -689,5 +689,17 @@ class StreamingSpec extends SparkSuite {
     assert(all.count() == all.distinct().count(),
       "restart from the same checkpoint must not duplicate change rows")
     assert(cdfRows().filter(_._1 == 3L) == Set((3L, "update", 0L, "V0")))
+    // a compaction (v4) must feed NOTHING — not even an empty log
+    // version — while the change after it (v5) still feeds normally
+    assert(LakeLayout.compactLake(spark, table, "id") == 4L)
+    LakeLayout.upsertIntoLake(spark, table,
+      Seq((3L, "V3")).toDF("id", "v"), "id", "w", 5L)
+    CdfStream.runCdfToLake(spark, table, "id", out, ckpt).stop()
+    assert(cdfRows().filter(_._1 == 4L).isEmpty,
+      "compact versions must not emit change rows")
+    assert(!LakeLayout.lakeHasCommit(spark, out, "cdf", 4L),
+      "compact versions must not append a log version at all")
+    assert(cdfRows().filter(_._1 == 5L) == Set((5L, "update", 3L, "V3")),
+      "changes after a skipped compact version must still feed")
   }
 }
