@@ -826,6 +826,57 @@ class LakeLayoutSpec extends SparkSuite {
     }
   }
 
+  test("footer-derived key bounds equal Spark-computed truth, long and string keys") {
+    // fileStats now reads per-file min/max from parquet footer chunk
+    // statistics instead of a groupBy(input_file_name) job; this pins
+    // the two sources byte-equal on representative tables (multi-file,
+    // range-clustered, both key types) so a parquet-stats surprise
+    // (dropped/reordered stats) surfaces as a failure here, not as a
+    // silent pruning bug three layers up.
+    import spark.implicits._
+    def truthBounds(paths: Seq[String], key: String): Map[String, (Any, Any)] =
+      spark.read.parquet(paths: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+        .collect()
+        .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+          (r.get(1), r.get(2)))).toMap
+    def check(table: String, key: String): Unit = {
+      val c = LakeLayout.lakeCommitAt(spark, table,
+        LakeLayout.lakeVersions(spark, table).last)
+      assert(c.files.nonEmpty)
+      val truth = truthBounds(
+        c.files.map(f => s"$table/${f.path}"), key)
+      c.files.foreach { f =>
+        val name = f.path.split('/').last
+        val (lo, hi) = truth(name)
+        val (gotLo, gotHi) = (f.minKey.get, f.maxKey.get)
+        (gotLo, gotHi) match {
+          case (LakeLayout.StrKey(a), LakeLayout.StrKey(b)) =>
+            assert(a == lo && b == hi, s"$name: ($a,$b) != ($lo,$hi)")
+          case (LakeLayout.LongKey(a), LakeLayout.LongKey(b)) =>
+            assert(a == lo && b == hi, s"$name: ($a,$b) != ($lo,$hi)")
+          case other => fail(s"$name: unexpected bound types $other")
+        }
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-fstats")
+    val tLong = s"$root/long"
+    LakeLayout.commitLakeVersion(
+      (0L until 5000L).map(k => (k * 7 % 5000, s"v$k")).toDF("id", "v")
+        .repartitionByRange(5, col("id")).sortWithinPartitions(col("id")),
+      tLong, "ck", 0L, statsKey = Some("id"))
+    check(tLong, "id")
+    val tStr = s"$root/str"
+    LakeLayout.commitLakeVersion(
+      spark.range(0L, 3000L)
+        .select(md5(concat(lit("k"), col("id"))).as("doc_key"), col("id"))
+        .repartitionByRange(4, col("doc_key"))
+        .sortWithinPartitions(col("doc_key")),
+      tStr, "ck", 0L, statsKey = Some("doc_key"))
+    check(tStr, "doc_key")
+  }
+
   test("OCC N=4: upsert + merge-delete + compact writers linearize; vacuum leaves no orphans") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-occ4").toString
