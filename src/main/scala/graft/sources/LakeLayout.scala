@@ -387,20 +387,64 @@ object LakeLayout {
             if (stats.isEmpty ||
                 stats.exists(s => s == null || s.isEmpty || !s.hasNonNullValue))
               return (None, None)
+            // The LOGICAL type annotation decides whether the raw
+            // physical value means what the pruning side's
+            // cast-to-long means. Spark writes TimestampType as INT64
+            // TIMESTAMP(MICROS, adjustedToUTC) but `cast(key as long)`
+            // yields epoch-SECONDS (floorDiv) — raw micros bounds
+            // would judge matching files non-intersecting and carry
+            // stale rows through an upsert. floorDiv is monotonic, so
+            // converting footer micros/millis with the same floorDiv
+            // gives exact cast-semantics bounds and KEEPS pruning for
+            // timestamp keys. DECIMAL (scale>0 unscaled ints), UINT,
+            // TIME, DATE (Spark cast date→long is null) and
+            // non-String BINARY have no such conversion: unknown
+            // bounds, file conservatively touched — never wrong.
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+            val ann = tpe.asPrimitiveType().getLogicalTypeAnnotation
+            def plainSignedInt: Boolean = ann match {
+              case null => true
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                i.isSigned
+              case _ => false
+            }
+            // cast(timestamp as long) semantics: floorDiv to seconds
+            def tsToSeconds: Option[Long => Long] = ann match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if t.isAdjustedToUTC =>
+                t.getUnit match {
+                  case TimeUnit.MICROS =>
+                    Some(v => Math.floorDiv(v, 1000000L))
+                  case TimeUnit.MILLIS =>
+                    Some(v => Math.floorDiv(v, 1000L))
+                  case _ => None // NANOS: not a Spark-written unit
+                }
+              case _ => None
+            }
+            def utf8String: Boolean = ann match {
+              case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                true
+              case _ => false
+            }
+            def longBounds(conv: Long => Long) = {
+              val los = stats.map(s => conv(s.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue()))
+              val his = stats.map(s => conv(s.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue()))
+              (Some(LongKey(los.min)), Some(LongKey(his.max)))
+            }
             prim match {
-              case INT64 =>
-                val los = stats.map(_.genericGetMin
-                  .asInstanceOf[java.lang.Long].longValue())
-                val his = stats.map(_.genericGetMax
-                  .asInstanceOf[java.lang.Long].longValue())
-                (Some(LongKey(los.min)), Some(LongKey(his.max)))
-              case INT32 =>
+              case INT64 if plainSignedInt => longBounds(identity)
+              case INT64 if tsToSeconds.isDefined =>
+                longBounds(tsToSeconds.get)
+              case INT32 if plainSignedInt =>
                 val los = stats.map(_.genericGetMin
                   .asInstanceOf[java.lang.Integer].longValue())
                 val his = stats.map(_.genericGetMax
                   .asInstanceOf[java.lang.Integer].longValue())
                 (Some(LongKey(los.min)), Some(LongKey(his.max)))
-              case BINARY =>
+              case BINARY if utf8String =>
                 val los = stats.map(_.genericGetMin
                   .asInstanceOf[org.apache.parquet.io.api.Binary]
                   .toStringUsingUTF8)

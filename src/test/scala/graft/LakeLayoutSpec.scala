@@ -1062,4 +1062,72 @@ class LakeLayoutSpec extends SparkSuite {
     assert(shared.nonEmpty,
       "consecutive versions must share carried files by reference")
   }
+
+  test("timestamp-keyed upsert: footer bounds use cast-to-long (epoch-seconds) semantics, not raw micros") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-tskey").toString
+    // TimestampType key: parquet stores INT64 TIMESTAMP(MICROS), but the
+    // pruning side compares cast(key as long) = epoch-SECONDS. Raw-micros
+    // footer bounds would be ~1e6× every batch key, judge every file
+    // non-intersecting, and silently carry stale rows through the merge.
+    val epochSec = 1700000000L
+    val base = spark.range(0, 100).select(
+      timestamp_seconds(lit(epochSec) + $"id").as("k"), $"id".as("v"))
+    // write INT64 TIMESTAMP(MICROS) — the modern parquet encoding (the
+    // INT96 legacy default carries no usable stats and degrades to
+    // never-pruned either way)
+    val priorTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try LakeLayout.commitLakeVersion(
+      base.repartitionByRange(2, $"k").sortWithinPartitions($"k"),
+      table, "ck", 0L, statsKey = Some("k"))
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", priorTsType)
+    val m0 = LakeLayout.latestLakeCommit(spark, table).get
+    assert(m0.files.size == 2)
+    // bounds must be in SECONDS (cast semantics), not micros
+    val los = m0.files.flatMap(_.minKey).collect {
+      case LakeLayout.LongKey(x) => x
+    }
+    assert(los.size == 2, s"timestamp key must keep LongKey stats: ${m0.files}")
+    assert(los.min == epochSec,
+      s"min bound must be epoch-seconds ($epochSec), got ${los.min}")
+    // update one key in the low file's range: it MUST be touched
+    val upd = spark.range(5, 6).select(
+      timestamp_seconds(lit(epochSec) + $"id").as("k"),
+      lit(9999L).as("v"))
+    val r1 = LakeLayout.upsertIntoLake(spark, table, upd, "k", "ck", 1L)
+    assert(r1.filesRewritten == 1 && r1.filesCarried == 1,
+      s"the file holding key 5 must rewrite, the other carry: $r1")
+    val got = LakeLayout.readLake(spark, table).get
+      .select(unix_timestamp($"k").as("ks"), $"v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 100, s"upsert must not duplicate rows: ${got.size}")
+    assert(got(epochSec + 5) == 9999L, "the updated key must carry the new value")
+    (0L until 100L).filter(_ != 5).foreach(i =>
+      assert(got(epochSec + i) == i, s"untouched key $i must keep its value"))
+  }
+
+  test("decimal-keyed commit degrades to statless bounds (conservatively touched), upsert stays correct") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-deckey").toString
+    // DECIMAL(10,2) stores unscaled ints — no cast-to-long conversion
+    // exists, so bounds must be unknown (never-pruned), never raw.
+    val base = spark.range(0, 50).select(
+      ($"id" / 4).cast("decimal(10,2)").as("k"), $"id".as("v"))
+    LakeLayout.commitLakeVersion(
+      base.repartitionByRange(2, $"k").sortWithinPartitions($"k"),
+      table, "ck", 0L, statsKey = Some("k"))
+    val m0 = LakeLayout.latestLakeCommit(spark, table).get
+    assert(m0.files.forall(f => f.minKey.isEmpty && f.maxKey.isEmpty),
+      s"decimal keys must yield unknown bounds, got ${m0.files}")
+    val upd = spark.range(1).select(
+      lit("1.25").cast("decimal(10,2)").as("k"), lit(777L).as("v"))
+    val r1 = LakeLayout.upsertIntoLake(spark, table, upd, "k", "ck", 1L)
+    assert(r1.filesRewritten == 2,
+      s"statless files are all conservatively touched: $r1")
+    val got = LakeLayout.readLake(spark, table).get.collect()
+      .map(r => r.getDecimal(0).toPlainString -> r.getLong(1)).toMap
+    assert(got.size == 50, s"no duplicates: ${got.size}")
+    assert(got("1.25") == 777L)
+  }
 }
