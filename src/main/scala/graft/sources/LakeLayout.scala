@@ -239,26 +239,126 @@ object LakeLayout {
     * }}}
     * A 3-line manifest without the `format:2` header is the legacy
     * dir-pointer form and stays readable (files = empty → read the
-    * dir). */
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path, v: Long): LakeCommit = {
-    val in = fs.open(manifestPath(table, v))
-    val content =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    * dir).
+    *
+    * format:5 is the DELTA form — the fix for the one genuine
+    * scale-killer of full-list manifests: at 100 TB / ~800 k live
+    * files a full list is ~80 MB REWRITTEN PER COMMIT, while a
+    * steady-state upsert changes a handful of files. A delta manifest
+    * records only the change against its parent (always v−1):
+    * {{{
+    * format:5
+    * <dataRel> / <checkpoint> / <batchId>     (as above)
+    * p <TAB> <parentVersion>
+    * s <TAB> <tableSchemaJson>
+    * o <TAB> <op>                             (non-`data` commits)
+    * a <TAB> relpath <TAB> min <TAB> max      (file added vs parent)
+    * r <TAB> relpath                          (file removed vs parent)
+    * }}}
+    * Readers resolve `files = parent.files − removes + adds`, walking
+    * the chain to the nearest FULL base. Two artifacts bound the walk
+    * (Delta-log checkpointing, re-derived):
+    *  - every [[checkpointEvery]]-th commit also writes a sidecar
+    *    `v<padded>.checkpoint` holding the version's FULL resolved
+    *    list in the format:4 wire form. It is a resolution
+    *    accelerator, not a commit: its content is a pure function of
+    *    the committed chain, so it is written best-effort AFTER the
+    *    atomic claim (a crash between claim and checkpoint only makes
+    *    later reads walk further);
+    *  - [[vacuumLake]] materializes a checkpoint for the oldest KEPT
+    *    version before dropping older manifests, so a retained
+    *    delta's chain never dangles.
+    * Writers self-select the form: a commit whose delta would not be
+    * smaller than its full list (first commit, full compaction, full
+    * rewrite, legacy parent) publishes the full format — so manifest
+    * bytes per commit are O(changed files) with an O(live files)
+    * ceiling, never the reverse. */
+  private val checkpointEvery = 8
+  private def checkpointFilePath(table: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(commitsDir(table), versionName(v) + ".checkpoint")
+
+  /** A manifest as WRITTEN (no chain resolution): `Left` = delta
+    * against parent, `Right` = self-contained full commit. */
+  private final case class DeltaManifest(version: Long, dataRel: String,
+      checkpoint: String, batchId: Long, parent: Long, adds: Seq[LakeFile],
+      removes: Set[String], schemaJson: Option[String], op: String)
+
+  private def parseManifest(content: String, v: Long)
+      : Either[DeltaManifest, LakeCommit] = {
     val lines = content.split("\n")
-    if (lines(0) == "format:2" || lines(0) == "format:3" ||
-        lines(0) == "format:4") {
-      val files = lines.drop(4).filter(_.startsWith("f\t")).map { ln =>
-        val p = ln.split("\t")
-        LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)))
-      }.toSeq
-      val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
-      val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
-        .getOrElse("data")
-      LakeCommit(v, lines(1), lines(2), lines(3).toLong, files, schema, op)
-    } else LakeCommit(v, lines(0), lines(1), lines(2).toLong)
+    def tagged(tag: String) = lines.drop(4).filter(_.startsWith(tag))
+    def fileLines(tag: String) = tagged(tag).map { ln =>
+      val p = ln.split("\t")
+      LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)))
+    }.toSeq
+    val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
+    val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
+      .getOrElse("data")
+    lines(0) match {
+      case "format:2" | "format:3" | "format:4" =>
+        Right(LakeCommit(v, lines(1), lines(2), lines(3).toLong,
+          fileLines("f\t"), schema, op))
+      case "format:5" =>
+        val parent = lines.drop(4).find(_.startsWith("p\t")).map(_.drop(2).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"format:5 manifest v$v missing its parent line"))
+        Left(DeltaManifest(v, lines(1), lines(2), lines(3).toLong, parent,
+          fileLines("a\t"),
+          tagged("r\t").map(_.split("\t")(1)).toSet, schema, op))
+      case _ => Right(LakeCommit(v, lines(0), lines(1), lines(2).toLong))
+    }
   }
+
+  private def readFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def readRawManifest(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, v: Long)
+      : Either[DeltaManifest, LakeCommit] =
+    parseManifest(readFile(fs, manifestPath(table, v)), v)
+
+  /** The version's full resolved file list: nearest checkpoint, else
+    * walk the delta chain to its full base. Chain length is bounded by
+    * [[checkpointEvery]] in steady state (longer only across a crash
+    * window or un-checkpointed history — still terminating at the full
+    * base the table started from). */
+  private def resolvedFileList(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, v: Long,
+      raw: Either[DeltaManifest, LakeCommit]): Seq[LakeFile] = raw match {
+    case Right(full) => full.files
+    case Left(d) =>
+      val ckpt = checkpointFilePath(table, d.version)
+      if (fs.exists(ckpt))
+        parseManifest(readFile(fs, ckpt), d.version)
+          .getOrElse(throw new IllegalStateException(
+            s"checkpoint $ckpt must be self-contained")).files
+      else {
+        val parentRaw = readRawManifest(fs, table, d.parent)
+        val parentFiles = resolvedFileList(fs, table, d.parent, parentRaw)
+        require(parentFiles.nonEmpty,
+          s"delta manifest v${d.version} chains to a dir-pointer parent " +
+            s"v${d.parent} — protocol violation (deltas require a " +
+            "file-granular parent)")
+        parentFiles.filterNot(f => d.removes(f.path)) ++ d.adds
+      }
+  }
+
+  /** The fully-RESOLVED commit record for version `v`: delta chains
+    * applied, checkpoints used when present. Every read path goes
+    * through here, so the delta protocol is invisible above this
+    * line. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, v: Long): LakeCommit =
+    readRawManifest(fs, table, v) match {
+      case Right(full) => full
+      case raw @ Left(d) =>
+        LakeCommit(v, d.dataRel, d.checkpoint, d.batchId,
+          resolvedFileList(fs, table, v, raw), d.schemaJson, d.op)
+    }
 
   /** Atomically publish a version: tmp write + rename (the commit
     * point). Single-writer form — a lost race fails loudly. Concurrent
@@ -266,9 +366,10 @@ object LakeLayout {
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile],
-      schemaJson: Option[String] = None, op: String = "data"): Unit =
+      schemaJson: Option[String] = None, op: String = "data",
+      parentFiles: Seq[LakeFile] = Seq.empty): Unit =
     require(tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-        files, schemaJson = schemaJson, op = op),
+        files, schemaJson = schemaJson, op = op, parentFiles = parentFiles),
       s"manifest commit lost a race: ${manifestPath(table, v)} " +
         "(single-writer caller; use the OCC path for concurrent writers)")
 
@@ -283,35 +384,72 @@ object LakeLayout {
     *  - on HDFS-like stores, rename-without-overwrite is atomic and
     *    fails if the destination exists (the FileSystem contract), so
     *    the rename itself is the claim.
-    * `tmpTag` keeps racing writers' tmp files from colliding. */
+    * `tmpTag` keeps racing writers' tmp files from colliding.
+    *
+    * `parentFiles` (the parent version's RESOLVED list, empty = no
+    * file-granular parent) enables the format:5 delta form: when the
+    * add/remove set is smaller than the full list, only the delta is
+    * written — O(changed files) manifest bytes per commit. The parent
+    * is always v−1: a successful claim of v proves the snapshot the
+    * caller resolved was v−1 (anyone else claiming v first makes this
+    * claim fail), so the delta's parent pointer is correct by the same
+    * argument that makes OCC serializable. After a successful claim,
+    * every [[checkpointEvery]]-th version also writes its sidecar
+    * checkpoint (full list) best-effort. */
   private def tryPublishManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile],
       tmpTag: String = "", schemaJson: Option[String] = None,
-      op: String = "data"): Boolean = {
+      op: String = "data", parentFiles: Seq[LakeFile] = Seq.empty): Boolean = {
     fs.mkdirs(commitsDir(table))
-    // format:3 = format:2 plus an `s\t<json>` table-schema line;
-    // format:4 adds the `o\t<op>` commit-type line. Plain data commits
-    // keep the older headers so their manifests stay bit-stable.
-    val header =
-      if (op != "data") "format:4\n"
-      else if (schemaJson.isDefined) "format:3\n"
-      else "format:2\n"
-    val body = new StringBuilder()
-      .append(header)
-      .append(dataRel).append('\n')
-      .append(checkpoint).append('\n').append(batchId).append('\n')
-    schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
-    if (op != "data") body.append("o\t").append(op).append('\n')
-    files.foreach { f =>
-      body.append("f\t").append(f.path).append('\t')
+    def fileLine(tag: String, f: LakeFile, b: StringBuilder): Unit =
+      b.append(tag).append('\t').append(f.path).append('\t')
         .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
         .append(f.maxKey.map(_.enc).getOrElse("-")).append('\n')
+    // format:3 = format:2 plus an `s\t<json>` table-schema line;
+    // format:4 adds the `o\t<op>` commit-type line; format:5 is the
+    // delta form. Plain full data commits keep the older headers so
+    // their manifests stay bit-stable.
+    def fullBody: String = {
+      val header =
+        if (op != "data") "format:4\n"
+        else if (schemaJson.isDefined) "format:3\n"
+        else "format:2\n"
+      val body = new StringBuilder()
+        .append(header)
+        .append(dataRel).append('\n')
+        .append(checkpoint).append('\n').append(batchId).append('\n')
+      schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
+      if (op != "data") body.append("o\t").append(op).append('\n')
+      files.foreach(f => fileLine("f", f, body))
+      body.toString
     }
+    def deltaBody(adds: Seq[LakeFile], removes: Seq[String]): String = {
+      val body = new StringBuilder()
+        .append("format:5\n")
+        .append(dataRel).append('\n')
+        .append(checkpoint).append('\n').append(batchId).append('\n')
+        .append("p\t").append(v - 1).append('\n')
+      schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
+      if (op != "data") body.append("o\t").append(op).append('\n')
+      adds.foreach(f => fileLine("a", f, body))
+      removes.foreach(p => body.append("r\t").append(p).append('\n'))
+      body.toString
+    }
+    val content =
+      if (parentFiles.isEmpty) fullBody
+      else {
+        val parentPaths = parentFiles.map(_.path).toSet
+        val childPaths = files.map(_.path).toSet
+        val adds = files.filterNot(f => parentPaths(f.path))
+        val removes = parentFiles.map(_.path).filterNot(childPaths)
+        if (adds.size + removes.size < files.size) deltaBody(adds, removes)
+        else fullBody
+      }
     val tmp = new org.apache.hadoop.fs.Path(commitsDir(table),
       s".tmp-$tmpTag${versionName(v)}")
     val out = fs.create(tmp, true)
-    try out.write(body.toString.getBytes("UTF-8"))
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
     val dst = manifestPath(table, v)
     val claimed =
@@ -327,8 +465,41 @@ object LakeLayout {
       } else !fs.exists(dst) && fs.rename(tmp, dst)
     // the link path and a failed claim both leave the tmp file behind
     if (fs.exists(tmp)) fs.delete(tmp, false)
+    if (claimed && v > 0 && v % checkpointEvery == 0)
+      writeCheckpointFile(fs, table, v, dataRel, checkpoint, batchId,
+        files, schemaJson, op)
     claimed
   }
+
+  /** Sidecar checkpoint: the version's FULL resolved list in the
+    * format:4 wire form (self-contained — [[parseManifest]] reads it).
+    * Idempotent and deterministic (content is a function of the
+    * committed chain), so last-write-wins is harmless; written
+    * best-effort — failure only lengthens later resolution walks. */
+  private def writeCheckpointFile(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
+      checkpoint: String, batchId: Long, files: Seq[LakeFile],
+      schemaJson: Option[String], op: String): Unit =
+    try {
+      val body = new StringBuilder()
+        .append("format:4\n")
+        .append(dataRel).append('\n')
+        .append(checkpoint).append('\n').append(batchId).append('\n')
+      schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
+      body.append("o\t").append(op).append('\n')
+      files.foreach { f =>
+        body.append("f\t").append(f.path).append('\t')
+          .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
+          .append(f.maxKey.map(_.enc).getOrElse("-")).append('\n')
+      }
+      val tmp = new org.apache.hadoop.fs.Path(commitsDir(table),
+        s".tmpckpt-${versionName(v)}")
+      val out = fs.create(tmp, true)
+      try out.write(body.toString.getBytes("UTF-8"))
+      finally out.close()
+      val dst = checkpointFilePath(table, v)
+      if (!fs.rename(tmp, dst) && fs.exists(tmp)) fs.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The files of a just-written data dir, with per-file min/max of
     * `statsKey`, TYPED by the key column's dataType: StringType keys
@@ -526,13 +697,18 @@ object LakeLayout {
     val s = df.sparkSession
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())
-    val v = latestLakeCommit(s, tablePath).map(_.version + 1).getOrElse(0L)
+    val cur = latestLakeCommit(s, tablePath)
+    val v = cur.map(_.version + 1).getOrElse(0L)
     val dataRel = s"data/${versionName(v)}"
     // overwrite: an orphan dir from a crashed previous attempt at this
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+    // a full rewrite's delta is adds+removes ≥ the full list, so the
+    // publisher self-selects the full form; passing the parent is
+    // still correct and keeps the decision in one place
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      fileStats(s, tablePath, dataRel, statsKey), Some(df.schema.json), op)
+      fileStats(s, tablePath, dataRel, statsKey), Some(df.schema.json), op,
+      parentFiles = cur.map(_.files).getOrElse(Seq.empty))
     v
   }
 
@@ -616,7 +792,8 @@ object LakeLayout {
     rows.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     val newFiles = fileStats(spark, tablePath, dataRel, statsKey)
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      carried ++ newFiles, Some(rows.schema.json))
+      carried ++ newFiles, Some(rows.schema.json),
+      parentFiles = cur.map(_.files).getOrElse(Seq.empty))
     val bytes = sizeOf(newFiles.map(_.path))
     LakeUpsertResult(v, carried.size, 0, newFiles.size, bytes,
       bytes + sizeOf(carried.map(_.path)))
@@ -828,7 +1005,8 @@ object LakeLayout {
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-            carried ++ newFiles, dirTag, Some(evolved.json))) {
+            carried ++ newFiles, dirTag, Some(evolved.json),
+            parentFiles = cur.files)) {
           val bytesWritten = sizeOf(newFiles.map(_.path))
           Right(LakeUpsertResult(v, carried.size, rewritten.size,
             newFiles.size, bytesWritten,
@@ -922,7 +1100,8 @@ object LakeLayout {
         val newList = latest.files.filterNot(f => c.rewrittenPaths(f.path)) ++
           c.newFiles
         if (tryPublishManifest(fs, table, latest.version + 1, c.dataRel,
-            writerId, batchId, newList, s"-$writerId-rb", c.schemaJson))
+            writerId, batchId, newList, s"-$writerId-rb", c.schemaJson,
+            parentFiles = latest.files))
           return Some(LakeUpsertResult(latest.version + 1,
             newList.size - c.newFiles.size, c.rewrittenPaths.size,
             c.newFiles.size, c.bytesWritten,
@@ -1006,8 +1185,12 @@ object LakeLayout {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     lakeVersions(spark, tablePath).exists { v =>
-      val c = readManifest(fs, table, v)
-      c.checkpoint == checkpoint && c.batchId == batchId
+      // RAW read: provenance lives in every manifest (delta or full) —
+      // replay detection never needs file lists, so skip resolution
+      readRawManifest(fs, table, v) match {
+        case Right(c) => c.checkpoint == checkpoint && c.batchId == batchId
+        case Left(d) => d.checkpoint == checkpoint && d.batchId == batchId
+      }
     }
   }
 
@@ -1052,7 +1235,8 @@ object LakeLayout {
         fileStats(spark, tablePath, dataRel, Some(key))
       }
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      carried ++ newFiles, cur.schemaJson, op = "delete")
+      carried ++ newFiles, cur.schemaJson, op = "delete",
+      parentFiles = cur.files)
     val bytesWritten = sizeOf(newFiles.map(_.path))
     LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
       bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
@@ -1244,7 +1428,7 @@ object LakeLayout {
     publishManifest(fs, table, v, dataRel,
       s"compaction-small:${cur.version}", -1L,
       big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
-      cur.schemaJson, op = "compact")
+      cur.schemaJson, op = "compact", parentFiles = cur.files)
     v
   }
 
@@ -1292,7 +1476,8 @@ object LakeLayout {
       if (tryPublishManifest(fs, table, v, dataRel,
           s"compaction-occ:$writerId", -1L,
           big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
-          s"-$writerId-cmp", cur.schemaJson, op = "compact"))
+          s"-$writerId-cmp", cur.schemaJson, op = "compact",
+          parentFiles = cur.files))
         return v
       // claim raced: our consolidated files may include rows the winner
       // just rewrote — drop the orphan and recompute from the new tip
@@ -1332,7 +1517,25 @@ object LakeLayout {
     // legacy dir-pointer manifests reference their whole dir
     val refDirs: Set[String] =
       kept.filter(_.files.isEmpty).map(_.dataDir).toSet
-    dropped.foreach(v => fs.delete(manifestPath(table, v), false))
+    // the oldest KEPT version must stay resolvable after its ancestors'
+    // manifests are gone: if it is a delta with no checkpoint yet,
+    // materialize its checkpoint (full resolved list — already in
+    // `kept`) BEFORE any drop. Newer kept deltas chain down through
+    // kept versions to this one.
+    val oldestKept = kept.last
+    readRawManifest(fs, table, oldestKept.version) match {
+      case Left(d) if !fs.exists(checkpointFilePath(table, oldestKept.version)) =>
+        writeCheckpointFile(fs, table, oldestKept.version, d.dataRel,
+          d.checkpoint, d.batchId, oldestKept.files, d.schemaJson, d.op)
+        require(fs.exists(checkpointFilePath(table, oldestKept.version)),
+          s"vacuum could not checkpoint v${oldestKept.version} — " +
+            "aborting before dropping its ancestors would strand it")
+      case _ => ()
+    }
+    dropped.foreach { v =>
+      fs.delete(manifestPath(table, v), false)
+      fs.delete(checkpointFilePath(table, v), false)
+    }
     val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { dst =>
       val dRel = s"data/${dst.getPath.getName}"
