@@ -181,8 +181,15 @@ object LakeLayout {
     * everything else is carried into the next version by reference.
     * None = stats unknown → the file is conservatively always
     * rewritten. */
+  /** One data file of a committed version. `minKey`/`maxKey` bound the
+    * table's primary (clustering/merge) key; `minTs`/`maxTs` optionally
+    * bound a SECOND dimension (typically event time) read from the same
+    * footer pass — zero extra I/O — so range reads prune on either
+    * axis. A Z-ordered layout makes both bounds tight per file; files
+    * without second-dimension stats are simply never ts-pruned. */
   final case class LakeFile(path: String, minKey: Option[KeyBound],
-      maxKey: Option[KeyBound])
+      maxKey: Option[KeyBound], minTs: Option[KeyBound] = None,
+      maxTs: Option[KeyBound] = None)
 
   /** One committed table version: the FILE LIST the version is made of
     * (possibly spanning several data dirs — untouched files are carried
@@ -287,9 +294,13 @@ object LakeLayout {
       : Either[DeltaManifest, LakeCommit] = {
     val lines = content.split("\n")
     def tagged(tag: String) = lines.drop(4).filter(_.startsWith(tag))
+    // fields 5/6, when present, are the optional second-dimension
+    // (time) bounds — older manifests simply lack them
     def fileLines(tag: String) = tagged(tag).map { ln =>
       val p = ln.split("\t")
-      LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)))
+      LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)),
+        if (p.length > 5) KeyBound.decode(p(4)) else None,
+        if (p.length > 5) KeyBound.decode(p(5)) else None)
     }.toSeq
     val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
     val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
@@ -402,10 +413,15 @@ object LakeLayout {
       tmpTag: String = "", schemaJson: Option[String] = None,
       op: String = "data", parentFiles: Seq[LakeFile] = Seq.empty): Boolean = {
     fs.mkdirs(commitsDir(table))
-    def fileLine(tag: String, f: LakeFile, b: StringBuilder): Unit =
+    def fileLine(tag: String, f: LakeFile, b: StringBuilder): Unit = {
       b.append(tag).append('\t').append(f.path).append('\t')
         .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
-        .append(f.maxKey.map(_.enc).getOrElse("-")).append('\n')
+        .append(f.maxKey.map(_.enc).getOrElse("-"))
+      if (f.minTs.isDefined || f.maxTs.isDefined)
+        b.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
+          .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
+      b.append('\n')
+    }
     // format:3 = format:2 plus an `s\t<json>` table-schema line;
     // format:4 adds the `o\t<op>` commit-type line; format:5 is the
     // delta form. Plain full data commits keep the older headers so
@@ -490,7 +506,11 @@ object LakeLayout {
       files.foreach { f =>
         body.append("f\t").append(f.path).append('\t')
           .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
-          .append(f.maxKey.map(_.enc).getOrElse("-")).append('\n')
+          .append(f.maxKey.map(_.enc).getOrElse("-"))
+        if (f.minTs.isDefined || f.maxTs.isDefined)
+          body.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
+            .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
+        body.append('\n')
       }
       val tmp = new org.apache.hadoop.fs.Path(commitsDir(table),
         s".tmpckpt-${versionName(v)}")
@@ -524,22 +544,29 @@ object LakeLayout {
     * object storage each is one small ranged GET, and files-per-commit
     * is already capped by sizeParts. */
   private def fileStats(spark: SparkSession, tablePath: String,
-      dataRel: String, statsKey: Option[String]): Seq[LakeFile] = {
+      dataRel: String, statsKey: Option[String],
+      tsKey: Option[String] = None): Seq[LakeFile] = {
     val dir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tablePath), dataRel)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dir.getFileSystem(conf)
     val names = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).toSeq.sorted
     if (names.isEmpty) Seq.empty
-    else statsKey match {
-      case Some(k) =>
-        def boundsOf(name: String): (Option[KeyBound], Option[KeyBound]) = {
+    else if (statsKey.isEmpty && tsKey.isEmpty)
+      names.map(n => LakeFile(s"$dataRel/$n", None, None))
+    else {
+        // one footer open per file; bounds for BOTH the primary key and
+        // the optional second (time) dimension come from the same
+        // footer — the second axis costs zero extra I/O
+        def boundsOf(name: String): ((Option[KeyBound], Option[KeyBound]),
+            (Option[KeyBound], Option[KeyBound])) = {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(dir, name), conf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             val footer = reader.getFooter
             val schema = footer.getFileMetaData.getSchema
+            def colBounds(k: String): (Option[KeyBound], Option[KeyBound]) = {
             if (!schema.containsField(k)) return (None, None)
             val tpe = schema.getType(Seq(k): _*)
             if (!tpe.isPrimitive) return (None, None)
@@ -628,9 +655,15 @@ object LakeLayout {
                     if (KeyBound.strLeq(a, b)) b else a))))
               case _ => (None, None)
             }
+            }
+            (statsKey.map(colBounds).getOrElse((None, None)),
+              tsKey.map(colBounds).getOrElse((None, None)))
           } finally reader.close()
         }
-        // bounded-parallel footer reads; preserves `names` order
+        // bounded-parallel footer reads; preserves `names` order. The
+        // await scales with file count (each read is one bounded
+        // ranged GET) so slow object storage degrades to slowness,
+        // never a commit-failing timeout after the data was written.
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, names.size))
         try {
@@ -640,10 +673,11 @@ object LakeLayout {
             scala.concurrent.Future(n -> boundsOf(n)))
           scala.concurrent.Await
             .result(scala.concurrent.Future.sequence(futs),
-              scala.concurrent.duration.Duration(300, "s"))
-            .map { case (n, (lo, hi)) => LakeFile(s"$dataRel/$n", lo, hi) }
+              scala.concurrent.duration.Duration(
+                math.max(300L, names.size * 5L), "s"))
+            .map { case (n, ((lo, hi), (tLo, tHi))) =>
+              LakeFile(s"$dataRel/$n", lo, hi, tLo, tHi) }
         } finally pool.shutdown()
-      case None => names.map(n => LakeFile(s"$dataRel/$n", None, None))
     }
   }
 
@@ -693,7 +727,8 @@ object LakeLayout {
     * version number. */
   def commitLakeVersion(df: DataFrame, tablePath: String,
       checkpoint: String, batchId: Long,
-      statsKey: Option[String] = None, op: String = "data"): Long = {
+      statsKey: Option[String] = None, op: String = "data",
+      tsStatsKey: Option[String] = None): Long = {
     val s = df.sparkSession
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())
@@ -707,7 +742,8 @@ object LakeLayout {
     // publisher self-selects the full form; passing the parent is
     // still correct and keeps the decision in one place
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      fileStats(s, tablePath, dataRel, statsKey), Some(df.schema.json), op,
+      fileStats(s, tablePath, dataRel, statsKey, tsStatsKey),
+      Some(df.schema.json), op,
       parentFiles = cur.map(_.files).getOrElse(Seq.empty))
     v
   }
@@ -822,10 +858,10 @@ object LakeLayout {
     // unsigned-UTF-8 binary order, the same collation the bounds were
     // computed under. Mixed/absent bounds → conservatively touched.
     val longRanges = files.collect {
-      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b))) => (p, a, b)
+      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)), _, _) => (p, a, b)
     }
     val strRanges = files.collect {
-      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b))) => (p, a, b)
+      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)), _, _) => (p, a, b)
     }
     val typed = (longRanges.map(_._1) ++ strRanges.map(_._1)).toSet
     val statless = files.map(_.path).filterNot(typed).toSet
@@ -1253,7 +1289,7 @@ object LakeLayout {
     * candidates. None before the first commit. */
   def readLakeKeyRange(spark: SparkSession, tablePath: String,
       key: String, lo: Long, hi: Long): Option[DataFrame] =
-    prunedRange(spark, tablePath, {
+    prunedRange(spark, tablePath, f => (f.minKey, f.maxKey) match {
       case (Some(LongKey(a)), Some(LongKey(b))) => b >= lo && a <= hi
       // stat-less or differently-typed bounds: always a candidate
       case _ => true
@@ -1266,21 +1302,37 @@ object LakeLayout {
     * the file pruning judge the range identically. */
   def readLakeKeyRangeStr(spark: SparkSession, tablePath: String,
       key: String, lo: String, hi: String): Option[DataFrame] =
-    prunedRange(spark, tablePath, {
+    prunedRange(spark, tablePath, f => (f.minKey, f.maxKey) match {
       case (Some(StrKey(a)), Some(StrKey(b))) =>
         KeyBound.strLeq(a, hi) && KeyBound.strLeq(lo, b)
       case _ => true
     }, col(key) >= lo && col(key) <= hi)
 
+  /** Range read with SECOND-DIMENSION file pruning: files whose
+    * [minTs, maxTs] cannot intersect [lo, hi] never reach the scan.
+    * The bounds come from the same footer pass as the key stats (see
+    * [[fileStats]]); files without ts stats are always candidates. On
+    * a Z-ordered layout BOTH this and [[readLakeKeyRange]] prune to
+    * strict file subsets — the two-dimensional locality the Z-order
+    * work exists to buy. `tsCol` must be the long column the
+    * `tsStatsKey` bounds were recorded over (the engine's events
+    * contract: epoch-nanos int64). */
+  def readLakeTsRange(spark: SparkSession, tablePath: String,
+      tsCol: String, lo: Long, hi: Long): Option[DataFrame] =
+    prunedRange(spark, tablePath, f => (f.minTs, f.maxTs) match {
+      case (Some(LongKey(a)), Some(LongKey(b))) => b >= lo && a <= hi
+      case _ => true
+    }, col(tsCol) >= lo && col(tsCol) <= hi)
+
   private def prunedRange(spark: SparkSession, tablePath: String,
-      candidate: ((Option[KeyBound], Option[KeyBound])) => Boolean,
+      candidate: LakeFile => Boolean,
       residual: Column): Option[DataFrame] =
     latestLakeCommit(spark, tablePath).map { c =>
       val frame =
         if (c.files.isEmpty)
           schemaReader(spark, c).parquet(s"$tablePath/${c.dataDir}")
         else {
-          val hit = c.files.filter(f => candidate((f.minKey, f.maxKey)))
+          val hit = c.files.filter(candidate)
           if (hit.isEmpty) commitFrame(spark, tablePath, c).limit(0)
           else schemaReader(spark, c)
             .parquet(hit.map(f => s"$tablePath/${f.path}"): _*)
@@ -1742,6 +1794,47 @@ object LakeLayout {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Oracle-checked drive of [[readLakeTsRange]] — SECOND-DIMENSION
+    * file pruning on a Z-ordered lake table. Events are committed
+    * Z-ordered on (user_id, ts) with BOTH dimensions' footer bounds in
+    * the manifest (one footer pass), then the middle-half TIME band is
+    * read through the ts-pruned path and aggregated per event_type.
+    * The Z-order layout is what makes both axes' per-file bounds tight
+    * enough to prune; the oracle (the same band as a WHERE clause over
+    * the raw table) proves pruning is invisible in the result. */
+  def qLakeTsRead(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ext = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (mn, mx) = (ext.getLong(0), ext.getLong(1))
+    val (lo, hi) = ((3 * mn + mx) / 4, (mn + mx) / 2)
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      zorderKeyed(s, dir)
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey", "u_bin", "t_bin"),
+      lake, "registry", 0L, statsKey = Some("user_id"),
+      tsStatsKey = Some("ts"))
+    readLakeTsRange(s, lake, "ts", lo, hi).get
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("sum_user"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+      .orderBy(col("event_type"))
+  }
+
+  val qLakeTsReadSql: String =
+    """WITH ext AS (SELECT MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx
+                    FROM events)
+       SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(user_id) AS BIGINT) AS sum_user,
+         MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+       FROM events, ext
+       WHERE epoch_ns(ts) >= (3 * mn + mx) // 4
+         AND epoch_ns(ts) <= (mn + mx) // 2
+       GROUP BY event_type ORDER BY event_type"""
+
   val qLakeRangeReadSql: String =
     """WITH ext AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
                     FROM orders)
@@ -1922,6 +2015,7 @@ object LakeLayout {
     "q_zorder_key_stats" -> (qZorderKeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_range_read" -> (qLakeRangeRead _),
+    "q_lake_ts_read" -> (qLakeTsRead _),
     "q_lake_evolve" -> (qLakeEvolve _),
     "q_lake_merge" -> (qLakeMerge _),
     "q_lake_str_upsert" -> (qLakeStrUpsert _),
@@ -1931,6 +2025,7 @@ object LakeLayout {
     "q_zorder_key_stats" -> qZorderKeyStatsSql,
     "q_lake_delete" -> qLakeDeleteSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
+    "q_lake_ts_read" -> qLakeTsReadSql,
     "q_lake_evolve" -> qLakeEvolveSql,
     "q_lake_merge" -> qLakeMergeSql,
     "q_lake_str_upsert" -> qLakeStrUpsertSql,

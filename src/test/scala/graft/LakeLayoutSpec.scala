@@ -1063,6 +1063,43 @@ class LakeLayoutSpec extends SparkSuite {
       "consecutive versions must share carried files by reference")
   }
 
+  test("Z-ordered lake commit prunes range reads to strict file subsets on BOTH dimensions") {
+    import graft.sources.Tables
+    val table = java.nio.file.Files.createTempDirectory("graft-2dim").toString
+    // events Z-ordered on (user_id, ts); BOTH dims' bounds recorded
+    // from one footer pass
+    LakeLayout.commitLakeVersion(
+      LakeLayout.zorderKeyed(spark, sfDir)
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey", "u_bin", "t_bin"),
+      table, "ck", 0L, statsKey = Some("user_id"), tsStatsKey = Some("ts"))
+    val files = LakeLayout.latestLakeCommit(spark, table).get.files
+    assert(files.size == 8)
+    assert(files.forall(f => f.minKey.isDefined && f.minTs.isDefined),
+      s"both dimensions must carry bounds: $files")
+    val ev = Tables.load(spark, sfDir, "events")
+    val ext = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("ts")), max(col("ts"))).head()
+    val (uLo, uHi) = (ext.getLong(0), ext.getLong(1))
+    val (tLo, tHi) = (ext.getLong(2), ext.getLong(3))
+    // narrow band on each axis (bottom eighth): a Z-ordered layout
+    // must localize it to a strict subset of the 8 files
+    val keyRead = LakeLayout.readLakeKeyRange(spark, table, "user_id",
+      uLo, uLo + (uHi - uLo) / 8).get
+    assert(keyRead.inputFiles.length < 8 && keyRead.inputFiles.nonEmpty,
+      s"key-band read must scan a strict subset: ${keyRead.inputFiles.length}")
+    val tsRead = LakeLayout.readLakeTsRange(spark, table, "ts",
+      tLo, tLo + (tHi - tLo) / 8).get
+    assert(tsRead.inputFiles.length < 8 && tsRead.inputFiles.nonEmpty,
+      s"ts-band read must scan a strict subset: ${tsRead.inputFiles.length}")
+    // pruning must be invisible in the results
+    assert(keyRead.count() ==
+      ev.filter(col("user_id").between(uLo, uLo + (uHi - uLo) / 8)).count())
+    assert(tsRead.count() ==
+      ev.filter(col("ts").between(tLo, tLo + (tHi - tLo) / 8)).count())
+  }
+
   test("timestamp-keyed upsert: footer bounds use cast-to-long (epoch-seconds) semantics, not raw micros") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-tskey").toString
