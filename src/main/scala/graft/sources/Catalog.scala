@@ -130,22 +130,69 @@ object Catalog {
     * (in-memory or Hive metastore alike) with MSCK partition recovery,
     * so the fact is driven through the full catalog surface, not a
     * bare path read. */
+  /** Process-lifetime DPP staging, keyed by (sfDir, events
+    * fingerprint) — the IVF model-cache posture: at 100 TB the
+    * partitioned fact already EXISTS, so re-writing it per query run
+    * would time drive scaffolding, not the pruned scan the query
+    * demonstrates. The first invocation stages the layout into one
+    * temp dir (removed by a JVM shutdown hook — repeated bench/verify
+    * runs no longer leak disk) and registers the catalog table under a
+    * fingerprint-derived name, so a re-generated sfDir re-stages and
+    * concurrent same-session queries share one table instead of racing
+    * a DROP/CREATE on a common name. */
+  private val dppStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private def eventsFingerprint(spark: SparkSession, sfDir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(path)
+    val files = if (st.isDirectory) fs.listStatus(path) else Array(st)
+    files.foldLeft(17L) { (acc, f) =>
+      acc ^ (f.getPath.getName.hashCode.toLong * 31L +
+        f.getLen * 1000003L + f.getModificationTime)
+    }
+  }
+
+  /** The catalog name the staged day-partitioned fact registers under
+    * (fingerprint-derived — see [[dppStageCache]]). */
+  def dppTableName(spark: SparkSession, sfDir: String): String =
+    s"graft_dpp_events_${java.lang.Long.toHexString(
+      eventsFingerprint(spark, sfDir))}"
+
+  private def stagedDppRoot(spark: SparkSession, sfDir: String): String =
+    dppStageCache.computeIfAbsent((sfDir, eventsFingerprint(spark, sfDir)),
+      { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-dpp")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case scala.util.control.NonFatal(_) => () }))
+        stageDppTables(spark, sfDir, root.toString)
+        root.toString
+      })
+
   def qDppEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-dpp").toString
-    stageDppTables(spark, sfDir, root)
-    val dataCols = Tables.events.toDDL // partition col appended below
-    spark.sql("DROP TABLE IF EXISTS graft_dpp_events")
-    spark.sql(
-      s"""CREATE EXTERNAL TABLE graft_dpp_events ($dataCols, day_id BIGINT)
-          USING parquet
-          PARTITIONED BY (day_id)
-          LOCATION '$root/events_by_day'""")
-    spark.sql("MSCK REPAIR TABLE graft_dpp_events")
+    val root = stagedDppRoot(spark, sfDir)
+    val tbl = dppTableName(spark, sfDir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val dataCols = Tables.events.toDDL // partition col appended below
+      // IF NOT EXISTS + fingerprint name: concurrent registrations of
+      // the same staged layout are idempotent, never a DROP race
+      spark.sql(
+        s"""CREATE EXTERNAL TABLE IF NOT EXISTS $tbl ($dataCols, day_id BIGINT)
+            USING parquet
+            PARTITIONED BY (day_id)
+            LOCATION '$root/events_by_day'""")
+      spark.sql(s"MSCK REPAIR TABLE $tbl")
+    }
     val dim = spark.read.parquet(s"$root/days")
       .filter(col("dow") === 1)
-    spark.table("graft_dpp_events")
+    spark.table(tbl)
       .join(broadcast(dim), "day_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

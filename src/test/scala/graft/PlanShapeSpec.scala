@@ -133,7 +133,8 @@ class PlanShapeSpec extends SparkSuite {
       }.headOption
       assert(factScan.nonEmpty, "no FileSourceScanExec over events_by_day")
       val read = factScan.get.metrics("numPartitions").value
-      val total = spark.table("graft_dpp_events")
+      val total = spark.table(
+          graft.sources.Catalog.dppTableName(spark, sfDir))
         .select("day_id").distinct().count()
       assert(read > 0 && read < total,
         s"DPP read $read of $total partitions — expected a strict subset")
