@@ -1493,7 +1493,11 @@ object LakeLayout {
     * retry is always sound — unlike upserts there is nothing to
     * rebase: the winner may have rewritten the very files we
     * consolidated). Lost attempts' data dirs are unreferenced by
-    * construction and reclaimed by [[vacuumLake]]'s orphan sweep.
+    * construction and reclaimed by [[vacuumLake]]'s orphan sweep —
+    * which must itself wait for a write quiescence window: the sweep
+    * cannot tell a crashed attempt's orphan from a LIVE attempt's dir
+    * about to be published, so vacuum during an active OCC storm would
+    * delete data a manifest references moments later.
     * Returns the published version, or the current version when fewer
     * than two small files exist. */
   def compactLakeOcc(spark: SparkSession, tablePath: String, key: String,
@@ -1548,11 +1552,25 @@ object LakeLayout {
     * counting over the kept manifests, never a per-version dir drop: a
     * file written for version v but carried into v+1's list survives
     * v's manifest. Orphan files from crashed commits (unreferenced by
-    * construction) are reclaimed by the same sweep. Runs inside the
-    * single-writer loop — never concurrently with a commit. `keep ≥ 2`
-    * leaves a grace version for readers that resolved just before a
-    * commit. */
-  def vacuumLake(spark: SparkSession, tablePath: String, keep: Int = 2): Unit = {
+    * construction) are reclaimed by the same sweep. MUST run while no
+    * writer (single-writer or OCC) is mid-attempt: the sweep deletes
+    * any unreferenced data dir, including one an in-flight OCC attempt
+    * is about to publish — schedule vacuum in the maintenance window
+    * between write waves, exactly like [[compactLakeOcc]]'s lost-
+    * attempt orphans which this same sweep reclaims AFTER the writers
+    * quiesce. `keep ≥ 2` leaves a grace version for readers that
+    * resolved just before a commit.
+    *
+    * `protectFrom` is the CONSUMER LOW-WATERMARK guard: versions
+    * `≥ protectFrom` are never dropped regardless of `keep`. A CDF
+    * consumer resuming at version v needs v−1 alive to compute a delta
+    * ([[graft.streaming.CdfStream.changesForVersion]] falls back to a
+    * full bootstrap snapshot when it is not — correct for idempotent
+    * sinks, but a re-feed of the whole table); passing the slowest
+    * consumer's next-unprocessed version minus one keeps every lagging
+    * consumer on the incremental path. */
+  def vacuumLake(spark: SparkSession, tablePath: String, keep: Int = 2,
+      protectFrom: Option[Long] = None): Unit = {
     require(keep >= 1, "vacuum must keep at least the live version")
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1563,8 +1581,10 @@ object LakeLayout {
       .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
       .sorted.reverse
     val dropped = versions.drop(keep)
+      .filterNot(v => protectFrom.exists(v >= _))
     if (dropped.isEmpty) return
-    val kept = versions.take(keep).map(readManifest(fs, table, _))
+    val kept = versions.filterNot(dropped.contains)
+      .map(readManifest(fs, table, _))
     val refFiles: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
     // legacy dir-pointer manifests reference their whole dir
     val refDirs: Set[String] =

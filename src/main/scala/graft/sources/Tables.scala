@@ -120,17 +120,34 @@ object Tables {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(p, true) // throws FileNotFoundException: fail loudly
-    while (it.hasNext && files.size < 4096) {
+    // past 4096 files the fingerprint keeps only an aggregate tail
+    // (count + total bytes + max mtime) — a re-generated directory that
+    // differs only beyond the cap still changes length/bytes/mtime, so
+    // the cache cannot serve a stale unit for a path it half-hashed
+    var (tailN, tailBytes, tailMtime) = (0L, 0L, 0L)
+    while (it.hasNext) {
       val f = it.next()
       val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith("."))
-        files += s"$n:${f.getLen}:${f.getModificationTime}"
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (files.size < 4096)
+          files += s"$n:${f.getLen}:${f.getModificationTime}"
+        else {
+          tailN += 1; tailBytes += f.getLen
+          tailMtime = math.max(tailMtime, f.getModificationTime)
+        }
+      }
     }
     require(files.nonEmpty,
       s"events time-unit probe: no data files under $path — stage the " +
         "directory before building a source over it (an empty-dir default " +
         "would silently pin the wrong time unit for this JVM)")
-    val fp = files.sorted.mkString("|")
+    val fp = files.sorted.mkString("|") +
+      (if (tailN > 0) s"|tail:$tailN:$tailBytes:$tailMtime" else "")
+    // one live fingerprint per path: a re-staged directory must re-probe,
+    // and the cache stays O(paths), not O(re-stagings)
+    tsMicrosCache.keySet
+      .filter(k => k._1 == path && k._2 != fp)
+      .foreach(tsMicrosCache.remove)
     tsMicrosCache.getOrElseUpdate((path, fp),
       spark.read.parquet(path).schema("ts").dataType match {
         // µs footers infer as TimestampType (isAdjustedToUTC) or

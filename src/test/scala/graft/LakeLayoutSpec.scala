@@ -970,6 +970,95 @@ class LakeLayoutSpec extends SparkSuite {
       s"manifest orphans survived vacuum: ${orphans.take(5)}")
   }
 
+  test("OCC: schema evolution racing an in-flight merge — loser recomputes on the new schema") {
+    // tryRebase's fast path re-points result files at the winner's
+    // snapshot WITHOUT recomputing — legal only when the schemas match.
+    // Here the writers' keys are fully DISJOINT, so key-wise the rebase
+    // would always be eligible: if the schemaOk guard ever regressed,
+    // the merge writer's pre-evolve attempt (2-column schemaJson) would
+    // publish as a version AFTER the evolve and readers honoring the
+    // manifest schema would silently drop the new column. The
+    // assertions therefore pin: every post-evolve manifest carries the
+    // evolved schema, and the final state equals the serializable
+    // replay.
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-occ-evo").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 40L).map(k => (k, "base", false)).toDF("id", "v", "del")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      table, "ck", 0L, statsKey = Some("id"))
+    def mergeBatch(b: Int): Seq[(Long, String, Boolean)] =
+      (30L until 40L).map(k => (k, s"wB-b$b", k % 2 == 1))
+    raceWriters(Seq("wE", "wB")) {
+      case "wE" =>
+        LakeLayout.upsertIntoLakeOcc(spark, table,
+          (0L until 10L).map(k => (k, "evolved", false, k * 10))
+            .toDF("id", "v", "del", "extra"),
+          "id", "wE", 0L, maxAttempts = 16, evolveSchema = true)
+      case _ =>
+        (0 until 3).foreach { b =>
+          // evolveSchema=true on the merge side too: a batch whose
+          // columns are a SUBSET of an evolved table is the normal
+          // shape for a writer that raced an evolution — its recompute
+          // null-fills the new column
+          LakeLayout.mergeIntoLakeOcc(spark, table,
+            mergeBatch(b).toDF("id", "v", "del"), "id",
+            deleteWhen = col("del"), "wB", b.toLong, maxAttempts = 16,
+            evolveSchema = true)
+        }
+    }
+    val versions = LakeLayout.lakeVersions(spark, table)
+    assert(versions == (0L to 4L), s"expected v0..v4, got $versions")
+    assert(LakeLayout.lakeHasCommit(spark, table, "wE", 0L))
+    (0 until 3).foreach(b =>
+      assert(LakeLayout.lakeHasCommit(spark, table, "wB", b.toLong)))
+    def fieldsAt(v: Long): Set[String] =
+      LakeLayout.lakeCommitAt(spark, table, v).schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSet).getOrElse(Set.empty)
+    val vEvolve = versions.find(v =>
+      LakeLayout.lakeCommitAt(spark, table, v).checkpoint == "wE").get
+    versions.filter(_ > vEvolve).foreach { v =>
+      assert(fieldsAt(v).contains("extra"),
+        s"version $v (after the evolve at v$vEvolve) lost the evolved " +
+          "column — a stale-schema rebase slipped through")
+    }
+    // serializable replay over (id -> (v, extra)), any interleaving
+    def tableAt(v: Long): Map[Long, (String, Option[Long])] =
+      LakeLayout.readLakeVersion(spark, table, v).collect().map { r =>
+        val extra = if (r.schema.fieldNames.contains("extra") &&
+            !r.isNullAt(r.fieldIndex("extra")))
+          Some(r.getLong(r.fieldIndex("extra"))) else None
+        r.getLong(r.fieldIndex("id")) ->
+          ((r.getString(r.fieldIndex("v")), extra))
+      }.toMap
+    versions.tail.foldLeft(tableAt(0L)) { (prev, v) =>
+      val c = LakeLayout.lakeCommitAt(spark, table, v)
+      val expected =
+        if (c.checkpoint == "wE")
+          prev ++ (0L until 10L).map(k => k -> (("evolved", Some(k * 10))))
+        else {
+          val batch = mergeBatch(c.batchId.toInt)
+          (prev -- batch.filter(_._3).map(_._1)) ++
+            batch.filterNot(_._3).map(t => t._1 -> ((t._2, None)))
+        }
+      val got = tableAt(v)
+      assert(got == expected,
+        s"version $v (${c.checkpoint}, b${c.batchId}) diverges from " +
+          "sequential replay")
+      got
+    }
+    // the STRICT contract still fails loudly: a writer that never opted
+    // into evolution must not silently null-fill a column it has never
+    // heard of
+    val e = intercept[IllegalArgumentException] {
+      LakeLayout.upsertIntoLake(spark, table,
+        Seq((7L, "strict", false)).toDF("id", "v", "del"), "id", "ck", 99L)
+    }
+    assert(e.getMessage.contains("identical column sets"))
+  }
+
   test("string-keyed endurance: 21 batches, compactions, concurrent pruned reader") {
     // The StrKey twin of the round-10 long-key endurance drive: 21
     // upsert batches on an md5-keyed table with compaction + vacuum
