@@ -359,6 +359,64 @@ object AdvancedQueries {
        FROM big JOIN orders ON l_orderkey = o_orderkey
        ORDER BY total_qty DESC, o_orderkey"""
 
+  // -------------------------------------------------------- bloom join
+  /** Runtime BLOOM-FILTER join pruning, registry-timed: a selective dim
+    * (urgent, late-window orders ≈ 5% of the table) joined into the
+    * lineitem fact through a SHUFFLE join, with Spark's
+    * InjectRuntimeFilter building a bloom filter from the dim side and
+    * applying it to the fact scan so non-joining rows die before the
+    * exchange — the row-level counterpart of DPP for non-partitioned
+    * joins (mechanism pinned in PlanShapeSpec). The injection
+    * thresholds are sized for clusters (10 GB application side), so
+    * this query scopes them down — at 100 TB the defaults fire on
+    * their own. Broadcast is disabled in-scope because a broadcast
+    * join already row-prunes via its hash relation; the bloom path is
+    * the one that matters once the dim outgrows a broadcast. The join
+    * executes EAGERLY inside the conf scope (the registry contract
+    * returns a lazy frame, and a deferred execution would re-plan
+    * under restored confs); the collected aggregate is ≤3 rows. */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set(keys(0), "-1")
+      s.conf.set(keys(1), "0")
+      val dim = t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" &&
+          $"o_orderdate" >= lit("1997-06-01").cast("timestamp"))
+        .select($"o_orderkey")
+      val res = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity",
+          $"l_extendedprice")
+        .join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"l_returnflag")
+      val rows = res.collect()
+      val p = res.queryExecution.executedPlan.toString
+      require(p.toLowerCase.contains("bloomfilter"),
+        "bloom-join registry query executed WITHOUT a runtime bloom " +
+          "filter — the timed number would silently measure the " +
+          "unpruned join")
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+         AND o_orderdate >= TIMESTAMP '1997-06-01'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // --------------------------------------------------------------- q14
   /** TPC-H Q14-shaped: revenue share of one part type in a ship-month —
     * conditional/total ratio over a fact⋈dim join. Numerator and
@@ -595,6 +653,7 @@ object AdvancedQueries {
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q14_promo_share" -> (q14TypeShare _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q_scd2_history" -> (qScd2History _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_event_funnel" -> (qEventFunnel _))
@@ -614,6 +673,7 @@ object AdvancedQueries {
     "q10_returned_revenue" -> q10Sql,
     "q18_large_orders" -> q18Sql,
     "q14_promo_share" -> q14Sql,
+    "q_bloom_join" -> qBloomJoinSql,
     "q_scd2_history" -> qScd2Sql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_event_funnel" -> qEventFunnelSql)

@@ -175,6 +175,27 @@ class PlanShapeSpec extends SparkSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q_bloom_join registry query: executes under the bloom regime, restores confs") {
+    // The registry-timed twin of the mechanism test above: the query
+    // itself requires a bloom filter in its executed plan (it would
+    // throw otherwise — a silent fallback to the unpruned join can
+    // never be what the bench times), runs eagerly inside its conf
+    // scope, and must leave the session confs exactly as it found them
+    // (a leaked autoBroadcastJoinThreshold=-1 would un-broadcast every
+    // subsequent query in the session).
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val before = keys.map(spark.conf.get(_))
+    val out = AdvancedQueries.qBloomJoin(spark, sfDir).collect()
+    assert(keys.map(spark.conf.get(_)) == before,
+      "qBloomJoin must restore every conf it scopes")
+    assert(out.nonEmpty && out.length <= 3,
+      "expected one row per l_returnflag value")
+    assert(out.map(_.getString(0)).toSeq == out.map(_.getString(0)).toSeq.sorted,
+      "result must keep its total order after the eager collect round-trip")
+  }
+
   test("whole-stage codegen covers the relational aggregation path") {
     // AQE shows codegen spans only in the finalized plan — execute first
     val df = RelationalQueries.q1PricingSummary(spark, sfDir)
