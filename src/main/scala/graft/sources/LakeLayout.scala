@@ -1545,6 +1545,110 @@ object LakeLayout {
         s"$tablePath — raise maxAttempts or run compaction less often")
   }
 
+  /** `df` + a `zkey` column Morton-interleaving two long-castable
+    * dimensions, extents from ONE in-plan aggregate (1-row frame,
+    * broadcast by size — no driver collect, no second scan job
+    * scheduled before the write). Cast-to-long matches the pruning
+    * comparators' semantics (TimestampType → epoch seconds), so file
+    * bounds recorded over the same columns prune reads consistently. */
+  private def zorderFrame(df: DataFrame, c1: String, c2: String): DataFrame = {
+    val ext = df.agg(
+      min(col(c1).cast("long")).as("z_alo"), max(col(c1).cast("long")).as("z_ahi"),
+      min(col(c2).cast("long")).as("z_blo"), max(col(c2).cast("long")).as("z_bhi"))
+    df.withColumn("z_a", col(c1).cast("long"))
+      .withColumn("z_b", col(c2).cast("long"))
+      .crossJoin(ext)
+      .withColumn("z_abin", expr(bin16Sql("z_a", "z_alo", "z_ahi")))
+      .withColumn("z_bbin", expr(bin16Sql("z_b", "z_blo", "z_bhi")))
+      .withColumn("zkey", zkey2(col("z_abin"), col("z_bbin")))
+      .drop("z_a", "z_b", "z_alo", "z_ahi", "z_blo", "z_bhi",
+        "z_abin", "z_bbin")
+  }
+
+  /** Re-Z-ORDER the whole table on (`key`, `tsKey`) as an OCC
+    * maintenance commit — the OPTIMIZE-ZORDER shape (Delta
+    * `OPTIMIZE ... ZORDER BY`; reference scopes no lake layer, this is
+    * north-star engine depth). Ingest writes arrive key-clustered
+    * ([[upsertIntoLake]] sorts rewrites by key), which keeps the KEY
+    * axis prunable but scatters the TIME axis across every file; after
+    * this rewrite each file covers a compact (key × time) rectangle so
+    * range reads prune on EITHER axis ([[readLakeKeyRange]] /
+    * [[readLakeTsRange]]), and parquet row-group/page column indexes
+    * inherit the same locality within files (ParquetPageIndexSpec).
+    * Runs under the OCC claim protocol concurrently with ingest: each
+    * attempt rewrites the latest snapshot into a writer-tagged data dir
+    * and publishes optimistically; on losing the claim it recomputes
+    * from the new tip (a rewrite reads only the snapshot it targets —
+    * nothing to rebase). Published with `op = "compact"`: the rewrite
+    * is row-identity BY CONSTRUCTION, so CDF consumers take the
+    * op-typed zero-cost skip instead of diffing O(table) rewritten
+    * bytes. O(table) bytes per run by design — schedule it like any
+    * OPTIMIZE, not per-batch; [[compactLakeOcc]] remains the cheap
+    * per-wave maintenance. Both dimensions must be long-castable
+    * (integer/date/timestamp — epoch-seconds semantics); string keys
+    * have no meaningful 2-D interleave and are rejected loudly. */
+  def optimizeLakeZOrderOcc(spark: SparkSession, tablePath: String,
+      key: String, tsKey: String, writerId: String,
+      maxAttempts: Int = 8, targetFileMB: Int = 128,
+      minFiles: Int = 1): Long = {
+    require(writerId.nonEmpty && !writerId.contains("/"),
+      "writerId must be a non-empty path-safe token")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val rnd = new scala.util.Random(writerId.hashCode)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = latestLakeCommit(spark, tablePath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"optimizeLakeZOrderOcc: $tablePath has no committed version"))
+      require(cur.files.nonEmpty,
+        "optimizeLakeZOrderOcc needs file-granular manifests (run a " +
+          "single-writer full compaction once to convert a legacy table)")
+      val df = schemaReader(spark, cur)
+        .parquet(cur.files.map(f => s"$tablePath/${f.path}"): _*)
+      Seq(key, tsKey).foreach { c =>
+        import org.apache.spark.sql.types._
+        val ok = df.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               TimestampType | DateType => true
+          case _ => false
+        }
+        require(ok,
+          s"z-order dimension $c: ${df.schema(c).dataType} is not " +
+            "long-castable — a string axis has no meaningful Morton " +
+            "interleave (cast-to-long would null out the bin)")
+      }
+      val bytes = cur.files.map(f => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(table, f.path)).getLen).sum
+      // minFiles is a PARALLELISM floor (readers of a re-ordered table
+      // prune file-granularly — one giant file prunes nothing), not a
+      // size target
+      val nFiles = math.max(math.max(1, minFiles),
+        (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+      val v = cur.version + 1
+      val dataRel = s"data/${versionName(v)}-$writerId-zord"
+      zorderFrame(df, key, tsKey)
+        .repartitionByRange(nFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+      if (tryPublishManifest(fs, table, v, dataRel,
+          s"zorder-occ:$writerId", -1L,
+          fileStats(spark, tablePath, dataRel, Some(key), Some(tsKey)),
+          s"-$writerId-zord", cur.schemaJson, op = "compact",
+          parentFiles = cur.files))
+        return v
+      // claim raced: the winner may have rewritten rows we just
+      // re-ordered — drop the orphan and recompute from the new tip
+      fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
+      Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
+    }
+    throw new IllegalStateException(
+      s"optimizeLakeZOrderOcc: $maxAttempts consecutive commit conflicts " +
+        s"on $tablePath — schedule OPTIMIZE in a quieter window")
+  }
+
   /** Drop all but the newest `keep` versions — manifests first (so no
     * new reader can resolve a pointer about to dangle), then every data
     * file NO KEPT MANIFEST references. File-granular commits share
@@ -1844,6 +1948,47 @@ object LakeLayout {
       .orderBy(col("event_type"))
   }
 
+  /** Oracle-checked drive of [[optimizeLakeZOrderOcc]]: events
+    * committed in INGEST shape (key-clustered, exactly what
+    * [[upsertIntoLake]] rewrites produce — the TIME axis scatters
+    * across every file), re-Z-ordered by the OPTIMIZE maintenance
+    * commit, then the middle-half time band read through the
+    * ts-pruned path and aggregated per event_type. The oracle (the
+    * same band as a WHERE over the raw table) proves the rewrite
+    * moved bytes, never rows — and that pruning through the new
+    * layout is invisible in the result. */
+  def qLakeZorderOpt(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ext = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (mn, mx) = (ext.getLong(0), ext.getLong(1))
+    val (lo, hi) = ((3 * mn + mx) / 4, (mn + mx) / 2)
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      ev.repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id")),
+      lake, "registry", 0L, statsKey = Some("user_id"),
+      tsStatsKey = Some("ts"))
+    optimizeLakeZOrderOcc(s, lake, "user_id", "ts", "opt", minFiles = 8)
+    readLakeTsRange(s, lake, "ts", lo, hi).get
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("sum_user"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .orderBy(col("event_type"))
+  }
+
+  val qLakeZorderOptSql: String =
+    """WITH ext AS (SELECT MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx
+                    FROM events)
+       SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(user_id) AS BIGINT) AS sum_user,
+         MIN(user_id) AS min_user, MAX(user_id) AS max_user
+       FROM events, ext
+       WHERE epoch_ns(ts) >= (3 * mn + mx) // 4
+         AND epoch_ns(ts) <= (mn + mx) // 2
+       GROUP BY event_type ORDER BY event_type"""
+
   val qLakeTsReadSql: String =
     """WITH ext AS (SELECT MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx
                     FROM events)
@@ -2036,6 +2181,7 @@ object LakeLayout {
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
+    "q_lake_zorder_opt" -> (qLakeZorderOpt _),
     "q_lake_evolve" -> (qLakeEvolve _),
     "q_lake_merge" -> (qLakeMerge _),
     "q_lake_str_upsert" -> (qLakeStrUpsert _),
@@ -2046,6 +2192,7 @@ object LakeLayout {
     "q_lake_delete" -> qLakeDeleteSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
     "q_lake_ts_read" -> qLakeTsReadSql,
+    "q_lake_zorder_opt" -> qLakeZorderOptSql,
     "q_lake_evolve" -> qLakeEvolveSql,
     "q_lake_merge" -> qLakeMergeSql,
     "q_lake_str_upsert" -> qLakeStrUpsertSql,

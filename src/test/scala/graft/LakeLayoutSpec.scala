@@ -1189,6 +1189,85 @@ class LakeLayoutSpec extends SparkSuite {
       ev.filter(col("ts").between(tLo, tLo + (tHi - tLo) / 8)).count())
   }
 
+  test("optimizeLakeZOrderOcc: identity rewrite makes both axes prunable; CDF takes the compact skip") {
+    import graft.sources.Tables
+    val table = java.nio.file.Files.createTempDirectory("graft-zopt").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    // ingest shape: key-clustered (what upsert rewrites produce) —
+    // user axis prunable, time axis scattered across EVERY file
+    LakeLayout.commitLakeVersion(
+      ev.repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id")),
+      table, "ck", 0L, statsKey = Some("user_id"), tsStatsKey = Some("ts"))
+    val ext = ev.agg(min($"user_id"), max($"user_id"),
+      min($"ts"), max($"ts")).head()
+    val (uLo, uHi, tLo, tHi) =
+      (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
+    val tsBandHi = tLo + (tHi - tLo) / 8
+    val preFiles = LakeLayout.readLakeTsRange(spark, table, "ts", tLo, tsBandHi)
+      .get.inputFiles.length
+    assert(preFiles >= 7,
+      s"pre-optimize a ts band must scatter over ~all 8 files, got $preFiles")
+    val v = LakeLayout.optimizeLakeZOrderOcc(
+      spark, table, "user_id", "ts", "opt", minFiles = 8)
+    assert(v == 1L)
+    // row identity — the rewrite moves bytes, never rows
+    val beforeRows = ev.orderBy($"event_id").collect()
+    val afterRows = LakeLayout.readLakeVersion(spark, table, v)
+      .orderBy($"event_id").collect()
+    assert(beforeRows.sameElements(afterRows),
+      "OPTIMIZE must be row-identity")
+    // BOTH axes now prune to strict subsets
+    val nAll = LakeLayout.latestLakeCommit(spark, table).get.files.size
+    assert(nAll >= 4, s"rewrite should split into several files, got $nAll")
+    val tsRead = LakeLayout.readLakeTsRange(spark, table, "ts", tLo, tsBandHi).get
+    assert(tsRead.inputFiles.length < nAll && tsRead.inputFiles.nonEmpty,
+      s"post-optimize ts band must prune: ${tsRead.inputFiles.length}/$nAll")
+    assert(tsRead.count() == ev.filter($"ts".between(tLo, tsBandHi)).count())
+    val keyRead = LakeLayout.readLakeKeyRange(spark, table, "user_id",
+      uLo, uLo + (uHi - uLo) / 8).get
+    assert(keyRead.inputFiles.length < nAll && keyRead.inputFiles.nonEmpty,
+      s"post-optimize key band must still prune: ${keyRead.inputFiles.length}/$nAll")
+    assert(keyRead.count() ==
+      ev.filter($"user_id".between(uLo, uLo + (uHi - uLo) / 8)).count())
+    // op-typed CDF skip: the rewrite is identity BY MANIFEST TYPE — the
+    // change feed emits zero rows without touching data files
+    val d = graft.streaming.CdfStream.changesForVersion(spark, table, v, "user_id")
+    assert(d.count() == 0, "OPTIMIZE version must emit an empty change set")
+    // a string axis is rejected loudly, not silently null-binned
+    val e = intercept[IllegalArgumentException] {
+      LakeLayout.optimizeLakeZOrderOcc(spark, table, "user_id", "event_type", "opt")
+    }
+    assert(e.getMessage.contains("long-castable"))
+  }
+
+  test("optimizeLakeZOrderOcc racing an ingest writer: loser recomputes, final state serializable") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-zoptrace").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 400L).map(k => (k, k * 7 % 1000, "base")).toDF("id", "t", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      table, "ck", 0L, statsKey = Some("id"), tsStatsKey = Some("t"))
+    raceWriters(Seq("wZ", "wI")) {
+      case "wZ" =>
+        LakeLayout.optimizeLakeZOrderOcc(spark, table, "id", "t", "wZ",
+          maxAttempts = 16, targetFileMB = 1)
+      case _ =>
+        LakeLayout.upsertIntoLakeOcc(spark, table,
+          (350L until 420L).map(k => (k, k * 7 % 1000, "upd")).toDF("id", "t", "v"),
+          "id", "wI", 0L, maxAttempts = 16)
+    }
+    val versions = LakeLayout.lakeVersions(spark, table)
+    assert(versions == (0L to 2L), s"both writers must commit: $versions")
+    assert(LakeLayout.lakeHasCommit(spark, table, "wI", 0L))
+    // whichever order won, OPTIMIZE is identity: final state == base ⊕ upsert
+    val got = LakeLayout.readLakeVersion(spark, table, 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val want = ((0L until 350L).map(k => k -> ((k * 7 % 1000, "base"))) ++
+      (350L until 420L).map(k => k -> ((k * 7 % 1000, "upd")))).toMap
+    assert(got == want, "final table must equal base with the upsert applied")
+  }
+
   test("timestamp-keyed upsert: footer bounds use cast-to-long (epoch-seconds) semantics, not raw micros") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-tskey").toString
