@@ -52,8 +52,7 @@ object IncrementalAgg {
       files: Seq[LakeLayout.LakeFile], schema: StructType): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+    else LakeLayout.filesFrame(spark, tablePath, files, Some(schema))
 
   /** The (oldCopies, newCopies) change regions between two committed
     * versions: rows of files rewritten away vs rows of files added,
@@ -65,12 +64,20 @@ object IncrementalAgg {
     val to = LakeLayout.lakeCommitAt(spark, tablePath, toVersion)
     require(from.files.nonEmpty && to.files.nonEmpty,
       "changeRegions needs file-granular (listed) manifests on both ends")
-    val toPaths = to.files.map(_.path).toSet
-    val fromPaths = from.files.map(_.path).toSet
-    val oldOnly = from.files.filterNot(f => toPaths(f.path))
-    val newOnly = to.files.filterNot(f => fromPaths(f.path))
-    (frameOf(spark, tablePath, oldOnly, schemaOf(from)),
-      frameOf(spark, tablePath, newOnly, schemaOf(to)))
+    val toByPath = to.files.map(f => f.path -> f).toMap
+    val fromByPath = from.files.map(f => f.path -> f).toMap
+    val oldOnly = from.files.filterNot(f => toByPath.contains(f.path))
+    val newOnly = to.files.filterNot(f => fromByPath.contains(f.path))
+    // a file present on BOTH sides with a DIFFERENT deletion-vector
+    // reference changed LOGICAL content in place (merge-on-read
+    // delete): its old-dv read joins the removed region, its new-dv
+    // read the added one — the downstream signed-union/diff machinery
+    // then sees exactly the dv-deleted rows disappear
+    val dvChanged = from.files.filter(f =>
+      toByPath.get(f.path).exists(t => t.dv != f.dv))
+    val dvChangedNew = dvChanged.map(f => toByPath(f.path))
+    (frameOf(spark, tablePath, oldOnly ++ dvChanged, schemaOf(from)),
+      frameOf(spark, tablePath, newOnly ++ dvChangedNew, schemaOf(to)))
   }
 
   /** Advance a maintained (cnt, total) state from `fromVersion`'s table

@@ -187,9 +187,17 @@ object LakeLayout {
     * footer pass — zero extra I/O — so range reads prune on either
     * axis. A Z-ordered layout makes both bounds tight per file; files
     * without second-dimension stats are simply never ts-pruned. */
+  /** One data file of a committed version. `dv` is an optional
+    * DELETION-VECTOR reference (a dir under `data/` holding the DELETED
+    * KEYS for this file as a tiny parquet whose single column is named
+    * after the table key) — the merge-on-read delete shape: a delete
+    * writes O(deleted keys) sidecar bytes and re-points manifest
+    * entries instead of rewriting every touched file. Readers apply
+    * `dv` as a broadcast anti-join; compaction/rewrites materialize it
+    * away (new files always carry `dv = None`). */
   final case class LakeFile(path: String, minKey: Option[KeyBound],
       maxKey: Option[KeyBound], minTs: Option[KeyBound] = None,
-      maxTs: Option[KeyBound] = None)
+      maxTs: Option[KeyBound] = None, dv: Option[String] = None)
 
   /** One committed table version: the FILE LIST the version is made of
     * (possibly spanning several data dirs — untouched files are carried
@@ -296,11 +304,13 @@ object LakeLayout {
     def tagged(tag: String) = lines.drop(4).filter(_.startsWith(tag))
     // fields 5/6, when present, are the optional second-dimension
     // (time) bounds — older manifests simply lack them
+    // field 7, when present, is the deletion-vector dir reference
     def fileLines(tag: String) = tagged(tag).map { ln =>
       val p = ln.split("\t")
       LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)),
         if (p.length > 5) KeyBound.decode(p(4)) else None,
-        if (p.length > 5) KeyBound.decode(p(5)) else None)
+        if (p.length > 5) KeyBound.decode(p(5)) else None,
+        if (p.length > 6 && p(6) != "-") Some(p(6)) else None)
     }.toSeq
     val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
     val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
@@ -417,9 +427,12 @@ object LakeLayout {
       b.append(tag).append('\t').append(f.path).append('\t')
         .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
         .append(f.maxKey.map(_.enc).getOrElse("-"))
-      if (f.minTs.isDefined || f.maxTs.isDefined)
+      // a dv reference forces the ts fields (as "-") so field positions
+      // stay fixed; older manifests without either simply stop at 4
+      if (f.minTs.isDefined || f.maxTs.isDefined || f.dv.isDefined)
         b.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
           .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
+      f.dv.foreach(d => b.append('\t').append(d))
       b.append('\n')
     }
     // format:3 = format:2 plus an `s\t<json>` table-schema line;
@@ -455,10 +468,15 @@ object LakeLayout {
     val content =
       if (parentFiles.isEmpty) fullBody
       else {
-        val parentPaths = parentFiles.map(_.path).toSet
+        // ENTRY equality, not path membership: a file whose metadata
+        // changed in place (a deletion-vector attached or merged) must
+        // ride the delta as remove+re-add, or resolution would keep the
+        // parent's stale entry
+        val parentByPath = parentFiles.map(f => f.path -> f).toMap
         val childPaths = files.map(_.path).toSet
-        val adds = files.filterNot(f => parentPaths(f.path))
-        val removes = parentFiles.map(_.path).filterNot(childPaths)
+        val adds = files.filterNot(f => parentByPath.get(f.path).contains(f))
+        val removes = parentFiles.map(_.path).filterNot(childPaths) ++
+          adds.map(_.path).filter(parentByPath.contains)
         if (adds.size + removes.size < files.size) deltaBody(adds, removes)
         else fullBody
       }
@@ -695,11 +713,42 @@ object LakeLayout {
       case None => spark.read
     }
 
+  /** Read a set of committed files with their DELETION VECTORS applied
+    * — the single choke point every lake read (snapshots, pruned
+    * ranges, rewrite merges, compactions, change regions) goes
+    * through, so merge-on-read deletes are invisible above this line.
+    * Files are grouped by dv reference (one read per group, never per
+    * file); each group's sidecar keys anti-join BROADCAST (sidecars
+    * are O(deleted keys), tiny by construction). A left_anti join
+    * keeps exactly the left side's columns in order, so grouping +
+    * unionByName is schema-stable. */
+  private[graft] def filesFrame(spark: SparkSession, tablePath: String,
+      files: Seq[LakeFile],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    require(files.nonEmpty, "filesFrame needs at least one file")
+    def rdr = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    files.groupBy(_.dv).toSeq.sortBy(_._1.getOrElse("")).map {
+      case (dvRef, group) =>
+        val df = rdr.parquet(group.map(f => s"$tablePath/${f.path}"): _*)
+        dvRef match {
+          case None => df
+          case Some(d) =>
+            val keys = spark.read.parquet(s"$tablePath/$d")
+            df.join(broadcast(keys.select(keys.columns.head).distinct()),
+              Seq(keys.columns.head), "left_anti")
+        }
+    }.reduce(_ unionByName _)
+  }
+
+  private def commitSchema(c: LakeCommit)
+      : Option[org.apache.spark.sql.types.StructType] =
+    c.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   private def commitFrame(spark: SparkSession, tablePath: String,
       c: LakeCommit): DataFrame =
     if (c.files.isEmpty) schemaReader(spark, c).parquet(s"$tablePath/${c.dataDir}")
-    else schemaReader(spark, c)
-      .parquet(c.files.map(f => s"$tablePath/${f.path}"): _*)
+    else filesFrame(spark, tablePath, c.files, commitSchema(c))
 
   def latestLakeCommit(spark: SparkSession, tablePath: String): Option[LakeCommit] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -858,10 +907,10 @@ object LakeLayout {
     // unsigned-UTF-8 binary order, the same collation the bounds were
     // computed under. Mixed/absent bounds → conservatively touched.
     val longRanges = files.collect {
-      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)), _, _) => (p, a, b)
+      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)), _, _, _) => (p, a, b)
     }
     val strRanges = files.collect {
-      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)), _, _) => (p, a, b)
+      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)), _, _, _) => (p, a, b)
     }
     val typed = (longRanges.map(_._1) ++ strRanges.map(_._1)).toSet
     val statless = files.map(_.path).filterNot(typed).toSet
@@ -921,7 +970,10 @@ object LakeLayout {
   private final case class UpsertConflict(dataRel: String,
       newFiles: Seq[LakeFile], rewrittenPaths: Set[String],
       basePaths: Set[String], bytesWritten: Long,
-      schemaJson: Option[String])
+      schemaJson: Option[String],
+      // dv reference of each file the attempt READ, as of its base
+      // snapshot: the rebase is only sound if none changed under us
+      baseDv: Map[String, Option[String]] = Map.empty)
 
   /** One upsert attempt against the CURRENT snapshot. Returns None iff
     * another writer claimed the target version number first; the
@@ -969,7 +1021,7 @@ object LakeLayout {
           // a raced first commit is a pure-insert attempt: rebasable if
           // the winner's keys are disjoint (empty base/rewritten sets)
           Left(Some(UpsertConflict(dataRel, newFiles, Set.empty, Set.empty,
-            sizeOf(newFiles.map(_.path)), Some(keep.schema.json))))
+            sizeOf(newFiles.map(_.path)), Some(keep.schema.json), Map.empty)))
         else {
           fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
           Left(None)
@@ -1010,11 +1062,11 @@ object LakeLayout {
         val merged =
           if (rewritten.isEmpty) upKeep
           else
-            // read the subset under the EVOLVED table schema: fixes the
-            // column order (multi-file inference takes the first
-            // footer's) and null-fills columns the files predate
-            spark.read.schema(evolved)
-              .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
+            // read the subset under the EVOLVED table schema (fixes
+            // column order, null-fills columns the files predate) WITH
+            // deletion vectors applied — a raw read here would
+            // resurrect dv-deleted rows into the rewrite
+            filesFrame(spark, tablePath, rewritten, Some(evolved))
               .join(upAll.select(col(key)).distinct(), Seq(key), "left_anti")
               .unionByName(upKeep)
         // OPTIMIZED WRITE: without this the merged rows land in the
@@ -1050,7 +1102,8 @@ object LakeLayout {
         } else if (keepOnConflict)
           Left(Some(UpsertConflict(dataRel, newFiles,
             rewritten.map(_.path).toSet, files.map(_.path).toSet,
-            sizeOf(newFiles.map(_.path)), Some(evolved.json))))
+            sizeOf(newFiles.map(_.path)), Some(evolved.json),
+            rewritten.map(f => f.path -> f.dv).toMap)))
         else {
           fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
           Left(None)
@@ -1117,9 +1170,15 @@ object LakeLayout {
       var i = 0
       while (i < rebaseTries) {
         val latest = latestLakeCommit(spark, tablePath).get
-        val latestPaths = latest.files.map(_.path).toSet
+        val latestByPath = latest.files.map(f => f.path -> f).toMap
+        // (a) extends to deletion vectors: a winner that ATTACHED or
+        // merged a dv on a file we read changed its logical content in
+        // place — our result was computed pre-delete, so re-pointing it
+        // would resurrect the deleted rows; path survival alone is not
+        // enough
         val aOk = latest.files.nonEmpty &&
-          c.rewrittenPaths.forall(latestPaths.contains)
+          c.rewrittenPaths.forall(p => latestByPath.get(p)
+            .exists(_.dv == c.baseDv.getOrElse(p, None)))
         val winnerNew = latest.files.filterNot(f => c.basePaths(f.path))
         val schemaOk = latest.schemaJson == c.schemaJson
         if (!aOk || !schemaOk) {
@@ -1257,8 +1316,7 @@ object LakeLayout {
     val newFiles =
       if (rewritten.isEmpty) Seq.empty
       else {
-        schemaReader(spark, cur)
-          .parquet(rewritten.map(f => s"$tablePath/${f.path}"): _*)
+        filesFrame(spark, tablePath, rewritten, commitSchema(cur))
           .join(deletes.select(col(key)).distinct(), Seq(key), "left_anti")
           // same optimized write as the upsert path: keep the surviving
           // rows' files tight and key-disjoint; survivors are bounded
@@ -1276,6 +1334,114 @@ object LakeLayout {
     val bytesWritten = sizeOf(newFiles.map(_.path))
     LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
       bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
+  }
+
+  /** MERGE-ON-READ delete — the DELETION-VECTOR twin of
+    * [[deleteFromLake]]. The copy-on-write form rewrites every file
+    * whose key range intersects a delete key: for scattered keys (the
+    * GDPR single-user shape) that is O(touched bytes) per delete — at
+    * 100 TB, potentially the whole table for a handful of keys. This
+    * form writes the deleted keys ONCE as a tiny sidecar parquet under
+    * `data/v<N>-dv` — O(deleted keys) bytes, zero data files rewritten
+    * — and re-points the manifest entries of every file whose key
+    * range could hold one of them. Readers apply the sidecar as a
+    * BROADCAST anti-join ([[filesFrame]], the single read choke
+    * point); any rewrite of an affected file ([[upsertIntoLake]],
+    * compaction, OPTIMIZE) reads dv-applied and emits clean files, so
+    * vectors retire through normal maintenance and the steady-state
+    * read tax stays bounded by deletes-since-last-compaction.
+    * Re-insert works naturally: an upsert of a deleted key rewrites
+    * the files that could hold it (same touch-set), clearing their
+    * vectors in the same commit.
+    *
+    * A file already carrying a vector gets a MERGED sidecar (its old
+    * keys ∪ the new ones) — entries always reference exactly ONE
+    * sidecar, and pointing a file at a superset of its own deleted
+    * keys is harmless by anti-join semantics. Returns the published
+    * version; no-op (current version) when no file can hold any
+    * delete key. */
+  def deleteFromLakeDv(spark: SparkSession, tablePath: String,
+      deletes: DataFrame, key: String, checkpoint: String,
+      batchId: Long): Long = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"deleteFromLakeDv: $tablePath has no committed version"))
+    require(cur.files.nonEmpty,
+      "deleteFromLakeDv needs file-granular manifests (run a full " +
+        "compaction once to convert a legacy dir-pointer table)")
+    val affected = touchedFilePaths(spark, cur.files, deletes, key)
+    if (affected.isEmpty) return cur.version
+    val v = cur.version + 1
+    val dvRel = s"data/${versionName(v)}-dv"
+    writeDvSidecar(spark, tablePath, cur, affected, deletes, key, dvRel)
+    val newList = cur.files.map(f =>
+      if (affected(f.path)) f.copy(dv = Some(dvRel)) else f)
+    publishManifest(fs, table, v, dvRel, checkpoint, batchId, newList,
+      cur.schemaJson, op = "dvdelete", parentFiles = cur.files)
+    v
+  }
+
+  /** [[deleteFromLakeDv]] under the OCC multi-writer protocol: each
+    * attempt writes a writer-tagged sidecar against the latest
+    * snapshot and claims optimistically; on losing it recomputes (the
+    * affected set and the merged key union both depend on the
+    * snapshot, so nothing can be rebased — but an attempt is
+    * O(deleted keys), so retries are near-free, unlike rewrite
+    * retries). Lost attempts' sidecar dirs are unreferenced orphans
+    * for [[vacuumLake]]'s sweep. */
+  def deleteFromLakeDvOcc(spark: SparkSession, tablePath: String,
+      deletes: DataFrame, key: String, writerId: String, batchId: Long,
+      maxAttempts: Int = 8): Long = {
+    require(writerId.nonEmpty && !writerId.contains("/"),
+      "writerId must be a non-empty path-safe token")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val rnd = new scala.util.Random(writerId.hashCode * 31 + batchId)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = latestLakeCommit(spark, tablePath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"deleteFromLakeDvOcc: $tablePath has no committed version"))
+      require(cur.files.nonEmpty,
+        "deleteFromLakeDvOcc needs file-granular manifests")
+      val affected = touchedFilePaths(spark, cur.files, deletes, key)
+      if (affected.isEmpty) return cur.version
+      val v = cur.version + 1
+      val dvRel = s"data/${versionName(v)}-$writerId-dv"
+      writeDvSidecar(spark, tablePath, cur, affected, deletes, key, dvRel)
+      val newList = cur.files.map(f =>
+        if (affected(f.path)) f.copy(dv = Some(dvRel)) else f)
+      if (tryPublishManifest(fs, table, v, dvRel, writerId, batchId,
+          newList, s"-$writerId-dv", cur.schemaJson, op = "dvdelete",
+          parentFiles = cur.files))
+        return v
+      fs.delete(new org.apache.hadoop.fs.Path(table, dvRel), true)
+      Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
+    }
+    throw new IllegalStateException(
+      s"deleteFromLakeDvOcc: $maxAttempts consecutive commit conflicts " +
+        s"on $tablePath")
+  }
+
+  /** The merged sidecar for one dv-delete commit: the batch's distinct
+    * keys ∪ every key of the affected files' EXISTING sidecars (their
+    * entries re-point to this one, so its content must subsume
+    * theirs). Single column named after the table key — readers
+    * recover the join column from the sidecar schema itself. */
+  private def writeDvSidecar(spark: SparkSession, tablePath: String,
+      cur: LakeCommit, affected: Set[String], deletes: DataFrame,
+      key: String, dvRel: String): Unit = {
+    val priorDvs = cur.files.filter(f => affected(f.path))
+      .flatMap(_.dv).distinct
+    val newKeys = deletes.select(col(key)).distinct()
+    val allKeys = priorDvs.foldLeft(newKeys)((acc, d) =>
+      acc.unionByName(spark.read.parquet(s"$tablePath/$d")
+        .select(col(key)))).distinct()
+    allKeys.coalesce(1).write.mode("overwrite")
+      .parquet(s"$tablePath/$dvRel")
   }
 
   /** Key-range read with FILE PRUNING from manifest stats — the
@@ -1334,8 +1500,7 @@ object LakeLayout {
         else {
           val hit = c.files.filter(candidate)
           if (hit.isEmpty) commitFrame(spark, tablePath, c).limit(0)
-          else schemaReader(spark, c)
-            .parquet(hit.map(f => s"$tablePath/${f.path}"): _*)
+          else filesFrame(spark, tablePath, hit, commitSchema(c))
         }
       frame.filter(residual)
     }
@@ -1473,8 +1638,7 @@ object LakeLayout {
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     val v = cur.version + 1
     val dataRel = s"data/${versionName(v)}"
-    schemaReader(spark, cur)
-      .parquet(small.map(f => s"$tablePath/${f._1.path}"): _*)
+    filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur))
       .repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     publishManifest(fs, table, v, dataRel,
@@ -1525,8 +1689,7 @@ object LakeLayout {
       val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
       val v = cur.version + 1
       val dataRel = s"data/${versionName(v)}-$writerId-cmp"
-      schemaReader(spark, cur)
-        .parquet(small.map(f => s"$tablePath/${f._1.path}"): _*)
+      filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur))
         .repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key))
         .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
       if (tryPublishManifest(fs, table, v, dataRel,
@@ -1605,8 +1768,7 @@ object LakeLayout {
       require(cur.files.nonEmpty,
         "optimizeLakeZOrderOcc needs file-granular manifests (run a " +
           "single-writer full compaction once to convert a legacy table)")
-      val df = schemaReader(spark, cur)
-        .parquet(cur.files.map(f => s"$tablePath/${f.path}"): _*)
+      val df = filesFrame(spark, tablePath, cur.files, commitSchema(cur))
       Seq(key, tsKey).foreach { c =>
         import org.apache.spark.sql.types._
         val ok = df.schema(c).dataType match {
@@ -1690,9 +1852,12 @@ object LakeLayout {
     val kept = versions.filterNot(dropped.contains)
       .map(readManifest(fs, table, _))
     val refFiles: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
-    // legacy dir-pointer manifests reference their whole dir
+    // legacy dir-pointer manifests reference their whole dir; a live
+    // deletion-vector reference keeps its whole sidecar dir (deleting
+    // a referenced sidecar would RESURRECT its deleted rows)
     val refDirs: Set[String] =
-      kept.filter(_.files.isEmpty).map(_.dataDir).toSet
+      kept.filter(_.files.isEmpty).map(_.dataDir).toSet ++
+        kept.flatMap(_.files.flatMap(_.dv))
     // the oldest KEPT version must stay resolvable after its ancestors'
     // manifests are gone: if it is a delta with no checkpoint yet,
     // materialize its checkpoint (full resolved list — already in
@@ -1891,6 +2056,35 @@ object LakeLayout {
          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
        FROM orders WHERE o_orderkey % 10 <> 3
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** The MERGE-ON-READ twin of [[qLakeDelete]]: the SAME delete (every
+    * key ≡ 3 mod 10 — maximally scattered, the copy-on-write worst
+    * case where every file is touched) via [[deleteFromLakeDv]], which
+    * writes one O(deleted keys) sidecar instead of rewriting every
+    * file, then the same read-back aggregation. Shares
+    * [[qLakeDeleteSql]]: both delete forms must hash to the same
+    * truth, and the bench's side-by-side timing shows the write-path
+    * asymmetry (rewrite-all vs sidecar-only) while the read pays the
+    * broadcast anti-join until maintenance retires the vector. */
+  def qLakeDvDelete(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      orders.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    deleteFromLakeDv(s, lake,
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey")),
+      "o_orderkey", "registry", 1L)
+    readLake(s, lake).get
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** Oracle-checked drive of [[readLakeKeyRange]]: orders committed
     * key-clustered across several files, the middle-quarter key band
@@ -2179,6 +2373,7 @@ object LakeLayout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_key_stats" -> (qZorderKeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
+    "q_lake_dv_delete" -> (qLakeDvDelete _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
     "q_lake_zorder_opt" -> (qLakeZorderOpt _),
@@ -2190,6 +2385,8 @@ object LakeLayout {
   val oracle: Map[String, String] = Map(
     "q_zorder_key_stats" -> qZorderKeyStatsSql,
     "q_lake_delete" -> qLakeDeleteSql,
+    // merge-on-read twin shares the copy-on-write delete's truth
+    "q_lake_dv_delete" -> qLakeDeleteSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
     "q_lake_ts_read" -> qLakeTsReadSql,
     "q_lake_zorder_opt" -> qLakeZorderOptSql,

@@ -1,0 +1,207 @@
+package graft
+
+import graft.sources.LakeLayout
+import graft.operators.IncrementalAgg
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletes (deletion vectors). The copy-on-write delete
+  * rewrites every file whose key range intersects a delete key —
+  * O(touched bytes); for scattered keys (the GDPR single-user shape)
+  * that can approach O(table) per delete. [[LakeLayout.deleteFromLakeDv]]
+  * writes the keys once as a tiny sidecar and re-points manifest
+  * entries — O(deleted keys) — and every reader applies the vector
+  * through the single read choke point. These specs pin: zero data
+  * bytes rewritten, read equivalence (snapshots AND pruned ranges),
+  * vector merging, re-insert via upsert, compaction materialization,
+  * CDF/incremental-agg correctness across a dv commit, vacuum
+  * reference-counting of sidecars, and the OCC interplay. */
+class DvDeleteSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** 400 keys over 4 range-partitioned files, value = id*3, group = id%7. */
+  private def freshTable(): String = {
+    val t = java.nio.file.Files.createTempDirectory("graft-dv").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 400L).map(k => (k, k % 7, k * 3, "base"))
+        .toDF("id", "grp", "value", "tag")
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      t, "ck", 0L, statsKey = Some("id"))
+    t
+  }
+  private val scattered = Seq(5L, 105L, 205L, 305L) // one key per file
+
+  test("dv delete: zero data files rewritten, reads (full + pruned) apply the vector") {
+    val t = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def bytesOf(rel: String) =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(t, rel)).getLen
+    val before = LakeLayout.lakeCommitAt(spark, t, 0L).files
+    val beforeBytes = before.map(f => f.path -> bytesOf(f.path)).toMap
+
+    val v = LakeLayout.deleteFromLakeDv(spark, t,
+      scattered.toDF("id"), "id", "ck", 1L)
+    assert(v == 1L)
+    val after = LakeLayout.lakeCommitAt(spark, t, 1L).files
+    // same data files, byte-untouched — the delete wrote ONLY a sidecar
+    assert(after.map(_.path).sorted == before.map(_.path).sorted,
+      "a dv delete must not add or remove data files")
+    after.foreach(f => assert(bytesOf(f.path) == beforeBytes(f.path),
+      s"data file ${f.path} must be byte-untouched"))
+    // scattered keys touch every file here; all entries re-pointed
+    assert(after.forall(_.dv.isDefined),
+      "every affected file entry must reference the sidecar")
+    val sidecarBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(t, after.head.dv.get)).getLength
+    assert(sidecarBytes < beforeBytes.values.min,
+      "sidecar must be tiny relative to any data file")
+    // full read
+    val got = LakeLayout.readLake(spark, t).get.select("id").as[Long]
+      .collect().toSet
+    assert(got == (0L until 400L).toSet -- scattered)
+    // pruned range read over a deleted key's band
+    val ranged = LakeLayout.readLakeKeyRange(spark, t, "id", 0L, 49L).get
+      .select("id").as[Long].collect().toSet
+    assert(ranged == (0L until 50L).toSet - 5L,
+      "pruned reads must apply vectors too")
+  }
+
+  test("dv merge on second delete, re-insert via upsert clears vectors of rewritten files") {
+    val t = freshTable()
+    LakeLayout.deleteFromLakeDv(spark, t, Seq(5L).toDF("id"), "id", "ck", 1L)
+    LakeLayout.deleteFromLakeDv(spark, t, Seq(7L).toDF("id"), "id", "ck", 2L)
+    val files = LakeLayout.lakeCommitAt(spark, t, 2L).files
+    // the file holding both keys points at ONE sidecar whose content
+    // subsumes the first delete
+    val f0 = files.find(f => f.dv.isDefined).get
+    val keys = spark.read.parquet(s"$t/${f0.dv.get}").as[Long].collect().toSet
+    assert(Set(5L, 7L).subsetOf(keys), s"merged sidecar must subsume both: $keys")
+    val got = LakeLayout.readLake(spark, t).get.select("id").as[Long]
+      .collect().toSet
+    assert(got == (0L until 400L).toSet -- Set(5L, 7L))
+    // re-insert: the upsert's touch set covers the file that could hold
+    // key 5, so the rewrite reads dv-applied and clears its vector
+    LakeLayout.upsertIntoLake(spark, t,
+      Seq((5L, 5L % 7, 999L, "back")).toDF("id", "grp", "value", "tag"),
+      "id", "ck", 3L)
+    val back = LakeLayout.readLake(spark, t).get
+      .filter($"id" === 5L).select("value", "tag").collect()
+    assert(back.length == 1 && back(0).getLong(0) == 999L &&
+      back(0).getString(1) == "back")
+    assert(LakeLayout.readLake(spark, t).get.filter($"id" === 7L).count() == 0,
+      "the untouched delete must survive the neighbour's re-insert")
+    val rewritten = LakeLayout.lakeCommitAt(spark, t, 3L).files
+      .filter(_.path.contains(LakeLayout.lakeCommitAt(spark, t, 3L).dataDir))
+    assert(rewritten.nonEmpty && rewritten.forall(_.dv.isEmpty),
+      "files rewritten by the upsert must carry no vector")
+  }
+
+  test("compaction materializes vectors; vacuum reclaims retired sidecars, keeps live ones") {
+    val t = freshTable()
+    LakeLayout.deleteFromLakeDv(spark, t, scattered.toDF("id"), "id", "ck", 1L)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecar = LakeLayout.lakeCommitAt(spark, t, 1L).files.head.dv.get
+    // live sidecar: referenced by the kept manifest, must survive vacuum
+    LakeLayout.vacuumLake(spark, t, keep = 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, sidecar)),
+      "a referenced sidecar must survive the orphan sweep")
+    val want = (0L until 400L).toSet -- scattered
+    // full compaction reads dv-applied and emits clean files
+    LakeLayout.compactLake(spark, t, "id")
+    val files = LakeLayout.latestLakeCommit(spark, t).get.files
+    assert(files.forall(_.dv.isEmpty), "compaction must retire every vector")
+    assert(LakeLayout.readLake(spark, t).get.select("id").as[Long]
+      .collect().toSet == want)
+    // with the dv version vacuumed away, the sidecar is unreferenced
+    LakeLayout.vacuumLake(spark, t, keep = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(t, sidecar)),
+      "an unreferenced sidecar must be reclaimed")
+    assert(LakeLayout.readLake(spark, t).get.select("id").as[Long]
+      .collect().toSet == want, "vacuum must not change the table")
+  }
+
+  test("CDF and incremental agg see a dv delete as exactly its present-key deletes") {
+    val t = freshTable()
+    // 7 was never deleted; 9999 was never present — only present keys emit
+    LakeLayout.deleteFromLakeDv(spark, t,
+      (scattered :+ 9999L).toDF("id"), "id", "ck", 1L)
+    val d = graft.streaming.CdfStream.changesForVersion(spark, t, 1L, "id")
+    val rows = d.collect()
+    assert(rows.forall(_.getString(d.columns.indexOf("_change")) == "delete"))
+    assert(rows.map(_.getLong(d.columns.indexOf("id"))).toSet == scattered.toSet,
+      "change feed must emit exactly the present deleted keys")
+    // incremental agg advance across the dv commit == full recompute
+    val full0 = IncrementalAgg.fullAgg(
+      LakeLayout.readLakeVersion(spark, t, 0L), "grp", "value")
+    val adv = IncrementalAgg.advance(spark, t, full0, "grp", "value", 0L, 1L)
+    val full1 = IncrementalAgg.fullAgg(
+      LakeLayout.readLakeVersion(spark, t, 1L), "grp", "value")
+    val a = adv.orderBy("grp").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = full1.orderBy("grp").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b),
+      "incremental state across a dv delete must equal the full recompute")
+  }
+
+  test("OCC: dv deletes racing an upsert writer stay serializable (rebase dv guard)") {
+    val t = freshTable()
+    raceWriters(Seq("wD", "wU")) {
+      case "wD" =>
+        (0 until 2).foreach { b =>
+          LakeLayout.deleteFromLakeDvOcc(spark, t,
+            Seq(10L + b, 110L + b, 210L + b, 310L + b).toDF("id"), "id",
+            "wD", b.toLong, maxAttempts = 16)
+        }
+      case _ =>
+        (0 until 2).foreach { b =>
+          LakeLayout.upsertIntoLakeOcc(spark, t,
+            (200L until 240L).map(k => (k, k % 7, k * 5 + b, s"u$b"))
+              .toDF("id", "grp", "value", "tag"),
+            "id", "wU", b.toLong, maxAttempts = 16)
+        }
+    }
+    val versions = LakeLayout.lakeVersions(spark, t)
+    assert(versions == (0L to 4L), s"all four commits must land: $versions")
+    // serializable replay over id -> (value, tag), applying each commit
+    // in version order
+    def tableAt(v: Long): Map[Long, (Long, String)] =
+      LakeLayout.readLakeVersion(spark, t, v).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val replayed = versions.tail.foldLeft(tableAt(0L)) { (prev, v) =>
+      val c = LakeLayout.lakeCommitAt(spark, t, v)
+      val expected = c.checkpoint match {
+        case "wD" => prev -- Seq(10L + c.batchId, 110L + c.batchId,
+          210L + c.batchId, 310L + c.batchId)
+        case _ => prev ++ (200L until 240L).map(k =>
+          k -> ((k * 5 + c.batchId, s"u${c.batchId}")))
+      }
+      val got = tableAt(v)
+      assert(got == expected,
+        s"version $v (${c.checkpoint}/b${c.batchId}) diverges from replay")
+      got
+    }
+    assert(replayed.size == 400 - 8 +
+      Seq(210L, 211L).count(k => replayed.contains(k)),
+      "final cardinality must reflect deletes minus any re-upserted keys")
+  }
+
+  /** Same raceWriters helper shape as LakeLayoutSpec (duplicated —
+    * suites cannot share private helpers). */
+  private def raceWriters(writerIds: Seq[String])(body: String => Unit): Unit = {
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writerIds.map { w =>
+      new Thread(() => {
+        start.await()
+        try body(w)
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(300000))
+    if (!errors.isEmpty) throw errors.peek()
+  }
+}
