@@ -877,7 +877,7 @@ class LakeLayoutSpec extends SparkSuite {
     check(tStr, "doc_key")
   }
 
-  test("OCC N=4: upsert + merge-delete + compact writers linearize; vacuum leaves no orphans") {
+  test("OCC N=5: upsert + merge-delete + compact + dv-delete writers linearize; vacuum leaves no orphans") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-occ4").toString
     LakeLayout.commitLakeVersion(
@@ -893,7 +893,11 @@ class LakeLayoutSpec extends SparkSuite {
     def mergeBatch(b: Int): Seq[(Long, String, Boolean)] =
       (10L until 30L).map(k => (k, s"wC-b$b", k % 2 == 1)) :+
         ((500L + b, s"wC-ins$b", false))
-    raceWriters(Seq("wA", "wB", "wC", "wD")) {
+    // the dv writer deletes one contended key per batch (20+b sits in
+    // every other writer's band) plus one never-present key — the
+    // merge-on-read path racing rewrites exercises the rebase dv guard
+    def deleteBatch(b: Int): Seq[Long] = Seq(20L + b, 600L + b)
+    raceWriters(Seq("wA", "wB", "wC", "wD", "wE")) {
       case w @ ("wA" | "wB") =>
         (0 until 3).foreach { b =>
           LakeLayout.upsertIntoLakeOcc(spark, table,
@@ -905,6 +909,12 @@ class LakeLayoutSpec extends SparkSuite {
           LakeLayout.mergeIntoLakeOcc(spark, table,
             mergeBatch(b).toDF("id", "v", "del"), "id",
             deleteWhen = col("del"), "wC", b.toLong, maxAttempts = 16)
+        }
+      case "wE" =>
+        (0 until 3).foreach { b =>
+          LakeLayout.deleteFromLakeDvOcc(spark, table,
+            deleteBatch(b).toDF("id"), "id", "wE", b.toLong,
+            maxAttempts = 16)
         }
       case _ =>
         (0 until 3).foreach { _ =>
@@ -919,10 +929,10 @@ class LakeLayoutSpec extends SparkSuite {
       s"version chain must be contiguous, got $versions")
     val compacts = versions.count(v =>
       LakeLayout.lakeCommitAt(spark, table, v).op == "compact")
-    assert(versions.size == 10 + compacts,
-      s"9 writer commits + $compacts compacts expected, got ${versions.size}")
+    assert(versions.size == 13 + compacts,
+      s"12 writer commits + $compacts compacts expected, got ${versions.size}")
     // every writer batch's provenance landed in exactly one version
-    for (w <- Seq("wA", "wB", "wC"); b <- 0 until 3)
+    for (w <- Seq("wA", "wB", "wC", "wE"); b <- 0 until 3)
       assert(LakeLayout.lakeHasCommit(spark, table, w, b.toLong),
         s"commit ($w, $b) was lost")
     // full serializable replay across ALL four ops: compact versions
@@ -934,6 +944,7 @@ class LakeLayoutSpec extends SparkSuite {
       val c = LakeLayout.lakeCommitAt(spark, table, v)
       val expected =
         if (c.op == "compact") prev
+        else if (c.checkpoint == "wE") prev -- deleteBatch(c.batchId.toInt)
         else if (c.checkpoint == "wC") {
           val batch = mergeBatch(c.batchId.toInt)
           (prev -- batch.filter(_._3).map(_._1)) ++
@@ -956,8 +967,10 @@ class LakeLayoutSpec extends SparkSuite {
       "vacuum must not change the visible table")
     val kept = LakeLayout.lakeVersions(spark, table)
     assert(kept.size == 2, s"keep=2 must leave two versions, got $kept")
-    val referenced = kept.flatMap(v =>
-      LakeLayout.lakeCommitAt(spark, table, v).files.map(_.path)).toSet
+    val keptCommits = kept.map(v => LakeLayout.lakeCommitAt(spark, table, v))
+    val referenced = keptCommits.flatMap(_.files.map(_.path)).toSet
+    // a live dv reference keeps its whole sidecar dir
+    val refDvDirs = keptCommits.flatMap(_.files.flatMap(_.dv)).toSet
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isFile) Seq(f)
       else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
@@ -965,7 +978,8 @@ class LakeLayoutSpec extends SparkSuite {
       .filter(_.getName.endsWith(".parquet"))
       .map(_.getAbsolutePath.stripPrefix(
         new java.io.File(table).getAbsolutePath + "/"))
-    val orphans = onDisk.filterNot(referenced.contains)
+    val orphans = onDisk.filterNot(p => referenced.contains(p) ||
+      refDvDirs.exists(d => p.startsWith(d + "/")))
     assert(orphans.isEmpty,
       s"manifest orphans survived vacuum: ${orphans.take(5)}")
   }
