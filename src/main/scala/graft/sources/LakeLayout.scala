@@ -197,7 +197,8 @@ object LakeLayout {
     * away (new files always carry `dv = None`). */
   final case class LakeFile(path: String, minKey: Option[KeyBound],
       maxKey: Option[KeyBound], minTs: Option[KeyBound] = None,
-      maxTs: Option[KeyBound] = None, dv: Option[String] = None)
+      maxTs: Option[KeyBound] = None, dv: Option[String] = None,
+      rows: Option[Long] = None)
 
   /** One committed table version: the FILE LIST the version is made of
     * (possibly spanning several data dirs — untouched files are carried
@@ -310,7 +311,8 @@ object LakeLayout {
       LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)),
         if (p.length > 5) KeyBound.decode(p(4)) else None,
         if (p.length > 5) KeyBound.decode(p(5)) else None,
-        if (p.length > 6 && p(6) != "-") Some(p(6)) else None)
+        if (p.length > 6 && p(6) != "-") Some(p(6)) else None,
+        if (p.length > 7 && p(7) != "-") Some(p(7).toLong) else None)
     }.toSeq
     val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
     val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
@@ -427,12 +429,14 @@ object LakeLayout {
       b.append(tag).append('\t').append(f.path).append('\t')
         .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
         .append(f.maxKey.map(_.enc).getOrElse("-"))
-      // a dv reference forces the ts fields (as "-") so field positions
-      // stay fixed; older manifests without either simply stop at 4
-      if (f.minTs.isDefined || f.maxTs.isDefined || f.dv.isDefined)
+      // later fields force the earlier optional ones (as "-") so field
+      // positions stay fixed; older manifests simply stop short
+      val hasLater = f.dv.isDefined || f.rows.isDefined
+      if (f.minTs.isDefined || f.maxTs.isDefined || hasLater)
         b.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
           .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
-      f.dv.foreach(d => b.append('\t').append(d))
+      if (hasLater) b.append('\t').append(f.dv.getOrElse("-"))
+      f.rows.foreach(r => b.append('\t').append(r))
       b.append('\n')
     }
     // format:3 = format:2 plus an `s\t<json>` table-schema line;
@@ -577,7 +581,7 @@ object LakeLayout {
         // the optional second (time) dimension come from the same
         // footer — the second axis costs zero extra I/O
         def boundsOf(name: String): ((Option[KeyBound], Option[KeyBound]),
-            (Option[KeyBound], Option[KeyBound])) = {
+            (Option[KeyBound], Option[KeyBound]), Long) = {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(dir, name), conf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -674,8 +678,12 @@ object LakeLayout {
               case _ => (None, None)
             }
             }
+            // the footer is already open: the file's exact row count is
+            // free and makes COUNT(*) a metadata-only read
             (statsKey.map(colBounds).getOrElse((None, None)),
-              tsKey.map(colBounds).getOrElse((None, None)))
+              tsKey.map(colBounds).getOrElse((None, None)),
+              scala.jdk.CollectionConverters.ListHasAsScala(footer.getBlocks)
+                .asScala.map(_.getRowCount).sum)
           } finally reader.close()
         }
         // bounded-parallel footer reads; preserves `names` order. The
@@ -693,8 +701,9 @@ object LakeLayout {
             .result(scala.concurrent.Future.sequence(futs),
               scala.concurrent.duration.Duration(
                 math.max(300L, names.size * 5L), "s"))
-            .map { case (n, ((lo, hi), (tLo, tHi))) =>
-              LakeFile(s"$dataRel/$n", lo, hi, tLo, tHi) }
+            .map { case (n, ((lo, hi), (tLo, tHi), nRows)) =>
+              LakeFile(s"$dataRel/$n", lo, hi, tLo, tHi,
+                rows = Some(nRows)) }
         } finally pool.shutdown()
     }
   }
@@ -766,6 +775,29 @@ object LakeLayout {
 
   /** The committed table, resolved through the latest manifest; None
     * before the first commit. */
+  /** COUNT(*) from MANIFEST METADATA — zero data files opened when the
+    * stats cover the table (the Delta-log trick: the footer pass that
+    * records key bounds gets each file's exact row count for free, so
+    * the most common warehouse query becomes an O(manifest) read).
+    * Files without a recorded count (statless commits, legacy
+    * manifests) or carrying a DELETION VECTOR (physical count ≠
+    * logical count, and the sidecar may over-approximate this file's
+    * keys) fall back to scanning JUST those files — correctness never
+    * depends on the fast path. None before the first commit. */
+  def lakeRowCount(spark: SparkSession, tablePath: String): Option[Long] =
+    latestLakeCommit(spark, tablePath).map { c =>
+      if (c.files.isEmpty)
+        commitFrame(spark, tablePath, c).count()
+      else {
+        val (counted, scanned) = c.files.partition(f =>
+          f.rows.isDefined && f.dv.isEmpty)
+        counted.flatMap(_.rows).sum +
+          (if (scanned.isEmpty) 0L
+           else filesFrame(spark, tablePath, scanned,
+             commitSchema(c)).count())
+      }
+    }
+
   def readLake(spark: SparkSession, tablePath: String): Option[DataFrame] =
     latestLakeCommit(spark, tablePath).map(commitFrame(spark, tablePath, _))
 
@@ -907,10 +939,10 @@ object LakeLayout {
     // unsigned-UTF-8 binary order, the same collation the bounds were
     // computed under. Mixed/absent bounds → conservatively touched.
     val longRanges = files.collect {
-      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)), _, _, _) => (p, a, b)
+      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)), _, _, _, _) => (p, a, b)
     }
     val strRanges = files.collect {
-      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)), _, _, _) => (p, a, b)
+      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)), _, _, _, _) => (p, a, b)
     }
     val typed = (longRanges.map(_._1) ++ strRanges.map(_._1)).toSet
     val statless = files.map(_.path).filterNot(typed).toSet
@@ -2057,6 +2089,25 @@ object LakeLayout {
        FROM orders WHERE o_orderkey % 10 <> 3
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Metadata-only COUNT(*): orders committed with footer stats, then
+    * [[lakeRowCount]] answers from the manifest — no data file is
+    * opened on the fast path (physically proven in LakeLayoutSpec by
+    * deleting every data file first). The oracle is DuckDB's own
+    * COUNT(*): the manifest numbers must equal the scan truth. */
+  def qLakeMetaCount(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = registryLakeRoot(s)
+    commitLakeVersion(
+      orders.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    val n = lakeRowCount(s, lake).get
+    s.range(1).select(lit(n).cast("long").as("n_rows"))
+  }
+
+  val qLakeMetaCountSql: String =
+    "SELECT COUNT(*) AS n_rows FROM orders"
+
   /** The MERGE-ON-READ twin of [[qLakeDelete]]: the SAME delete (every
     * key ≡ 3 mod 10 — maximally scattered, the copy-on-write worst
     * case where every file is touched) via [[deleteFromLakeDv]], which
@@ -2374,6 +2425,7 @@ object LakeLayout {
     "q_zorder_key_stats" -> (qZorderKeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_dv_delete" -> (qLakeDvDelete _),
+    "q_lake_meta_count" -> (qLakeMetaCount _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
     "q_lake_zorder_opt" -> (qLakeZorderOpt _),
@@ -2387,6 +2439,7 @@ object LakeLayout {
     "q_lake_delete" -> qLakeDeleteSql,
     // merge-on-read twin shares the copy-on-write delete's truth
     "q_lake_dv_delete" -> qLakeDeleteSql,
+    "q_lake_meta_count" -> qLakeMetaCountSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
     "q_lake_ts_read" -> qLakeTsReadSql,
     "q_lake_zorder_opt" -> qLakeZorderOptSql,

@@ -187,6 +187,27 @@ class DvDeleteSpec extends SparkSuite {
       "final cardinality must reflect deletes minus any re-upserted keys")
   }
 
+  test("metadata-only COUNT(*): manifest counts == scan truth, zero data files opened on the fast path") {
+    val t = freshTable()
+    assert(LakeLayout.lakeRowCount(spark, t).contains(400L))
+    // dv'd files fall back to a scan of JUST those files — physical
+    // count 400 would be wrong, logical 396 must come back
+    LakeLayout.deleteFromLakeDv(spark, t, scattered.toDF("id"), "id", "ck", 1L)
+    assert(LakeLayout.lakeRowCount(spark, t).contains(396L),
+      "dv files must be counted logically, not from footer metadata")
+    // compaction materializes vectors -> back on the pure-metadata path
+    LakeLayout.compactLake(spark, t, "id")
+    assert(LakeLayout.lakeRowCount(spark, t).contains(396L))
+    // PHYSICAL proof of the fast path: destroy every data byte; the
+    // count still answers because no data file is opened
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    LakeLayout.latestLakeCommit(spark, t).get.files.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(t, f.path), false))
+    assert(LakeLayout.lakeRowCount(spark, t).contains(396L),
+      "metadata COUNT(*) must not touch data files")
+  }
+
   /** Same raceWriters helper shape as LakeLayoutSpec (duplicated —
     * suites cannot share private helpers). */
   private def raceWriters(writerIds: Seq[String])(body: String => Unit): Unit = {
