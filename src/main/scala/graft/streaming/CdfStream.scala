@@ -67,6 +67,35 @@ object CdfStream {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
         .withColumn("_change", lit("compact"))
         .withColumn("_version", lit(v))
+    } else if (cur.op == "dvdelete" && live.contains(v - 1)) {
+      // op-typed fast path for MERGE-ON-READ deletes: the generic diff
+      // would read every affected file TWICE (old-dv-applied vs
+      // new-dv-applied) and hash-join the copies; but a dvdelete's
+      // change set is exactly "rows present at v−1 whose key is in
+      // this commit's sidecar" — one read of the affected files under
+      // their OLD vectors, one broadcast semi-join against the sidecar
+      // (the commit's own dataDir). Previously-deleted keys are absent
+      // from the old-dv-applied read, so they cannot re-emit; keys in
+      // the sidecar but present nowhere emit nothing — identical
+      // semantics to the generic path at half the I/O, which matters
+      // when a scattered delete affects every file of a 100 TB table.
+      val prev = LakeLayout.lakeCommitAt(spark, tablePath, v - 1)
+      val curByPath = cur.files.map(f => f.path -> f).toMap
+      val affectedOld = prev.files.filter(f =>
+        curByPath.get(f.path).exists(_.dv != f.dv))
+      val prevSchema = prev.schemaJson
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val base =
+        if (affectedOld.isEmpty)
+          LakeLayout.readLakeVersion(spark, tablePath, v - 1).limit(0)
+        else LakeLayout.filesFrame(spark, tablePath, affectedOld, prevSchema)
+      val sidecar = spark.read.parquet(s"$tablePath/${cur.dataDir}")
+      base.join(broadcast(sidecar.select(col(key)).distinct()),
+          Seq(key), "left_semi")
+        .select(base.columns.map(col).toIndexedSeq: _*)
+        .withColumn("_change", lit("delete"))
+        .withColumn("_version", lit(v))
     } else if (!live.contains(v - 1)) {
       val snap = LakeLayout.readLakeVersion(spark, tablePath, v)
       snap.withColumn("_change", lit("insert"))
