@@ -221,7 +221,18 @@ object CdfStream {
     // zero data files opened; proof in OpTypedSkipSpec)
     val v4 = LakeLayout.compactLake(s, lake, "o_orderkey")
     require(v4 == 4L, s"expected compact to publish v4, got $v4")
-    (1L to 4L).map(v => changesForVersion(s, lake, v, "o_orderkey"))
+    // v5: MERGE-ON-READ delete — the feed takes the dvdelete fast path
+    // (one old-dv-applied read of the affected files + a broadcast
+    // semi-join against the commit's sidecar). Keys ≡ 1 (mod 25) never
+    // end in 3 (last digit is 1 or 6), so none were deleted at v2, and
+    // the v3 inserts sit at ≡ 7 (mod 25) — the oracle is a plain
+    // predicate over the base table.
+    val v5 = LakeLayout.deleteFromLakeDv(s, lake,
+      orders.filter(pmod(col("o_orderkey"), lit(25)) === 1)
+        .select(col("o_orderkey")),
+      "o_orderkey", "registry", 4L)
+    require(v5 == 5L, s"expected dv delete to publish v5, got $v5")
+    (1L to 5L).map(v => changesForVersion(s, lake, v, "o_orderkey"))
       .reduce(_ unionByName _)
       .groupBy(col("_version"), col("_change"))
       .agg(count(lit(1)).as("n_rows"),
@@ -238,7 +249,10 @@ object CdfStream {
          FROM orders WHERE o_orderkey % 10 = 3
          UNION ALL
          SELECT CAST(3 AS BIGINT), 'insert', o_orderkey + 10000000
-         FROM orders WHERE o_orderkey % 100 = 7)
+         FROM orders WHERE o_orderkey % 100 = 7
+         UNION ALL
+         SELECT CAST(5 AS BIGINT), 'delete', o_orderkey
+         FROM orders WHERE o_orderkey % 25 = 1)
        SELECT _version, _change, COUNT(*) AS n_rows,
          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
        FROM changes GROUP BY 1, 2 ORDER BY 1, 2"""
