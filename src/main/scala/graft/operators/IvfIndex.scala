@@ -43,6 +43,35 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
+  /** INCREMENTAL maintenance: assign a batch of new vectors to the
+    * nearest of the index's EXISTING centroids and append them
+    * cell-partitioned — O(batch) per ingest wave, no retrain, no
+    * rewrite of resident cells (parquet partition dirs append). The
+    * growing-corpus shape: ANN serving cannot afford a full rebuild
+    * per wave at 100 TB. Centroids are FROZEN, so assignment is
+    * deterministic (append-then-probe equals assign-everything-at-
+    * build with the same model, spec-pinned); as the data distribution
+    * drifts the cell balance degrades gracefully — probes stay exact
+    * within scanned cells, recall erodes only as drift moves true
+    * neighbours outside nprobe cells — until a periodic [[build]]
+    * re-trains, the IVF analogue of compaction. `vectors` must carry
+    * the corpus schema (vec_id, label, embedding). */
+  def append(s: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
+    VectorFunctions.register(s)
+    val cents = s.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      .sortBy(_._1)
+    val best = array_max(array(cents.map { case (i, c) =>
+      struct(VectorFunctions.dot(col("embedding"),
+        array(c.map(lit): _*)).as("sim"), lit(i).as("cell"))
+    }: _*))
+    vectors
+      .withColumn("cell", best.getField("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/vectors")
+  }
+
   /** Serve a top-k query from the persisted index: rank cells against
     * the probe on the driver (K rows of model state), then scan ONLY the
     * nprobe nearest cell partitions with exact cosine. `excludeId` drops

@@ -233,6 +233,43 @@ class PipelineOperatorsSpec extends SparkSuite {
       "probe read must prune cell partitions at the FileIndex")
   }
 
+  test("incremental IVF append: assignment parity with build, appended vectors immediately servable") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.sources.Tables
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    IvfIndex.build(spark, sfDir, full)
+    // PARITY: an index grown by append under the SAME frozen centroids
+    // must serve identically to one whose build assigned everything —
+    // copy the model, append the whole corpus in two waves
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-grown").toString
+    spark.read.parquet(s"$full/centroids").coalesce(1)
+      .write.parquet(s"$grown/centroids")
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    IvfIndex.append(spark, grown, corpus.filter($"vec_id" % 2 === 0))
+    IvfIndex.append(spark, grown, corpus.filter($"vec_id" % 2 =!= 0))
+    val probe = corpus.filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    def serve(idx: String) = IvfIndex.probeTopK(spark, idx, probe,
+        excludeId = Some(Similarity.ProbeId))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(serve(grown) == serve(full),
+      "append-grown index must serve identically to the one-shot build")
+    // FRESHNESS: a new vector (copy of the probe under a new id)
+    // appended to the live index is found by the next probe at sim 1.0
+    val newId = 900000L
+    IvfIndex.append(spark, full,
+      corpus.filter($"vec_id" === Similarity.ProbeId)
+        .withColumn("vec_id", lit(newId)))
+    val top = IvfIndex.probeTopK(spark, full, probe,
+        excludeId = Some(Similarity.ProbeId))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(top.exists { case (id, sim) => id == newId && sim == 1.0 },
+      s"appended duplicate must serve immediately at sim 1.0, got " +
+        top.take(3).mkString(", "))
+  }
+
   test("quadratic near-dup diagnostic fails fast above its corpus-size cap") {
     // the 500-vector corpus trips a 100-row cap before any pair join runs
     val err = intercept[IllegalArgumentException] {
