@@ -1850,13 +1850,17 @@ object LakeLayout {
     * counting over the kept manifests, never a per-version dir drop: a
     * file written for version v but carried into v+1's list survives
     * v's manifest. Orphan files from crashed commits (unreferenced by
-    * construction) are reclaimed by the same sweep. MUST run while no
-    * writer (single-writer or OCC) is mid-attempt: the sweep deletes
-    * any unreferenced data dir, including one an in-flight OCC attempt
-    * is about to publish — schedule vacuum in the maintenance window
-    * between write waves, exactly like [[compactLakeOcc]]'s lost-
-    * attempt orphans which this same sweep reclaims AFTER the writers
-    * quiesce. `keep ≥ 2` leaves a grace version for readers that
+    * construction) are reclaimed by the same sweep. With the default
+    * `orphanGraceMs = 0` it MUST run while no writer (single-writer or
+    * OCC) is mid-attempt: the sweep deletes any unreferenced data dir,
+    * including one an in-flight OCC attempt is about to publish —
+    * schedule vacuum in the maintenance window between write waves,
+    * exactly like [[compactLakeOcc]]'s lost-attempt orphans which this
+    * same sweep reclaims AFTER the writers quiesce. Passing an
+    * `orphanGraceMs` far above the longest plausible attempt (say an
+    * hour) lifts that scheduling requirement mechanically: young
+    * unreferenced files are presumed live attempts and skipped — the
+    * next vacuum reclaims them once aged. `keep ≥ 2` leaves a grace version for readers that
     * resolved just before a commit.
     *
     * `protectFrom` is the CONSUMER LOW-WATERMARK guard: versions
@@ -1868,7 +1872,8 @@ object LakeLayout {
     * consumer's next-unprocessed version minus one keeps every lagging
     * consumer on the incremental path. */
   def vacuumLake(spark: SparkSession, tablePath: String, keep: Int = 2,
-      protectFrom: Option[Long] = None): Unit = {
+      protectFrom: Option[Long] = None,
+      orphanGraceMs: Long = 0L): Unit = {
     require(keep >= 1, "vacuum must keep at least the live version")
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1910,13 +1915,24 @@ object LakeLayout {
       fs.delete(checkpointFilePath(table, v), false)
     }
     val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
+    // orphanGraceMs turns the quiescence REQUIREMENT into a mechanical
+    // guarantee when maintenance must run near live OCC writers: an
+    // unreferenced file younger than the grace may be a LIVE attempt's
+    // dir about to be published, so only files older than the window
+    // are reclaimed (age from modification time — on object stores,
+    // upload completion). 0 (the default) keeps the strict
+    // write-quiescent contract: reclaim everything unreferenced now.
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      orphanGraceMs <= 0L || st.getModificationTime <= cutoff
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { dst =>
       val dRel = s"data/${dst.getPath.getName}"
       if (!refDirs.contains(dRel)) {
         val entries = fs.listStatus(dst.getPath)
         val (keepF, dropF) = entries.partition(st =>
-          refFiles.contains(s"$dRel/${st.getPath.getName}"))
-        if (keepF.isEmpty) fs.delete(dst.getPath, true)
+          refFiles.contains(s"$dRel/${st.getPath.getName}") ||
+            !oldEnough(st))
+        if (keepF.isEmpty && oldEnough(dst)) fs.delete(dst.getPath, true)
         else dropF.foreach(st => fs.delete(st.getPath, false))
       }
     }

@@ -80,6 +80,30 @@ class CdfVacuumLagSpec extends SparkSuite {
       "post-bootstrap versions must emit exactly their change set")
   }
 
+  test("orphanGraceMs: a young unreferenced dir survives the sweep; an aged one is reclaimed") {
+    val t = buildHistory()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a LIVE OCC attempt's dir mid-publish: data written, no
+    // manifest yet
+    val attempt = new org.apache.hadoop.fs.Path(t, "data/v99-wX")
+    fs.mkdirs(attempt)
+    val f = new org.apache.hadoop.fs.Path(attempt, "part-0.parquet")
+    val out = fs.create(f); out.write(Array[Byte](1, 2, 3)); out.close()
+    // graceful vacuum: the young orphan is presumed live and skipped
+    LakeLayout.vacuumLake(spark, t, keep = 2, orphanGraceMs = 3600000L)
+    assert(fs.exists(f),
+      "a young unreferenced file must survive a graceful sweep")
+    assert(LakeLayout.lakeVersions(spark, t) == Seq(3L, 4L),
+      "version retention is independent of the orphan grace")
+    // strict vacuum (write-quiescent contract): reclaimed immediately.
+    // keep=1 so a version drops — the sweep only runs when retention
+    // actually moves (a no-drop vacuum is a no-op by design)
+    LakeLayout.vacuumLake(spark, t, keep = 1)
+    assert(!fs.exists(attempt),
+      "the strict sweep must reclaim the orphan")
+  }
+
   test("protectFrom low-watermark keeps a lagging consumer on the incremental path") {
     val t = buildHistory()
     // the slowest consumer's next-unprocessed version is 2: protect
