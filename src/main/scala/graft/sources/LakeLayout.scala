@@ -339,10 +339,33 @@ object LakeLayout {
     finally in.close()
   }
 
+  /** Parsed-manifest cache. SOUND BY IMMUTABILITY: a manifest file is
+    * never modified after its atomic claim (the whole protocol rests
+    * on that), and a checkpoint sidecar's content is a deterministic
+    * function of the committed chain (last-write-wins identical), so a
+    * (path → parsed) entry can never go stale. Liveness checks (does
+    * this version still exist?) always hit the filesystem — the cache
+    * only skips re-READING content, which is what turns a ≤8-deep
+    * delta-chain walk per resolution into ≤8 map hits in steady state
+    * (the read amplification the checkpoint protocol bounds, now
+    * mostly amortized away within a process). Coarse size cap: long
+    * test runs create thousands of throwaway tables; clearing on
+    * overflow is always safe (it is only a cache). */
+  private val manifestCache =
+    new scala.collection.concurrent.TrieMap[String,
+      Either[DeltaManifest, LakeCommit]]()
+  private def cachedParse(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, v: Long)
+      : Either[DeltaManifest, LakeCommit] = {
+    if (manifestCache.size > 8192) manifestCache.clear()
+    manifestCache.getOrElseUpdate(p.toString,
+      parseManifest(readFile(fs, p), v))
+  }
+
   private def readRawManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, v: Long)
       : Either[DeltaManifest, LakeCommit] =
-    parseManifest(readFile(fs, manifestPath(table, v)), v)
+    cachedParse(fs, manifestPath(table, v), v)
 
   /** The version's full resolved file list: nearest checkpoint, else
     * walk the delta chain to its full base. Chain length is bounded by
@@ -356,7 +379,7 @@ object LakeLayout {
     case Left(d) =>
       val ckpt = checkpointFilePath(table, d.version)
       if (fs.exists(ckpt))
-        parseManifest(readFile(fs, ckpt), d.version)
+        cachedParse(fs, ckpt, d.version)
           .getOrElse(throw new IllegalStateException(
             s"checkpoint $ckpt must be self-contained")).files
       else {
@@ -1738,6 +1761,112 @@ object LakeLayout {
     throw new IllegalStateException(
       s"compactLakeOcc: $maxAttempts consecutive commit conflicts on " +
         s"$tablePath — raise maxAttempts or run compaction less often")
+  }
+
+  /** Rewrite ONLY the deletion-vector-bearing files (dv-applied →
+    * clean), carrying everything else by reference — the targeted
+    * maintenance that retires merge-on-read vectors and their
+    * broadcast-anti-join read tax at O(dv-bearing bytes), not
+    * O(table). Row-identity by construction (vectors apply at read on
+    * both sides), so it publishes `op = "compact"` and CDF consumers
+    * take the zero-cost skip. OCC claim loop: a lost race recomputes
+    * against the new tip (the winner may have rewritten or re-vectored
+    * the very files targeted). Returns the published version, or the
+    * current one when no file carries a vector. */
+  def materializeDvOcc(spark: SparkSession, tablePath: String, key: String,
+      writerId: String, maxAttempts: Int = 8,
+      targetFileMB: Int = 128): Long = {
+    require(writerId.nonEmpty && !writerId.contains("/"),
+      "writerId must be a non-empty path-safe token")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val rnd = new scala.util.Random(writerId.hashCode)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = latestLakeCommit(spark, tablePath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"materializeDvOcc: $tablePath has no committed version"))
+      require(cur.files.nonEmpty,
+        "materializeDvOcc needs file-granular manifests")
+      val (vectored, clean) = cur.files.partition(_.dv.isDefined)
+      if (vectored.isEmpty) return cur.version
+      val bytes = vectored.map(f => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(table, f.path)).getLen).sum
+      val nFiles = math.max(1,
+        (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+      val v = cur.version + 1
+      val dataRel = s"data/${versionName(v)}-$writerId-dvm"
+      filesFrame(spark, tablePath, vectored, commitSchema(cur))
+        .repartitionByRange(nFiles, col(key))
+        .sortWithinPartitions(col(key))
+        .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+      if (tryPublishManifest(fs, table, v, dataRel,
+          s"dv-materialize:$writerId", -1L,
+          clean ++ fileStats(spark, tablePath, dataRel, Some(key)),
+          s"-$writerId-dvm", cur.schemaJson, op = "compact",
+          parentFiles = cur.files))
+        return v
+      fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
+      Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
+    }
+    throw new IllegalStateException(
+      s"materializeDvOcc: $maxAttempts consecutive commit conflicts on " +
+        s"$tablePath")
+  }
+
+  /** What one [[maintainLake]] pass did, for observability/tests. */
+  final case class MaintenanceReport(compactedTo: Option[Long],
+      dvMaterializedTo: Option[Long], vacuumedTo: Int)
+
+  /** ONE-CALL periodic maintenance — the job a table owner schedules
+    * (the policy layer over the mechanisms, so operators stop choosing
+    * between five knobs):
+    *  1. consolidate small files when ≥ `minSmallFiles` exist
+    *     ([[compactLakeOcc]] — safe racing ingest);
+    *  2. retire deletion vectors when more than `dvFileFraction` of
+    *     files carry one ([[materializeDvOcc]] — bounds the
+    *     merge-on-read read tax at a known ceiling);
+    *  3. vacuum to `keep` versions, honoring a CDF consumer
+    *     low-watermark and an orphan grace window (safe near live
+    *     writers without quiescence scheduling).
+    * Each step is itself OCC-safe, so the whole pass can run
+    * concurrently with ingest; thresholds make it cheap when there is
+    * nothing to do (metadata-only decisions — file counts and dv
+    * flags come from the manifest, sizes from a listing). */
+  def maintainLake(spark: SparkSession, tablePath: String, key: String,
+      writerId: String, keep: Int = 2,
+      minSmallFiles: Int = 4, smallFileMB: Int = 32,
+      targetFileMB: Int = 128, dvFileFraction: Double = 0.2,
+      protectFrom: Option[Long] = None,
+      orphanGraceMs: Long = 3600000L): MaintenanceReport = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"maintainLake: $tablePath has no committed version"))
+    require(cur.files.nonEmpty, "maintainLake needs file-granular manifests")
+    val small = cur.files.count(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(table, f.path)).getLen <
+        smallFileMB * 1024L * 1024L)
+    val compacted =
+      if (small >= minSmallFiles)
+        Some(compactLakeOcc(spark, tablePath, key, writerId,
+          smallFileMB = smallFileMB, targetFileMB = targetFileMB))
+      else None
+    val afterCompact = latestLakeCommit(spark, tablePath).get
+    val dvShare =
+      afterCompact.files.count(_.dv.isDefined).toDouble /
+        math.max(1, afterCompact.files.size)
+    val materialized =
+      if (dvShare > dvFileFraction)
+        Some(materializeDvOcc(spark, tablePath, key, writerId,
+          targetFileMB = targetFileMB))
+      else None
+    val before = lakeVersions(spark, tablePath).size
+    vacuumLake(spark, tablePath, keep, protectFrom, orphanGraceMs)
+    val dropped = before - lakeVersions(spark, tablePath).size
+    MaintenanceReport(compacted, materialized, dropped)
   }
 
   /** `df` + a `zkey` column Morton-interleaving two long-castable

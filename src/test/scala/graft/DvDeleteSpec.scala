@@ -187,6 +187,51 @@ class DvDeleteSpec extends SparkSuite {
       "final cardinality must reflect deletes minus any re-upserted keys")
   }
 
+  test("maintainLake: thresholds drive compaction, dv materialization, and vacuum; idle pass is a no-op") {
+    // scenario 1: fragmentation triggers compaction (which also
+    // materializes the small files' vectors as a side effect — at test
+    // scale every file is "small")
+    val t1 = freshTable()
+    LakeLayout.upsertIntoLake(spark, t1,
+      Seq((50L, 1L, 1L, "u")).toDF("id", "grp", "value", "tag"), "id", "ck", 1L)
+    LakeLayout.upsertIntoLake(spark, t1,
+      Seq((150L, 2L, 2L, "u")).toDF("id", "grp", "value", "tag"), "id", "ck", 2L)
+    LakeLayout.deleteFromLakeDv(spark, t1, scattered.toDF("id"), "id", "ck", 3L)
+    val want1 = LakeLayout.readLake(spark, t1).get
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val r1 = LakeLayout.maintainLake(spark, t1, "id", "maint",
+      minSmallFiles = 2, smallFileMB = 1024, dvFileFraction = 0.1)
+    assert(r1.compactedTo.isDefined,
+      "fragmented table must trigger small-file compaction")
+    assert(r1.vacuumedTo > 0, "history must shrink to retention")
+    assert(LakeLayout.latestLakeCommit(spark, t1).get.files
+      .forall(_.dv.isEmpty), "maintenance must retire every vector")
+    assert(LakeLayout.readLake(spark, t1).get
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap == want1,
+      "maintenance must not change the visible table")
+    // scenario 2: a vectored but unfragmented table takes the TARGETED
+    // dv-materialization path (compaction threshold not met)
+    val t2 = freshTable()
+    LakeLayout.deleteFromLakeDv(spark, t2, scattered.toDF("id"), "id", "ck", 1L)
+    val want2 = LakeLayout.readLake(spark, t2).get
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val r2 = LakeLayout.maintainLake(spark, t2, "id", "maint",
+      minSmallFiles = 999, dvFileFraction = 0.1)
+    assert(r2.compactedTo.isEmpty && r2.dvMaterializedTo.isDefined,
+      s"expected only the dv pass to fire, got $r2")
+    assert(LakeLayout.latestLakeCommit(spark, t2).get.files
+      .forall(_.dv.isEmpty), "dv pass must retire every vector")
+    assert(LakeLayout.readLake(spark, t2).get
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap == want2)
+    // idle pass: thresholds unmet, metadata-only decision, no commits
+    val before = LakeLayout.lakeVersions(spark, t2)
+    val idle = LakeLayout.maintainLake(spark, t2, "id", "maint",
+      minSmallFiles = 999, dvFileFraction = 0.1)
+    assert(idle.compactedTo.isEmpty && idle.dvMaterializedTo.isEmpty,
+      s"idle pass must be a no-op, got $idle")
+    assert(LakeLayout.lakeVersions(spark, t2) == before)
+  }
+
   test("metadata-only COUNT(*): manifest counts == scan truth, zero data files opened on the fast path") {
     val t = freshTable()
     assert(LakeLayout.lakeRowCount(spark, t).contains(400L))
