@@ -354,12 +354,25 @@ object LakeLayout {
   private val manifestCache =
     new scala.collection.concurrent.TrieMap[String,
       Either[DeltaManifest, LakeCommit]]()
+  // approximate entry count — TrieMap.size is O(n), too hot for a
+  // per-read guard; over/undercounting a few entries is harmless for
+  // a clear-on-overflow bound
+  private val manifestCacheN = new java.util.concurrent.atomic.AtomicInteger
   private def cachedParse(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, v: Long)
       : Either[DeltaManifest, LakeCommit] = {
-    if (manifestCache.size > 8192) manifestCache.clear()
-    manifestCache.getOrElseUpdate(p.toString,
-      parseManifest(readFile(fs, p), v))
+    if (manifestCacheN.get > 8192) {
+      manifestCache.clear(); manifestCacheN.set(0)
+    }
+    val key = p.toString
+    manifestCache.get(key) match {
+      case Some(hit) => hit
+      case None =>
+        val parsed = parseManifest(readFile(fs, p), v)
+        if (manifestCache.putIfAbsent(key, parsed).isEmpty)
+          manifestCacheN.incrementAndGet()
+        parsed
+    }
   }
 
   private def readRawManifest(fs: org.apache.hadoop.fs.FileSystem,
