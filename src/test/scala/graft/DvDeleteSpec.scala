@@ -253,6 +253,39 @@ class DvDeleteSpec extends SparkSuite {
       "metadata COUNT(*) must not touch data files")
   }
 
+  test("dv churn endurance: 12 alternating delete/upsert/maintain cycles track a sequential model") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    var model: Map[Long, String] =
+      (0L until 400L).map(k => k -> "base").toMap
+    var batch = 0L
+    (1 to 12).foreach { i =>
+      batch += 1
+      i % 3 match {
+        case 1 => // scattered dv delete, one key per quadrant
+          val ks = Seq(3L + i, 103L + i, 203L + i, 303L + i)
+          LakeLayout.deleteFromLakeDv(spark, t, ks.toDF("id"), "id", "ck", batch)
+          model = model -- ks
+        case 2 => // upsert a band that overlaps earlier deletes
+          val band = (100L + i until 120L + i)
+          LakeLayout.upsertIntoLake(spark, t,
+            band.map(k => (k, k % 7, k, s"u$i")).toDF("id", "grp", "value", "tag"),
+            "id", "ck", batch)
+          model = model ++ band.map(k => k -> s"u$i")
+        case _ => // maintenance wave: compact + materialize + vacuum
+          LakeLayout.maintainLake(spark, t, "id", "maint",
+            minSmallFiles = 2, smallFileMB = 1024, dvFileFraction = 0.1)
+      }
+      val got = LakeLayout.readLake(spark, t).get
+        .select(col("id"), col("tag")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model, s"cycle $i diverged from the sequential model " +
+        s"(sizes got=${got.size} want=${model.size})")
+    }
+    // metadata count stays truthful through the whole churn
+    assert(LakeLayout.lakeRowCount(spark, t).contains(model.size.toLong))
+  }
+
   /** Same raceWriters helper shape as LakeLayoutSpec (duplicated —
     * suites cannot share private helpers). */
   private def raceWriters(writerIds: Seq[String])(body: String => Unit): Unit = {
