@@ -358,6 +358,20 @@ object LakeLayout {
   // per-read guard; over/undercounting a few entries is harmless for
   // a clear-on-overflow bound
   private val manifestCacheN = new java.util.concurrent.atomic.AtomicInteger
+  /** Drop every cached parse under `tablePath`. The cache's soundness
+    * argument (manifest immutability) has one implicit invariant: a
+    * table path is never WHOLESALE deleted and re-created within one
+    * JVM — the new table's v0 would collide with the old parse. Any
+    * table-drop/reset path must call this to restore the invariant;
+    * [[vacuumLake]] evicts its dropped versions itself so a vacuumed
+    * manifest fails loudly instead of resolving from cache. */
+  def invalidateManifestCache(tablePath: String): Unit = {
+    val prefix = new org.apache.hadoop.fs.Path(tablePath).toString + "/"
+    manifestCache.keySet.filter(_.startsWith(prefix)).foreach { k =>
+      if (manifestCache.remove(k).isDefined) manifestCacheN.decrementAndGet()
+    }
+  }
+
   private def cachedParse(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, v: Long)
       : Either[DeltaManifest, LakeCommit] = {
@@ -1838,8 +1852,13 @@ object LakeLayout {
     *  1. consolidate small files when ≥ `minSmallFiles` exist
     *     ([[compactLakeOcc]] — safe racing ingest);
     *  2. retire deletion vectors when more than `dvFileFraction` of
-    *     files carry one ([[materializeDvOcc]] — bounds the
-    *     merge-on-read read tax at a known ceiling);
+    *     files carry one OR the live sidecars' total bytes exceed
+    *     `dvMaxSidecarBytes` ([[materializeDvOcc]] — bounds the
+    *     merge-on-read read tax at a known ceiling on BOTH axes:
+    *     the fraction bounds how many scans pay the anti-join, the
+    *     byte cap bounds the broadcast itself — [[writeDvSidecar]]
+    *     merges priors, so repeated small deletes below the fraction
+    *     threshold grow ONE sidecar without it);
     *  3. vacuum to `keep` versions, honoring a CDF consumer
     *     low-watermark and an orphan grace window (safe near live
     *     writers without quiescence scheduling).
@@ -1851,6 +1870,7 @@ object LakeLayout {
       writerId: String, keep: Int = 2,
       minSmallFiles: Int = 4, smallFileMB: Int = 32,
       targetFileMB: Int = 128, dvFileFraction: Double = 0.2,
+      dvMaxSidecarBytes: Long = 64L * 1024 * 1024,
       protectFrom: Option[Long] = None,
       orphanGraceMs: Long = 3600000L): MaintenanceReport = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -1871,8 +1891,15 @@ object LakeLayout {
     val dvShare =
       afterCompact.files.count(_.dv.isDefined).toDouble /
         math.max(1, afterCompact.files.size)
+    // the sidecars are broadcast at every read, so their BYTES are a
+    // first-class trigger alongside the file fraction: one listing per
+    // distinct live sidecar dir, metadata-only like the rest
+    val dvBytes = afterCompact.files.flatMap(_.dv).distinct.map { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(table, d))
+        .getLength
+    }.sum
     val materialized =
-      if (dvShare > dvFileFraction)
+      if (dvShare > dvFileFraction || dvBytes > dvMaxSidecarBytes)
         Some(materializeDvOcc(spark, tablePath, key, writerId,
           targetFileMB = targetFileMB))
       else None
@@ -1887,14 +1914,33 @@ object LakeLayout {
     * broadcast by size — no driver collect, no second scan job
     * scheduled before the write). Cast-to-long matches the pruning
     * comparators' semantics (TimestampType → epoch seconds), so file
-    * bounds recorded over the same columns prune reads consistently. */
+    * bounds recorded over the same columns prune reads consistently.
+    *
+    * Extents are PERCENTILE-CLAMPED (0.1 % / 99.9 %), not raw min/max:
+    * one far-outlier key would otherwise stretch the 16-bit bins so
+    * the bulk of the table collapses into a handful of bins and
+    * within-band locality — the whole point of the Z-order — degrades
+    * for everyone. Values outside the clamped extents saturate into
+    * the edge bins (`least`/`greatest` before binning), which keeps
+    * them sortable and their files' recorded bounds honest: pruning
+    * reads the FILE stats ([[fileStats]], true min/max per file),
+    * never the bin extents, so clamping affects layout quality only,
+    * not correctness. */
   private def zorderFrame(df: DataFrame, c1: String, c2: String): DataFrame = {
     val ext = df.agg(
-      min(col(c1).cast("long")).as("z_alo"), max(col(c1).cast("long")).as("z_ahi"),
-      min(col(c2).cast("long")).as("z_blo"), max(col(c2).cast("long")).as("z_bhi"))
+      percentile_approx(col(c1).cast("long"), lit(0.001), lit(10000))
+        .as("z_alo"),
+      percentile_approx(col(c1).cast("long"), lit(0.999), lit(10000))
+        .as("z_ahi"),
+      percentile_approx(col(c2).cast("long"), lit(0.001), lit(10000))
+        .as("z_blo"),
+      percentile_approx(col(c2).cast("long"), lit(0.999), lit(10000))
+        .as("z_bhi"))
     df.withColumn("z_a", col(c1).cast("long"))
       .withColumn("z_b", col(c2).cast("long"))
       .crossJoin(ext)
+      .withColumn("z_a", least(greatest(col("z_a"), col("z_alo")), col("z_ahi")))
+      .withColumn("z_b", least(greatest(col("z_b"), col("z_blo")), col("z_bhi")))
       .withColumn("z_abin", expr(bin16Sql("z_a", "z_alo", "z_ahi")))
       .withColumn("z_bbin", expr(bin16Sql("z_b", "z_blo", "z_bhi")))
       .withColumn("zkey", zkey2(col("z_abin"), col("z_bbin")))
@@ -2027,9 +2073,100 @@ object LakeLayout {
       .sorted.reverse
     val dropped = versions.drop(keep)
       .filterNot(v => protectFrom.exists(v >= _))
-    if (dropped.isEmpty) return
     val kept = versions.filterNot(dropped.contains)
       .map(readManifest(fs, table, _))
+    if (dropped.nonEmpty) {
+      // the oldest KEPT version must stay resolvable after its ancestors'
+      // manifests are gone: if it is a delta with no checkpoint yet,
+      // materialize its checkpoint (full resolved list — already in
+      // `kept`) BEFORE any drop. Newer kept deltas chain down through
+      // kept versions to this one.
+      val oldestKept = kept.last
+      readRawManifest(fs, table, oldestKept.version) match {
+        case Left(d) if !fs.exists(checkpointFilePath(table, oldestKept.version)) =>
+          writeCheckpointFile(fs, table, oldestKept.version, d.dataRel,
+            d.checkpoint, d.batchId, oldestKept.files, d.schemaJson, d.op)
+          require(fs.exists(checkpointFilePath(table, oldestKept.version)),
+            s"vacuum could not checkpoint v${oldestKept.version} — " +
+              "aborting before dropping its ancestors would strand it")
+        case _ => ()
+      }
+      dropped.foreach { v =>
+        fs.delete(manifestPath(table, v), false)
+        fs.delete(checkpointFilePath(table, v), false)
+        // a vacuumed version must FAIL LOUDLY everywhere, including via
+        // the parse cache — drop its entries so no path (time travel,
+        // lakeCommitAt, chain resolution) can serve a ghost
+        Seq(manifestPath(table, v), checkpointFilePath(table, v))
+          .foreach { p =>
+            if (manifestCache.remove(p.toString).isDefined)
+              manifestCacheN.decrementAndGet()
+          }
+      }
+    }
+    // the orphan sweep runs even when no version dropped: crashed OCC
+    // attempts accumulate on low-churn tables whose history is already
+    // at `keep`, and maintainLake's contract says vacuum reclaims them
+    sweepUnreferencedData(fs, table, kept, orphanGraceMs)
+    ()
+  }
+
+  /** Reclaim crash orphans WITHOUT touching history — the sweep half of
+    * [[vacuumLake]] as a standalone entry point, for tables whose
+    * version count is already at `keep` (vacuum's retention logic has
+    * nothing to drop there, but crashed/lost OCC attempt dirs and
+    * unreferenced dv sidecars still accumulate). Honors the same
+    * `orphanGraceMs` contract: with a grace window the sweep is safe
+    * to run next to live OCC writers; at the default 0 it requires
+    * write quiescence. Returns the number of reclaimed entries
+    * (files + whole dirs). */
+  def sweepLakeOrphans(spark: SparkSession, tablePath: String,
+      orphanGraceMs: Long = 0L): Int = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = commitsDir(table)
+    if (!fs.exists(dir)) return 0
+    val live = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
+      .sorted.reverse
+      .map(readManifest(fs, table, _))
+    sweepUnreferencedData(fs, table, live.toSeq, orphanGraceMs)
+  }
+
+  /** The store's own clock, read by stat-ing a just-written probe file
+    * under `_commits` — orphan ages are judged store-mtime against
+    * store-now, so a skewed DRIVER clock can never age a live OCC
+    * attempt's files past the grace window early (the failure mode of
+    * `System.currentTimeMillis() - grace` on object stores). Falls
+    * back to the driver clock only if the store refuses the probe. */
+  private def storeNowMillis(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Long = {
+    val probe = new org.apache.hadoop.fs.Path(commitsDir(table),
+      s".clock-probe-${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      fs.create(probe, true).close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false)
+      t
+    } catch {
+      case scala.util.control.NonFatal(_) => System.currentTimeMillis()
+    }
+  }
+
+  /** Delete every file under `data/` that no live manifest references,
+    * honoring the orphan grace window. `orphanGraceMs` turns the
+    * quiescence REQUIREMENT into a mechanical guarantee when
+    * maintenance must run near live OCC writers: an unreferenced file
+    * younger than the grace may be a LIVE attempt's dir about to be
+    * published, so only files older than the window are reclaimed —
+    * ages compare the store's modification times against the store's
+    * own clock ([[storeNowMillis]]), never the driver's. 0 (the
+    * default) keeps the strict write-quiescent contract: reclaim
+    * everything unreferenced now. */
+  private def sweepUnreferencedData(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, kept: Seq[LakeCommit],
+      orphanGraceMs: Long): Int = {
     val refFiles: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
     // legacy dir-pointer manifests reference their whole dir; a live
     // deletion-vector reference keeps its whole sidecar dir (deleting
@@ -2037,47 +2174,29 @@ object LakeLayout {
     val refDirs: Set[String] =
       kept.filter(_.files.isEmpty).map(_.dataDir).toSet ++
         kept.flatMap(_.files.flatMap(_.dv))
-    // the oldest KEPT version must stay resolvable after its ancestors'
-    // manifests are gone: if it is a delta with no checkpoint yet,
-    // materialize its checkpoint (full resolved list — already in
-    // `kept`) BEFORE any drop. Newer kept deltas chain down through
-    // kept versions to this one.
-    val oldestKept = kept.last
-    readRawManifest(fs, table, oldestKept.version) match {
-      case Left(d) if !fs.exists(checkpointFilePath(table, oldestKept.version)) =>
-        writeCheckpointFile(fs, table, oldestKept.version, d.dataRel,
-          d.checkpoint, d.batchId, oldestKept.files, d.schemaJson, d.op)
-        require(fs.exists(checkpointFilePath(table, oldestKept.version)),
-          s"vacuum could not checkpoint v${oldestKept.version} — " +
-            "aborting before dropping its ancestors would strand it")
-      case _ => ()
-    }
-    dropped.foreach { v =>
-      fs.delete(manifestPath(table, v), false)
-      fs.delete(checkpointFilePath(table, v), false)
-    }
     val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
-    // orphanGraceMs turns the quiescence REQUIREMENT into a mechanical
-    // guarantee when maintenance must run near live OCC writers: an
-    // unreferenced file younger than the grace may be a LIVE attempt's
-    // dir about to be published, so only files older than the window
-    // are reclaimed (age from modification time — on object stores,
-    // upload completion). 0 (the default) keeps the strict
-    // write-quiescent contract: reclaim everything unreferenced now.
-    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    if (!fs.exists(dataRoot)) return 0
+    val cutoff =
+      (if (orphanGraceMs > 0L) storeNowMillis(fs, table)
+       else System.currentTimeMillis()) - orphanGraceMs
     def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
       orphanGraceMs <= 0L || st.getModificationTime <= cutoff
-    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { dst =>
+    var reclaimed = 0
+    fs.listStatus(dataRoot).foreach { dst =>
       val dRel = s"data/${dst.getPath.getName}"
       if (!refDirs.contains(dRel)) {
         val entries = fs.listStatus(dst.getPath)
         val (keepF, dropF) = entries.partition(st =>
           refFiles.contains(s"$dRel/${st.getPath.getName}") ||
             !oldEnough(st))
-        if (keepF.isEmpty && oldEnough(dst)) fs.delete(dst.getPath, true)
-        else dropF.foreach(st => fs.delete(st.getPath, false))
+        if (keepF.isEmpty && oldEnough(dst)) {
+          fs.delete(dst.getPath, true); reclaimed += 1
+        } else dropF.foreach { st =>
+          fs.delete(st.getPath, false); reclaimed += 1
+        }
       }
     }
+    reclaimed
   }
 
   // ------------------------------------------------------------ Z-order

@@ -253,6 +253,85 @@ class DvDeleteSpec extends SparkSuite {
       "metadata COUNT(*) must not touch data files")
   }
 
+  test("maintainLake: sidecar BYTES trigger materialization even when the file fraction stays below threshold") {
+    // all deletes land in ONE of the four files (keys < 100), so the
+    // dv file share is pinned at 0.25 — far below the 1.1 fraction
+    // threshold that can never fire. Only the byte cap can trigger.
+    val t = freshTable()
+    (1 to 3).foreach { i =>
+      LakeLayout.deleteFromLakeDv(spark, t,
+        Seq(10L * i, 10L * i + 1).toDF("id"), "id", "ck", i.toLong)
+    }
+    val cur = LakeLayout.latestLakeCommit(spark, t).get
+    assert(cur.files.count(_.dv.isDefined) == 1 && cur.files.size == 4,
+      "setup: exactly one of four files must carry a vector")
+    val want = LakeLayout.readLake(spark, t).get
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // control: fraction can't fire and the byte cap is huge -> no-op
+    val idle = LakeLayout.maintainLake(spark, t, "id", "maint",
+      minSmallFiles = 999, dvFileFraction = 1.1,
+      dvMaxSidecarBytes = Long.MaxValue)
+    assert(idle.dvMaterializedTo.isEmpty,
+      "below both triggers the dv pass must not fire")
+    assert(LakeLayout.latestLakeCommit(spark, t).get.files
+      .exists(_.dv.isDefined), "control pass must leave the vector")
+    // the real trigger: sidecar bytes over a 1-byte cap
+    val r = LakeLayout.maintainLake(spark, t, "id", "maint",
+      minSmallFiles = 999, dvFileFraction = 1.1, dvMaxSidecarBytes = 1L)
+    assert(r.dvMaterializedTo.isDefined,
+      "sidecar bytes over the cap must force materialization even " +
+        "below the file-fraction threshold")
+    assert(LakeLayout.latestLakeCommit(spark, t).get.files
+      .forall(_.dv.isEmpty), "byte-cap pass must retire every vector")
+    assert(LakeLayout.readLake(spark, t).get
+      .collect().map(r2 => r2.getLong(0) -> r2.getString(3)).toMap == want,
+      "materialization must not change the visible table")
+  }
+
+  test("standalone orphan sweep: reclaims crash orphans on a table already at retention, never live files or young attempts") {
+    val t = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // history is 1 version; vacuum's retention logic (keep=2) has
+    // nothing to drop — exactly the low-churn shape where orphans
+    // used to accumulate indefinitely
+    val versionsBefore = LakeLayout.lakeVersions(spark, t)
+    assert(versionsBefore == Seq(0L))
+    def mkOrphan(name: String): org.apache.hadoop.fs.Path = {
+      val d = new org.apache.hadoop.fs.Path(t, s"data/$name")
+      fs.mkdirs(d)
+      val f = new org.apache.hadoop.fs.Path(d, "part-0.parquet")
+      val out = fs.create(f, true); out.write(42); out.close()
+      f
+    }
+    // a crashed OCC attempt dir (old) and a LIVE attempt dir (young)
+    val crashed = mkOrphan("v00000000000000000001-w1-occ")
+    val live = mkOrphan("v00000000000000000001-w2-occ")
+    val old = System.currentTimeMillis() - 7200000L
+    fs.setTimes(crashed, old, old)
+    fs.setTimes(crashed.getParent, old, old)
+    val reclaimed = LakeLayout.sweepLakeOrphans(spark, t,
+      orphanGraceMs = 3600000L)
+    assert(reclaimed > 0, "the aged crash orphan must be reclaimed")
+    assert(!fs.exists(crashed.getParent), "aged orphan dir must be gone")
+    assert(fs.exists(live), "a young (possibly live) attempt dir must survive the grace window")
+    assert(LakeLayout.lakeVersions(spark, t) == versionsBefore,
+      "the sweep must never touch history")
+    LakeLayout.latestLakeCommit(spark, t).get.files.foreach(f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(t, f.path)),
+        s"referenced file ${f.path} must survive every sweep"))
+    // vacuum with nothing to drop now ALSO sweeps (maintainLake's doc
+    // promises orphan reclamation even on low-churn tables): age the
+    // remaining orphan and vacuum at keep=5
+    fs.setTimes(live, old, old)
+    fs.setTimes(live.getParent, old, old)
+    LakeLayout.vacuumLake(spark, t, keep = 5, orphanGraceMs = 3600000L)
+    assert(LakeLayout.lakeVersions(spark, t) == versionsBefore,
+      "keep=5 must drop nothing")
+    assert(!fs.exists(live.getParent),
+      "vacuum must sweep aged orphans even when no version drops")
+  }
+
   test("dv churn endurance: 12 alternating delete/upsert/maintain cycles track a sequential model") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
@@ -273,8 +352,11 @@ class DvDeleteSpec extends SparkSuite {
             "id", "ck", batch)
           model = model ++ band.map(k => k -> s"u$i")
         case _ => // maintenance wave: compact + materialize + vacuum
+          // 1-byte sidecar cap: the endurance drive runs under the
+          // BYTES trigger, so every wave exercises materialization
           LakeLayout.maintainLake(spark, t, "id", "maint",
-            minSmallFiles = 2, smallFileMB = 1024, dvFileFraction = 0.1)
+            minSmallFiles = 2, smallFileMB = 1024, dvFileFraction = 0.1,
+            dvMaxSidecarBytes = 1L)
       }
       val got = LakeLayout.readLake(spark, t).get
         .select(col("id"), col("tag")).collect()
