@@ -379,11 +379,17 @@ object AdvancedQueries {
     import s.implicits._
     val keys = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      // pinned ON in-scope (restored after): the hard require below is
+      // only a fair contract when InjectRuntimeFilter is allowed to
+      // run — on a profile that disables bloom filters globally, the
+      // query would otherwise abort for a conf choice, not a plan bug
+      "spark.sql.optimizer.runtime.bloomFilter.enabled")
     val saved = keys.map(k => k -> s.conf.get(k))
     try {
       s.conf.set(keys(0), "-1")
       s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "true")
       val dim = t(s, dir, "orders")
         .filter($"o_orderpriority" === "1-URGENT" &&
           $"o_orderdate" >= lit("1997-06-01").cast("timestamp"))

@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   * index on the same corpus yields byte-identical assignments. */
 object IvfIndex {
 
+  /** Nearest-centroid assignment whose PLAN SIZE is independent of K:
+    * the model rides in as DATA (one broadcast row holding the packed
+    * centroid array), never as K×dim literal expression nodes. The
+    * literal form is fine at K=16 but production ANN wants cells ~√N
+    * (thousands) × wide embeddings — millions of literal nodes, a
+    * codegen/plan-size blowup. Here the argmax is a higher-order
+    * `transform` + `array_max` over the broadcast array — map-side
+    * only (a 1-row broadcast nested-loop join, no shuffle), with the
+    * same tie-break as the literal form (array_max on (sim, cell)
+    * structs: max sim, then max cell — position-independent, so the
+    * packed array's order cannot matter). `centsDf` must be
+    * (cell: Int, centroid: array<double>) — K rows of model state. */
+  private[graft] def assignCells(vectors: DataFrame,
+      centsDf: DataFrame): DataFrame = {
+    val packed = broadcast(centsDf.agg(
+      collect_list(struct(col("cell"), col("centroid"))).as("cents")))
+    vectors.crossJoin(packed)
+      .withColumn("cell",
+        array_max(transform(col("cents"), c =>
+          struct(
+            VectorFunctions.dot(col("embedding"), c.getField("centroid"))
+              .as("sim"),
+            c.getField("cell").as("cell")))).getField("cell"))
+      .drop("cents")
+  }
+
   /** Train centroids and write the cell-partitioned index. */
   def build(s: SparkSession, dir: String, indexPath: String,
       cells: Int = Similarity.IvfCells,
@@ -28,17 +54,13 @@ object IvfIndex {
     VectorFunctions.register(s)
     import s.implicits._
     val cents = Similarity.ivfCentroids(s, dir, cells, iters)
-    val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.dot($"embedding", array(c.map(lit): _*)).as("sim"),
-        lit(i).as("cell"))
-    }: _*))
-    Tables.load(s, dir, "embeddings")
-      .withColumn("cell", best.getField("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/vectors")
-    cents.zipWithIndex
+    val centsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
+    assignCells(Tables.load(s, dir, "embeddings"), centsDf)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/vectors")
+    centsDf
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
@@ -58,16 +80,7 @@ object IvfIndex {
     * the corpus schema (vec_id, label, embedding). */
   def append(s: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
     VectorFunctions.register(s)
-    val cents = s.read.parquet(s"$indexPath/centroids").collect()
-      .map(r => r.getAs[Int]("cell") ->
-        r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-      .sortBy(_._1)
-    val best = array_max(array(cents.map { case (i, c) =>
-      struct(VectorFunctions.dot(col("embedding"),
-        array(c.map(lit): _*)).as("sim"), lit(i).as("cell"))
-    }: _*))
-    vectors
-      .withColumn("cell", best.getField("cell"))
+    assignCells(vectors, s.read.parquet(s"$indexPath/centroids"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/vectors")
   }

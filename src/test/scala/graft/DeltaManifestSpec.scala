@@ -144,6 +144,62 @@ class DeltaManifestSpec extends SparkSuite {
       .filter($"id" === 90L).head().getLong(1) == 999L)
   }
 
+  test("crash window: a 30-commit chain with EVERY checkpoint suppressed still resolves exactly; vacuum re-materializes") {
+    // checkpoints are best-effort AFTER the atomic claim — a crash in
+    // that window loses the sidecar but never the commit. This drives
+    // the worst case: the crash hits every single checkpoint write, so
+    // resolution must walk the raw delta chain 30 deep to the base.
+    val table = java.nio.file.Files.createTempDirectory("graft-crashwin").toString
+    val base = spark.range(0, 8000).select($"id", lit(0L).as("v"))
+    LakeLayout.commitLakeVersion(
+      base.repartitionByRange(8, $"id").sortWithinPartitions($"id"),
+      table, "ck", 0L, statsKey = Some("id"))
+    val commitsDir = new java.io.File(s"$table/_commits")
+    def suppressCheckpoints(): Unit =
+      commitsDir.listFiles().filter(_.getName.endsWith(".checkpoint"))
+        .foreach(f => assert(f.delete(), s"could not suppress $f"))
+    var model = (0L until 8000L).map(id => id -> 0L).toMap
+    val snapshots = scala.collection.mutable.ArrayBuffer(model)
+    (1L to 30L).foreach { b =>
+      LakeLayout.upsertIntoLake(spark, table,
+        Seq((b * 101, b)).toDF("id", "v"), "id", "ck", b)
+      suppressCheckpoints() // the crash window, hit every time
+      model += (b * 101) -> b
+      snapshots += model
+    }
+    assert(!commitsDir.listFiles().exists(_.getName.endsWith(".checkpoint")),
+      "setup: no checkpoint may survive")
+    assert((1L to 30L).forall(v =>
+      firstLine(table, f"v$v%020d.manifest") == "format:5"),
+      "every post-base commit must be a raw delta")
+    assert(LakeLayout.lakeVersions(spark, table) == (0L to 30L))
+    // every version's METADATA resolves through the chain (no data read)
+    (0L to 30L).foreach { v =>
+      val c = LakeLayout.lakeCommitAt(spark, table, v)
+      assert(c.files.size == 8,
+        s"v$v must resolve to the complete 8-file list, got ${c.files.size}")
+    }
+    // spot-check DATA exactness across the chain, including the
+    // never-checkpointed 8/16/24 boundaries
+    Seq(0L, 7L, 8L, 16L, 24L, 29L, 30L).foreach { v =>
+      val got = LakeLayout.readLakeVersion(spark, table, v).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == snapshots(v.toInt), s"v$v diverged from the model")
+    }
+    // vacuum must materialize the oldest KEPT version's checkpoint
+    // (v29 is a delta whose ancestors are about to vanish)
+    LakeLayout.vacuumLake(spark, table, keep = 2)
+    assert(LakeLayout.lakeVersions(spark, table) == Seq(29L, 30L))
+    assert(new java.io.File(s"$table/_commits/v${"0" * 18}29.checkpoint").exists(),
+      "vacuum must write the oldest-kept delta's checkpoint before " +
+        "dropping its ancestors")
+    Seq(29L, 30L).foreach { v =>
+      val got = LakeLayout.readLakeVersion(spark, table, v).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == snapshots(v.toInt), s"post-vacuum v$v diverged")
+    }
+  }
+
   test("manifest bytes per commit stay flat as the table grows (the 100 TB argument, measured)") {
     val table = java.nio.file.Files.createTempDirectory("graft-flat").toString
     LakeLayout.commitLakeVersion(

@@ -1255,6 +1255,47 @@ class LakeLayoutSpec extends SparkSuite {
     assert(e.getMessage.contains("long-castable"))
   }
 
+  test("optimizeLakeZOrderOcc: one far-outlier key cannot destroy binning locality (percentile-clamped extents)") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-zoutlier").toString
+    // 16k clustered keys + ONE key ~4e12 away. Raw min/max extents
+    // would stretch the 16-bit key bins so every normal key lands in
+    // bin 0 — zero key locality, a middle band then hits every file.
+    // The 0.1%/99.9% clamp bins against the bulk; the outlier
+    // saturates into the top bin and only degrades ITS OWN file.
+    val outlier = 4000000000000L
+    val rows = (0L until 16000L).map(id => (id, (id * 7919) % 16000, id % 97)) :+
+      ((outlier, 8000L, 0L))
+    LakeLayout.commitLakeVersion(
+      rows.toDF("k", "t", "payload")
+        .repartitionByRange(8, $"k").sortWithinPartitions($"k"),
+      table, "ck", 0L, statsKey = Some("k"), tsStatsKey = Some("t"))
+    val v = LakeLayout.optimizeLakeZOrderOcc(
+      spark, table, "k", "t", "opt", minFiles = 8)
+    assert(v == 1L)
+    val nAll = LakeLayout.latestLakeCommit(spark, table).get.files.size
+    assert(nAll >= 8, s"rewrite should split into >=8 files, got $nAll")
+    // the middle key band must prune to a strict file subset DESPITE
+    // the outlier having been in the binning population
+    val band = LakeLayout.readLakeKeyRange(spark, table, "k", 6000L, 8000L).get
+    assert(band.inputFiles.length < nAll && band.inputFiles.nonEmpty,
+      s"middle band must prune: ${band.inputFiles.length}/$nAll files")
+    assert(band.count() == 2001)
+    // the ts axis keeps its locality too
+    val tband = LakeLayout.readLakeTsRange(spark, table, "t", 0L, 2000L).get
+    assert(tband.inputFiles.length < nAll,
+      s"ts band must prune: ${tband.inputFiles.length}/$nAll files")
+    // the saturated outlier is still present, exactly once, and a
+    // point lookup for it touches few files (its file's TRUE bounds,
+    // not the bins, drive pruning)
+    val point = LakeLayout.readLakeKeyRange(spark, table, "k",
+      outlier, outlier).get
+    assert(point.count() == 1)
+    assert(point.inputFiles.length < nAll,
+      s"outlier lookup must prune: ${point.inputFiles.length}/$nAll")
+    assert(LakeLayout.readLake(spark, table).get.count() == 16001L)
+  }
+
   test("optimizeLakeZOrderOcc racing an ingest writer: loser recomputes, final state serializable") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-zoptrace").toString

@@ -118,4 +118,115 @@ class ParquetPageIndexSpec extends SparkSuite {
         "band-overlapping row groups — page-level (column index) " +
         "skipping should read strictly less than whole row groups")
   }
+
+  test("page-index pruning survives the LAKE read path with deletion vectors: pushed ts filter under the dv anti-join") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.1"
+    val lake = java.nio.file.Files.createTempDirectory("graft-dvpage").toString
+    // small row groups/pages via the WRITER's hadoop conf — the lake
+    // commit path owns its write, so the knobs ride the session conf
+    // (restored below; suites run sequentially in the forked JVM)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val knobs = Seq("parquet.block.size" -> (64 * 1024).toString,
+      "parquet.page.size" -> (4 * 1024).toString,
+      "parquet.page.row.count.limit" -> "500")
+    val saved = knobs.map { case (k, _) => k -> Option(hc.get(k)) }
+    knobs.foreach { case (k, v) => hc.set(k, v) }
+    try {
+      LakeLayout.commitLakeVersion(
+        LakeLayout.zorderKeyed(spark, sf01)
+          .repartitionByRange(4, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .drop("zkey", "u_bin", "t_bin"),
+        lake, "ck", 0L, statsKey = Some("user_id"), tsStatsKey = Some("ts"))
+    } finally saved.foreach {
+      case (k, Some(v)) => hc.set(k, v)
+      case (k, None) => hc.unset(k)
+    }
+    // the events contract reads ts as epoch-nanos int64 (Tables.load),
+    // matching the committed layout and the tsStatsKey bounds
+    val raw = graft.sources.Tables.load(spark, sf01, "events")
+    // GDPR-shape dv delete: a handful of scattered users; the z-order
+    // interleave spreads each user across files, so file entries carry
+    // the vector and every lake read pays the anti-join
+    val gone = raw.select($"user_id").distinct()
+      .orderBy($"user_id").limit(5).as[Long].collect().toSet
+    LakeLayout.deleteFromLakeDv(spark, lake,
+      gone.toSeq.toDF("user_id"), "user_id", "ck", 1L)
+    val cur = LakeLayout.latestLakeCommit(spark, lake).get
+    assert(cur.files.exists(_.dv.isDefined),
+      "setup: the read under test must traverse dv-bearing files")
+
+    val (tLo, tHi) = {
+      val r = raw.agg(min($"ts"), max($"ts")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (bandLo, bandHi) = (tLo + (tHi - tLo) * 45 / 100,
+      tLo + (tHi - tLo) * 55 / 100)
+
+    // ground truth from the COMMITTED files' parquet metadata: row
+    // groups whose ts chunk could intersect the band
+    val conf = spark.sessionState.newHadoopConf()
+    var rgTotal = 0; var rgHitRows = 0L; var totalRows = 0L
+    cur.files.foreach { lf =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$lake/${lf.path}"), conf))
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        totalRows += b.getRowCount
+        val st = b.getColumns.asScala
+          .find(_.getPath.toDotString == "ts").get.getStatistics
+        val (lo, hi) = (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        rgTotal += 1
+        if (!(hi < bandLo || lo > bandHi)) rgHitRows += b.getRowCount
+      } finally reader.close()
+    }
+    assert(rgTotal >= 10, s"layout too coarse (rg=$rgTotal)")
+
+    val q = LakeLayout.readLakeTsRange(spark, lake, "ts", bandLo, bandHi).get
+    // exactness first: band minus deleted users, vs the raw table.
+    // collect() q ITSELF so the plan whose metrics we read below is the
+    // one that executed
+    val want = raw.filter($"ts" >= bandLo && $"ts" <= bandHi &&
+        !$"user_id".isin(gone.toSeq: _*))
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val got = q.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[String]("event_type"))).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      s"dv-aware pruned range read diverged (${got.length} vs ${want.length})")
+
+    // plan shape: the ts predicate must reach the DATA scan beneath the
+    // broadcast anti-join — a join above the scan must not strip it.
+    // The join makes this an ADAPTIVE plan, so descend through AQE
+    // wrappers and query stages to the physical scans
+    def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectScans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(collectScans)
+    }
+    val scans = collectScans(q.queryExecution.executedPlan)
+    val dataScans = scans.filter(_.schema.fieldNames.contains("ts"))
+    assert(dataScans.nonEmpty, "no data scan found under the dv read")
+    dataScans.foreach { scan =>
+      val pushed = scan.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("GreaterThanOrEqual(ts") &&
+        pushed.contains("LessThanOrEqual(ts"),
+        s"ts band must stay pushed under the dv anti-join, got: $pushed")
+    }
+    // and the reader honors row-group + page skipping through this path
+    val materialized = dataScans.map(_.metrics("numOutputRows").value).sum
+    info(s"materialized=$materialized rgHitRows=$rgHitRows totalRows=$totalRows")
+    assert(materialized < totalRows,
+      "dv read path must not materialize the whole table")
+    assert(materialized < rgHitRows,
+      s"materialized $materialized vs $rgHitRows rows in band-hit row " +
+        "groups — page-level skipping must survive the lake+dv path")
+  }
 }

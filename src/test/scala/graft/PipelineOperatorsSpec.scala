@@ -270,6 +270,37 @@ class PipelineOperatorsSpec extends SparkSuite {
         top.take(3).mkString(", "))
   }
 
+  test("IVF assignment plan size is independent of K: model rides as broadcast data, not literals") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    // synthetic orthogonal centroids at two K extremes, dim 8
+    def centsDf(k: Int) = (0 until k).map { i =>
+      (i, Array.tabulate(8)(d => if (d == i % 8) 1.0 + i / 8 else 0.0))
+    }.toDF("cell", "centroid")
+    val vecs = Seq(
+      (1L, "a", Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, "b", Array(0f, 0f, 2.0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val small = IvfIndex.assignCells(vecs, centsDf(8))
+    val large = IvfIndex.assignCells(vecs, centsDf(256))
+    // the assignment is a 1-row broadcast join, never K literal nodes
+    val plan = large.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"assignment must join the broadcast model row, plan was:\n$plan")
+    val (ls, ll) = (small.queryExecution.executedPlan.toString.length,
+      plan.length)
+    assert(ll < ls * 2,
+      s"plan must not grow with K: K=8 -> $ls chars, K=256 -> $ll chars " +
+        "(a literal-embedded model would be ~32x)")
+    // argmax semantics: vec 1 aligns with cell 0's axis but cell 8's
+    // centroid on the same axis has twice the magnitude -> max dot wins
+    val got = large.select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 248 && got(2L) == 250,
+      s"dot-product argmax must pick the largest-magnitude aligned " +
+        s"centroid (cells 248/250 at K=256), got $got")
+  }
+
   test("quadratic near-dup diagnostic fails fast above its corpus-size cap") {
     // the 500-vector corpus trips a 100-row cap before any pair join runs
     val err = intercept[IllegalArgumentException] {
