@@ -157,11 +157,10 @@ object IncrementalAgg {
     * incremental path lands exactly on the full-recompute answer. */
   def qLakeIncrAgg(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
-    val lake = LakeLayout.registryLakeRoot(s)
-    LakeLayout.commitLakeVersion(
-      orders.repartitionByRange(6, col("o_orderkey"))
-        .sortWithinPartitions(col("o_orderkey")),
-      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    // base v0 from the staged orders-6 lake (cloned — this drive
+    // commits on top): the timed span is the incremental advance, not
+    // the one-time base staging write
+    val lake = LakeLayout.cloneLake(s, LakeLayout.stagedOrders(s, dir, 6))
     LakeLayout.upsertIntoLake(s, lake,
       orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
         .withColumn("o_orderpriority", lit("9-UPD")),

