@@ -1600,6 +1600,50 @@ object LakeLayout {
     commitFrame(spark, tablePath, readManifest(fs, table, version))
   }
 
+  /** TIME TRAVEL by wall clock — the newest committed version whose
+    * manifest landed at or before `tsMillis` on the STORE's clock
+    * (Delta's `TIMESTAMP AS OF`). The manifest's modification time IS
+    * its commit instant: versions publish sequentially through the
+    * atomic claim, so picking the max VERSION among qualifying
+    * manifests is correct even if store timestamps jitter within the
+    * claim order. None when the table has no version that old (born
+    * later) — callers distinguish "didn't exist yet" from "vacuumed"
+    * loudly: a version this returns is live by construction (it was
+    * listed), so the subsequent read can never hit a dangling
+    * pointer. Pass a DRIVER timestamp only if driver and store clocks
+    * are aligned; audit pipelines should record the store's own
+    * commit mtimes ([[lakeCommitInstants]]) at write time and replay
+    * those. */
+  def lakeVersionAsOf(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Option[Long] =
+    lakeCommitInstants(spark, tablePath)
+      .filter { case (_, mtime) => mtime <= tsMillis }
+      .keys.maxOption
+
+  /** Every live version's (version → store commit mtime) — the audit
+    * surface a training pipeline records so a run can later be pinned
+    * to the exact wall-clock table state it read. */
+  def lakeCommitInstants(spark: SparkSession,
+      tablePath: String): Map[Long, Long] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = commitsDir(table)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir)
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".manifest"))
+      .map(st => st.getPath.getName.stripSuffix(".manifest")
+        .stripPrefix("v").toLong -> st.getModificationTime)
+      .toMap
+  }
+
+  /** The table AS OF a wall-clock instant ([[lakeVersionAsOf]] +
+    * [[readLakeVersion]]). None when the table did not exist yet. */
+  def readLakeAsOf(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Option[DataFrame] =
+    lakeVersionAsOf(spark, tablePath, tsMillis)
+      .map(readLakeVersion(spark, tablePath, _))
+
   /** The commit record (provenance + file list) of a live version —
     * the inspection API audits and the OCC serializability spec use. */
   def lakeCommitAt(spark: SparkSession, tablePath: String,
@@ -2467,6 +2511,34 @@ object LakeLayout {
   val qLakeMetaCountSql: String =
     "SELECT COUNT(*) AS n_rows FROM orders"
 
+  /** Oracle-checked drive of TIMESTAMP-AS-OF time travel: pin the
+    * base version's store commit instant, land an update wave that
+    * rewrites every priority, then read AS OF the pinned instant —
+    * the update must be INVISIBLE, so the oracle is the plain orders
+    * aggregate. A wrong version pick (off by one either way) breaks
+    * the hash: the post-update table has priority '9-TT' everywhere. */
+  def qLakeTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = cloneLake(s, stagedOrders(s, dir, 4))
+    val tPinned = lakeCommitInstants(s, lake)(0L)
+    // the next manifest's mtime must land strictly after the pin
+    // (local-FS mtime granularity is ms)
+    Thread.sleep(10)
+    upsertIntoLake(s, lake,
+      orders.withColumn("o_orderpriority", lit("9-TT")),
+      "o_orderkey", "registry", 1L)
+    readLakeAsOf(s, lake, tPinned).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qLakeTimeTravelSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   /** The MERGE-ON-READ twin of [[qLakeDelete]]: the SAME delete (every
     * key ≡ 3 mod 10 — maximally scattered, the copy-on-write worst
     * case where every file is touched) via [[deleteFromLakeDv]], which
@@ -2760,6 +2832,7 @@ object LakeLayout {
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_dv_delete" -> (qLakeDvDelete _),
     "q_lake_meta_count" -> (qLakeMetaCount _),
+    "q_lake_time_travel" -> (qLakeTimeTravel _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
     "q_lake_zorder_opt" -> (qLakeZorderOpt _),
@@ -2774,6 +2847,7 @@ object LakeLayout {
     // merge-on-read twin shares the copy-on-write delete's truth
     "q_lake_dv_delete" -> qLakeDeleteSql,
     "q_lake_meta_count" -> qLakeMetaCountSql,
+    "q_lake_time_travel" -> qLakeTimeTravelSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
     "q_lake_ts_read" -> qLakeTsReadSql,
     "q_lake_zorder_opt" -> qLakeZorderOptSql,

@@ -1390,4 +1390,43 @@ class LakeLayoutSpec extends SparkSuite {
     assert(got.size == 50, s"no duplicates: ${got.size}")
     assert(got("1.25") == 777L)
   }
+
+  test("TIMESTAMP AS OF: instants resolve to the newest at-or-before version; vacuumed history fails to None") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 100L).map(k => (k, "base")).toDF("id", "tag")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      t, "ck", 0L, statsKey = Some("id"))
+    Thread.sleep(10) // local-FS mtimes are ms-granular
+    LakeLayout.upsertIntoLake(spark, t,
+      Seq((5L, "v1")).toDF("id", "tag"), "id", "ck", 1L)
+    Thread.sleep(10)
+    LakeLayout.upsertIntoLake(spark, t,
+      Seq((5L, "v2")).toDF("id", "tag"), "id", "ck", 2L)
+    val inst = LakeLayout.lakeCommitInstants(spark, t)
+    assert(inst.keySet == Set(0L, 1L, 2L))
+    assert(inst(0L) < inst(1L) && inst(1L) < inst(2L),
+      "sequential commits must carry increasing store instants")
+    // boundary semantics: at-or-before, newest qualifying VERSION
+    assert(LakeLayout.lakeVersionAsOf(spark, t, inst(0L)).contains(0L))
+    assert(LakeLayout.lakeVersionAsOf(spark, t, inst(1L) - 1).contains(0L))
+    assert(LakeLayout.lakeVersionAsOf(spark, t, inst(1L)).contains(1L))
+    assert(LakeLayout.lakeVersionAsOf(spark, t,
+      inst(2L) + 3600000L).contains(2L))
+    // born later: no version existed at that instant
+    assert(LakeLayout.lakeVersionAsOf(spark, t, inst(0L) - 1).isEmpty)
+    // the read pins the exact state
+    def tagOf5(df: org.apache.spark.sql.DataFrame): String =
+      df.filter($"id" === 5L).select($"tag").head().getString(0)
+    assert(tagOf5(LakeLayout.readLakeAsOf(spark, t, inst(1L)).get) == "v1")
+    assert(tagOf5(LakeLayout.readLakeAsOf(spark, t, inst(0L)).get) == "base")
+    // vacuum drops v0: its instant must now resolve to None (fail
+    // loud), NEVER silently to a later version's state
+    LakeLayout.vacuumLake(spark, t, keep = 2)
+    assert(LakeLayout.lakeVersions(spark, t) == Seq(1L, 2L))
+    assert(LakeLayout.lakeVersionAsOf(spark, t, inst(0L)).isEmpty,
+      "a vacuumed instant must not resolve to a live later version")
+    assert(LakeLayout.lakeVersionAsOf(spark, t, inst(2L)).contains(2L))
+  }
 }
