@@ -1746,8 +1746,31 @@ object LakeLayout {
     * ranges between compactions. No-op (current version returned) when
     * fewer than two small files exist. Published through the same
     * atomic manifest rename; [[lakeDiff]] across it is empty. */
+  /** The maintenance rewrite layout: key-clustered by default; with
+    * `tsCluster` set, Z-ordered on (key, ts) WITH the rewritten files'
+    * ts bounds re-recorded. On an OPTIMIZE'd two-axis table, plain
+    * key-sorted maintenance would decay the time axis twice over —
+    * scattering ts across the consolidated files AND dropping their
+    * manifest ts stats (stat-less files are always range-read
+    * candidates) — so a clustered table passes its second axis down
+    * through every rewrite. */
+  private def maintenanceWrite(df: DataFrame, nFiles: Int, key: String,
+      tsCluster: Option[String], dest: String): Unit = tsCluster match {
+    case None =>
+      df.repartitionByRange(nFiles, col(key))
+        .sortWithinPartitions(col(key))
+        .write.mode("overwrite").parquet(dest)
+    case Some(ts) =>
+      zorderFrame(df, key, ts)
+        .repartitionByRange(nFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode("overwrite").parquet(dest)
+  }
+
   def compactLakeSmallFiles(spark: SparkSession, tablePath: String,
-      key: String, smallFileMB: Int = 32, targetFileMB: Int = 128): Long = {
+      key: String, smallFileMB: Int = 32, targetFileMB: Int = 128,
+      tsCluster: Option[String] = None, minFiles: Int = 1): Long = {
     val cur = latestLakeCommit(spark, tablePath)
       .getOrElse(throw new IllegalArgumentException(
         s"compactLakeSmallFiles: $tablePath has no committed version"))
@@ -1761,15 +1784,17 @@ object LakeLayout {
     val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
     if (small.size < 2) return cur.version
     val bytes = small.map(_._2).sum
-    val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val nFiles = math.max(math.max(1, minFiles),
+      (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     val v = cur.version + 1
     val dataRel = s"data/${versionName(v)}"
-    filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur))
-      .repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key))
-      .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+    maintenanceWrite(
+      filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur)),
+      nFiles, key, tsCluster, s"$tablePath/$dataRel")
     publishManifest(fs, table, v, dataRel,
       s"compaction-small:${cur.version}", -1L,
-      big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
+      big.map(_._1) ++
+        fileStats(spark, tablePath, dataRel, Some(key), tsCluster),
       cur.schemaJson, op = "compact", parentFiles = cur.files)
     v
   }
@@ -1792,7 +1817,8 @@ object LakeLayout {
     * than two small files exist. */
   def compactLakeOcc(spark: SparkSession, tablePath: String, key: String,
       writerId: String, maxAttempts: Int = 8,
-      smallFileMB: Int = 32, targetFileMB: Int = 128): Long = {
+      smallFileMB: Int = 32, targetFileMB: Int = 128,
+      tsCluster: Option[String] = None, minFiles: Int = 1): Long = {
     require(writerId.nonEmpty && !writerId.contains("/"),
       "writerId must be a non-empty path-safe token")
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -1812,15 +1838,17 @@ object LakeLayout {
       val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
       if (small.size < 2) return cur.version
       val bytes = small.map(_._2).sum
-      val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+      val nFiles = math.max(math.max(1, minFiles),
+        (bytes / (targetFileMB * 1024L * 1024L)).toInt)
       val v = cur.version + 1
       val dataRel = s"data/${versionName(v)}-$writerId-cmp"
-      filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur))
-        .repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key))
-        .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+      maintenanceWrite(
+        filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur)),
+        nFiles, key, tsCluster, s"$tablePath/$dataRel")
       if (tryPublishManifest(fs, table, v, dataRel,
           s"compaction-occ:$writerId", -1L,
-          big.map(_._1) ++ fileStats(spark, tablePath, dataRel, Some(key)),
+          big.map(_._1) ++
+            fileStats(spark, tablePath, dataRel, Some(key), tsCluster),
           s"-$writerId-cmp", cur.schemaJson, op = "compact",
           parentFiles = cur.files))
         return v
@@ -1846,7 +1874,8 @@ object LakeLayout {
     * current one when no file carries a vector. */
   def materializeDvOcc(spark: SparkSession, tablePath: String, key: String,
       writerId: String, maxAttempts: Int = 8,
-      targetFileMB: Int = 128): Long = {
+      targetFileMB: Int = 128, tsCluster: Option[String] = None,
+      minFiles: Int = 1): Long = {
     require(writerId.nonEmpty && !writerId.contains("/"),
       "writerId must be a non-empty path-safe token")
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -1864,17 +1893,17 @@ object LakeLayout {
       if (vectored.isEmpty) return cur.version
       val bytes = vectored.map(f => fs.getFileStatus(
         new org.apache.hadoop.fs.Path(table, f.path)).getLen).sum
-      val nFiles = math.max(1,
+      val nFiles = math.max(math.max(1, minFiles),
         (bytes / (targetFileMB * 1024L * 1024L)).toInt)
       val v = cur.version + 1
       val dataRel = s"data/${versionName(v)}-$writerId-dvm"
-      filesFrame(spark, tablePath, vectored, commitSchema(cur))
-        .repartitionByRange(nFiles, col(key))
-        .sortWithinPartitions(col(key))
-        .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+      maintenanceWrite(
+        filesFrame(spark, tablePath, vectored, commitSchema(cur)),
+        nFiles, key, tsCluster, s"$tablePath/$dataRel")
       if (tryPublishManifest(fs, table, v, dataRel,
           s"dv-materialize:$writerId", -1L,
-          clean ++ fileStats(spark, tablePath, dataRel, Some(key)),
+          clean ++
+            fileStats(spark, tablePath, dataRel, Some(key), tsCluster),
           s"-$writerId-dvm", cur.schemaJson, op = "compact",
           parentFiles = cur.files))
         return v
@@ -1909,12 +1938,20 @@ object LakeLayout {
     * Each step is itself OCC-safe, so the whole pass can run
     * concurrently with ingest; thresholds make it cheap when there is
     * nothing to do (metadata-only decisions — file counts and dv
-    * flags come from the manifest, sizes from a listing). */
+    * flags come from the manifest, sizes from a listing).
+    *
+    * `tsCluster`: a table kept two-axis prunable by
+    * [[optimizeLakeZOrderOcc]] passes its time axis here so BOTH
+    * maintenance rewrites (compaction, dv materialization) write
+    * Z-ordered output with ts bounds re-recorded — plain key-sorted
+    * maintenance would decay the second axis on every pass
+    * ([[maintenanceWrite]]). */
   def maintainLake(spark: SparkSession, tablePath: String, key: String,
       writerId: String, keep: Int = 2,
       minSmallFiles: Int = 4, smallFileMB: Int = 32,
       targetFileMB: Int = 128, dvFileFraction: Double = 0.2,
       dvMaxSidecarBytes: Long = 64L * 1024 * 1024,
+      tsCluster: Option[String] = None, minFiles: Int = 1,
       protectFrom: Option[Long] = None,
       orphanGraceMs: Long = 3600000L): MaintenanceReport = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -1929,7 +1966,8 @@ object LakeLayout {
     val compacted =
       if (small >= minSmallFiles)
         Some(compactLakeOcc(spark, tablePath, key, writerId,
-          smallFileMB = smallFileMB, targetFileMB = targetFileMB))
+          smallFileMB = smallFileMB, targetFileMB = targetFileMB,
+          tsCluster = tsCluster, minFiles = minFiles))
       else None
     val afterCompact = latestLakeCommit(spark, tablePath).get
     val dvShare =
@@ -1945,7 +1983,8 @@ object LakeLayout {
     val materialized =
       if (dvShare > dvFileFraction || dvBytes > dvMaxSidecarBytes)
         Some(materializeDvOcc(spark, tablePath, key, writerId,
-          targetFileMB = targetFileMB))
+          targetFileMB = targetFileMB, tsCluster = tsCluster,
+          minFiles = minFiles))
       else None
     val before = lakeVersions(spark, tablePath).size
     vacuumLake(spark, tablePath, keep, protectFrom, orphanGraceMs)

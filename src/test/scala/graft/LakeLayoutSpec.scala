@@ -1391,6 +1391,65 @@ class LakeLayoutSpec extends SparkSuite {
     assert(got("1.25") == 777L)
   }
 
+  test("cluster-preserving maintenance: tsCluster keeps both axes prunable through compaction; plain maintenance decays ts") {
+    import spark.implicits._
+    def mkTable(): String = {
+      val t = java.nio.file.Files.createTempDirectory("graft-zmaint").toString
+      val rows = (0L until 16000L).map(id => (id, (id * 7919) % 16000, id % 97))
+      LakeLayout.commitLakeVersion(
+        rows.toDF("k", "t", "payload")
+          .repartitionByRange(8, $"k").sortWithinPartitions($"k"),
+        t, "ck", 0L, statsKey = Some("k"), tsStatsKey = Some("t"))
+      LakeLayout.optimizeLakeZOrderOcc(spark, t, "k", "t", "opt", minFiles = 8)
+      // fragment with small ingest waves (what streaming upserts do)
+      (1L to 3L).foreach { b =>
+        LakeLayout.upsertIntoLake(spark, t,
+          (b * 100 until b * 100 + 50)
+            .map(id => (id, (id * 7919) % 16000, -b)).toDF("k", "t", "payload"),
+          "k", "ck", b)
+      }
+      t
+    }
+    def tsBandFiles(t: String): (Int, Int) = {
+      val n = LakeLayout.latestLakeCommit(spark, t).get.files.size
+      (LakeLayout.readLakeTsRange(spark, t, "t", 0L, 2000L).get
+        .inputFiles.length, n)
+    }
+    // WITH tsCluster: compaction writes z-ordered output with ts
+    // bounds re-recorded — both axes stay prunable
+    val t1 = mkTable()
+    val r1 = LakeLayout.maintainLake(spark, t1, "k", "maint",
+      minSmallFiles = 2, smallFileMB = 1024, targetFileMB = 1,
+      tsCluster = Some("t"), minFiles = 8)
+    assert(r1.compactedTo.isDefined, "fragmented table must compact")
+    val files1 = LakeLayout.latestLakeCommit(spark, t1).get.files
+    assert(files1.forall(f => f.minTs.isDefined && f.maxTs.isDefined),
+      "clustered maintenance must re-record ts bounds on every rewrite")
+    val (hit1, n1) = tsBandFiles(t1)
+    assert(n1 >= 4 && hit1 < n1 && hit1 > 0,
+      s"ts band must still prune after clustered maintenance: $hit1/$n1")
+    val kband = LakeLayout.readLakeKeyRange(spark, t1, "k", 6000L, 8000L).get
+    assert(kband.inputFiles.length < n1,
+      s"key band must still prune: ${kband.inputFiles.length}/$n1")
+    assert(kband.count() == 2001)
+    // CONTROL — plain maintenance: compacted files carry no ts bounds
+    // (always band candidates); this documents the decay tsCluster
+    // exists to stop
+    val t2 = mkTable()
+    LakeLayout.maintainLake(spark, t2, "k", "maint",
+      minSmallFiles = 2, smallFileMB = 1024, targetFileMB = 1,
+      minFiles = 8)
+    val files2 = LakeLayout.latestLakeCommit(spark, t2).get.files
+    assert(files2.exists(_.minTs.isEmpty),
+      "plain maintenance drops ts bounds on rewritten files (the decay)")
+    // data identical either way
+    assert(LakeLayout.readLake(spark, t1).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      LakeLayout.readLake(spark, t2).get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+      "clustered and plain maintenance must agree on content")
+  }
+
   test("TIMESTAMP AS OF: instants resolve to the newest at-or-before version; vacuumed history fails to None") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft-asof").toString
