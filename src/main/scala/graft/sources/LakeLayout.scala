@@ -812,15 +812,25 @@ object LakeLayout {
   def latestLakeCommit(spark: SparkSession, tablePath: String): Option[LakeCommit] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = liveManifestStatuses(fs, table).map(_._1)
+    if (versions.isEmpty) None
+    else Some(readManifest(fs, table, versions.max))
+  }
+
+  /** All live versions' manifest statuses, ascending — the ONE place
+    * the `_commits` listing is parsed (any change to the manifest
+    * naming scheme lands here and nowhere else). */
+  private def liveManifestStatuses(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val dir = commitsDir(table)
-    if (!fs.exists(dir)) None
-    else {
-      val versions = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
-      if (versions.isEmpty) None
-      else Some(readManifest(fs, table, versions.max))
-    }
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".manifest"))
+      .map(st => st.getPath.getName.stripSuffix(".manifest")
+        .stripPrefix("v").toLong -> st)
+      .sortBy(_._1)
   }
 
   /** The committed table, resolved through the latest manifest; None
@@ -1627,14 +1637,8 @@ object LakeLayout {
       tablePath: String): Map[Long, Long] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val dir = commitsDir(table)
-    if (!fs.exists(dir)) return Map.empty
-    fs.listStatus(dir)
-      .filter(st => st.getPath.getName.startsWith("v") &&
-        st.getPath.getName.endsWith(".manifest"))
-      .map(st => st.getPath.getName.stripSuffix(".manifest")
-        .stripPrefix("v").toLong -> st.getModificationTime)
-      .toMap
+    liveManifestStatuses(fs, table)
+      .map { case (v, st) => v -> st.getModificationTime }.toMap
   }
 
   /** The table AS OF a wall-clock instant ([[lakeVersionAsOf]] +
@@ -1659,12 +1663,7 @@ object LakeLayout {
   def lakeVersions(spark: SparkSession, tablePath: String): Seq[Long] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val dir = commitsDir(table)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
-      .toSeq.sorted
+    liveManifestStatuses(fs, table).map(_._1)
   }
 
   /** Key-level diff between two committed versions: one row per changed
@@ -1761,6 +1760,22 @@ object LakeLayout {
         .sortWithinPartitions(col(key))
         .write.mode("overwrite").parquet(dest)
     case Some(ts) =>
+      // same loud rejection as optimizeLakeZOrderOcc: a non-castable
+      // axis would null every zkey and silently collapse the rewrite
+      // into one unsorted file — strictly worse than the key-sorted
+      // path — on every maintenance pass
+      Seq(key, ts).foreach { c =>
+        import org.apache.spark.sql.types._
+        val ok = df.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               TimestampType | DateType => true
+          case _ => false
+        }
+        require(ok,
+          s"tsCluster maintenance axis $c: ${df.schema(c).dataType} is " +
+            "not long-castable — Z-ordered maintenance needs the same " +
+            "integer/date/timestamp axes as OPTIMIZE-ZORDER")
+      }
       zorderFrame(df, key, ts)
         .repartitionByRange(nFiles, col("zkey"))
         .sortWithinPartitions(col("zkey"))
@@ -1975,8 +1990,10 @@ object LakeLayout {
         math.max(1, afterCompact.files.size)
     // the sidecars are broadcast at every read, so their BYTES are a
     // first-class trigger alongside the file fraction: one listing per
-    // distinct live sidecar dir, metadata-only like the rest
-    val dvBytes = afterCompact.files.flatMap(_.dv).distinct.map { d =>
+    // distinct live sidecar dir, metadata-only like the rest — and a
+    // def, so the listings are skipped entirely when the cheaper
+    // manifest-only fraction check has already decided
+    def dvBytes: Long = afterCompact.files.flatMap(_.dv).distinct.map { d =>
       fs.getContentSummary(new org.apache.hadoop.fs.Path(table, d))
         .getLength
     }.sum
@@ -2148,12 +2165,8 @@ object LakeLayout {
     require(keep >= 1, "vacuum must keep at least the live version")
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val dir = commitsDir(table)
-    if (!fs.exists(dir)) return
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
-      .sorted.reverse
+    val versions = liveManifestStatuses(fs, table).map(_._1).reverse
+    if (versions.isEmpty) return
     val dropped = versions.drop(keep)
       .filterNot(v => protectFrom.exists(v >= _))
     val kept = versions.filterNot(dropped.contains)
@@ -2189,8 +2202,15 @@ object LakeLayout {
     }
     // the orphan sweep runs even when no version dropped: crashed OCC
     // attempts accumulate on low-churn tables whose history is already
-    // at `keep`, and maintainLake's contract says vacuum reclaims them
-    sweepUnreferencedData(fs, table, kept, orphanGraceMs)
+    // at `keep`, and maintainLake's contract says vacuum reclaims them.
+    // EXCEPT at the strict grace-0 contract with nothing dropped: a
+    // no-drop vacuum was historically a guaranteed no-op, and callers
+    // may schedule it next to live writers on that basis — only a
+    // grace window makes the sweep mechanically safe there. A
+    // quiescent operator who wants a drop-free grace-0 sweep calls
+    // [[sweepLakeOrphans]] explicitly.
+    if (dropped.nonEmpty || orphanGraceMs > 0L)
+      sweepUnreferencedData(fs, table, kept, orphanGraceMs)
     ()
   }
 
@@ -2207,14 +2227,10 @@ object LakeLayout {
       orphanGraceMs: Long = 0L): Int = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val dir = commitsDir(table)
-    if (!fs.exists(dir)) return 0
-    val live = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").stripPrefix("v").toLong)
-      .sorted.reverse
-      .map(readManifest(fs, table, _))
-    sweepUnreferencedData(fs, table, live.toSeq, orphanGraceMs)
+    val live = liveManifestStatuses(fs, table)
+      .map { case (v, _) => readManifest(fs, table, v) }
+    if (live.isEmpty) return 0
+    sweepUnreferencedData(fs, table, live, orphanGraceMs)
   }
 
   /** The store's own clock, read by stat-ing a just-written probe file
@@ -2229,11 +2245,18 @@ object LakeLayout {
       s".clock-probe-${java.util.UUID.randomUUID().toString.take(12)}")
     try {
       fs.create(probe, true).close()
-      val t = fs.getFileStatus(probe).getModificationTime
-      fs.delete(probe, false)
-      t
+      fs.getFileStatus(probe).getModificationTime
     } catch {
-      case scala.util.control.NonFatal(_) => System.currentTimeMillis()
+      // fallback is the driver clock — log it: silently reverting to
+      // the skewed-clock behavior this probe exists to avoid would
+      // hide exactly the hazard the grace window guards against
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[lake] store clock probe failed ($e); " +
+          "orphan grace falls back to the DRIVER clock")
+        System.currentTimeMillis()
+    } finally {
+      try fs.delete(probe, false)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -2273,9 +2296,9 @@ object LakeLayout {
           refFiles.contains(s"$dRel/${st.getPath.getName}") ||
             !oldEnough(st))
         if (keepF.isEmpty && oldEnough(dst)) {
-          fs.delete(dst.getPath, true); reclaimed += 1
+          if (fs.delete(dst.getPath, true)) reclaimed += 1
         } else dropF.foreach { st =>
-          fs.delete(st.getPath, false); reclaimed += 1
+          if (fs.delete(st.getPath, false)) reclaimed += 1
         }
       }
     }
@@ -2560,9 +2583,18 @@ object LakeLayout {
     val orders = Tables.load(s, dir, "orders")
     val lake = cloneLake(s, stagedOrders(s, dir, 4))
     val tPinned = lakeCommitInstants(s, lake)(0L)
-    // the next manifest's mtime must land strictly after the pin
-    // (local-FS mtime granularity is ms)
-    Thread.sleep(10)
+    // the next manifest's mtime must land STRICTLY after the pin —
+    // wait on the STORE's clock, not a blind sleep, so the drive stays
+    // correct on stores with coarser-than-ms mtime granularity (the
+    // wait is one probe ~immediately on a ms-granular local FS)
+    val table = new org.apache.hadoop.fs.Path(lake)
+    val fs = table.getFileSystem(s.sessionState.newHadoopConf())
+    var tries = 0
+    while (storeNowMillis(fs, table) <= tPinned && tries < 200) {
+      tries += 1; Thread.sleep(25)
+    }
+    require(tries < 200,
+      s"store clock did not advance past the pinned instant $tPinned")
     upsertIntoLake(s, lake,
       orders.withColumn("o_orderpriority", lit("9-TT")),
       "o_orderkey", "registry", 1L)

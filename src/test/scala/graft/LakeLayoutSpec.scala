@@ -1450,6 +1450,34 @@ class LakeLayoutSpec extends SparkSuite {
       "clustered and plain maintenance must agree on content")
   }
 
+  test("invalidateManifestCache: a table re-created at the same path serves fresh parses, never the old cache") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-cacheinv").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 50L).map(k => (k, "old")).toDF("id", "tag"),
+      t, "ck", 0L, statsKey = Some("id"))
+    // warm the parse cache through a real read
+    assert(LakeLayout.readLake(spark, t).get.count() == 50L)
+    // wholesale drop + re-create at the SAME path — the one documented
+    // way a cached parse can go stale (manifest immutability holds per
+    // table lifetime, not per path)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(t), true)
+    LakeLayout.commitLakeVersion(
+      (0L until 70L).map(k => (k, "new")).toDF("id", "tag"),
+      t, "ck", 0L, statsKey = Some("id"))
+    LakeLayout.invalidateManifestCache(t)
+    // without the invalidate, v0's stale parse points at the OLD
+    // table's (deleted, differently-named) part files and the read
+    // fails; after it, everything is fresh
+    val got = LakeLayout.readLake(spark, t).get
+      .select($"tag").distinct().as[String].collect().toSeq
+    assert(got == Seq("new"),
+      s"re-created table must serve the new content, got $got")
+    assert(LakeLayout.lakeRowCount(spark, t).contains(70L))
+  }
+
   test("TIMESTAMP AS OF: instants resolve to the newest at-or-before version; vacuumed history fails to None") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft-asof").toString
