@@ -1648,6 +1648,63 @@ object LakeLayout {
     lakeVersionAsOf(spark, tablePath, tsMillis)
       .map(readLakeVersion(spark, tablePath, _))
 
+  /** DESCRIBE HISTORY — one row per live version, newest first: the
+    * audit surface operators and pipelines read before time travel,
+    * vacuum-retention, or incident forensics (what wrote v17, when,
+    * what kind of op). All O(manifests) metadata: version, store
+    * commit instant, op type, writer/checkpoint provenance, batch id,
+    * file count, and how many entries carry a deletion vector. Built
+    * as a local DataFrame (histories are bounded by retention, not
+    * data size). */
+  def lakeHistory(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    liveManifestStatuses(fs, table).reverse.map { case (v, st) =>
+      val c = readManifest(fs, table, v)
+      (v, st.getModificationTime, c.op, c.checkpoint, c.batchId,
+        c.files.size.toLong, c.files.count(_.dv.isDefined).toLong)
+    }.toDF("version", "commit_ms", "op", "writer", "batch_id",
+      "n_files", "n_dv_files")
+  }
+
+  /** DESCRIBE DETAIL — one row for the CURRENT version: the
+    * operational snapshot a table owner checks before/after
+    * maintenance (is compaction due? how big is the dv read tax? are
+    * both cluster axes stat-covered?). Metadata + one listing; no
+    * data files are opened. */
+  def describeLake(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"describeLake: $tablePath has no committed version"))
+    val sizes = cur.files.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(table, f.path)).getLen)
+    val dvDirs = cur.files.flatMap(_.dv).distinct
+    val dvBytes = dvDirs.map(d => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(table, d)).getLength).sum
+    Seq((cur.version, lakeVersions(spark, tablePath).size.toLong,
+      cur.files.size.toLong, sizes.sum,
+      if (sizes.isEmpty) 0L else sizes.min,
+      if (sizes.isEmpty) 0L else sizes.max,
+      cur.files.count(_.dv.isDefined).toLong, dvDirs.size.toLong,
+      dvBytes,
+      cur.files.count(f => f.minKey.isDefined && f.maxKey.isDefined).toLong,
+      cur.files.count(f => f.minTs.isDefined && f.maxTs.isDefined).toLong,
+      // -1 = not answerable from metadata alone (stat-less or
+      // dv-carrying files would need a scan; lakeRowCount does that)
+      if (cur.files.nonEmpty &&
+          cur.files.forall(f => f.rows.isDefined && f.dv.isEmpty))
+        cur.files.flatMap(_.rows).sum
+      else -1L))
+      .toDF("version", "n_versions", "n_files", "total_bytes",
+        "min_file_bytes", "max_file_bytes", "n_dv_files", "n_dv_sidecars",
+        "dv_sidecar_bytes", "n_key_stat_files", "n_ts_stat_files",
+        "n_rows_meta")
+  }
+
   /** The commit record (provenance + file list) of a live version —
     * the inspection API audits and the OCC serializability spec use. */
   def lakeCommitAt(spark: SparkSession, tablePath: String,

@@ -1450,6 +1450,47 @@ class LakeLayoutSpec extends SparkSuite {
       "clustered and plain maintenance must agree on content")
   }
 
+  test("DESCRIBE HISTORY / DETAIL: metadata-only audit surface tracks ops, instants, files, and dv state") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-descr").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 400L).map(k => (k, k % 7, s"base")).toDF("id", "grp", "tag")
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      t, "ck", 0L, statsKey = Some("id"))
+    LakeLayout.upsertIntoLake(spark, t,
+      Seq((50L, 1L, "u1")).toDF("id", "grp", "tag"), "id", "ck", 1L)
+    LakeLayout.deleteFromLakeDv(spark, t,
+      Seq(5L, 105L, 205L, 305L).toDF("id"), "id", "ck", 2L)
+    // HISTORY: newest first, op-typed, instants nondecreasing
+    val h = LakeLayout.lakeHistory(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5),
+        r.getLong(6)))
+    assert(h.map(_._1).toSeq == Seq(2L, 1L, 0L), "newest first")
+    assert(h.head._3 == "dvdelete", s"v2 must be op-typed, got ${h.head._3}")
+    assert(h.map(_._2).toSeq.reverse == h.map(_._2).toSeq.reverse.sorted,
+      "commit instants must be nondecreasing in version order")
+    assert(h.head._5 > 0, "v2 history row must count dv-bearing entries")
+    // DETAIL while the dv is live: sidecar visible, metadata count
+    // honestly refuses (-1: dv files need a scan)
+    val d1 = LakeLayout.describeLake(spark, t).collect().head
+    assert(d1.getLong(0) == 2L && d1.getLong(1) == 3L)
+    assert(d1.getLong(6) > 0 && d1.getLong(8) > 0,
+      "live dv state must surface (files + sidecar bytes)")
+    assert(d1.getLong(11) == -1L,
+      "metadata row count must refuse while dv files need a scan")
+    // after compaction retires the vector, detail is fully metadata-answerable
+    LakeLayout.compactLake(spark, t, "id")
+    val d2 = LakeLayout.describeLake(spark, t).collect().head
+    assert(d2.getLong(6) == 0L && d2.getLong(8) == 0L)
+    assert(d2.getLong(11) == 396L,
+      s"metadata count must equal the logical table, got ${d2.getLong(11)}")
+    assert(d2.getLong(9) == d2.getLong(2),
+      "every compacted file must carry key stats")
+    val h2 = LakeLayout.lakeHistory(spark, t).collect()
+    assert(h2.head.getString(2) == "compact",
+      "the compaction version must be op-typed in history")
+  }
+
   test("invalidateManifestCache: a table re-created at the same path serves fresh parses, never the old cache") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft-cacheinv").toString
