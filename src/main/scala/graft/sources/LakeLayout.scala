@@ -2632,10 +2632,11 @@ object LakeLayout {
 
   /** Oracle-checked drive of TIMESTAMP-AS-OF time travel: pin the
     * base version's store commit instant, land an update wave that
-    * rewrites every priority, then read AS OF the pinned instant —
-    * the update must be INVISIBLE, so the oracle is the plain orders
-    * aggregate. A wrong version pick (off by one either way) breaks
-    * the hash: the post-update table has priority '9-TT' everywhere. */
+    * re-prioritizes every 4th order, then read AS OF the pinned
+    * instant — the update must be INVISIBLE, so the oracle is the
+    * plain orders aggregate. A wrong version pick (off by one either
+    * way) breaks the hash: a quarter of the keys would sit in the
+    * '9-TT' group instead of their real priorities. */
   def qLakeTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
     val lake = cloneLake(s, stagedOrders(s, dir, 4))
@@ -2652,8 +2653,13 @@ object LakeLayout {
     }
     require(tries < 200,
       s"store clock did not advance past the pinned instant $tPinned")
+    // a QUARTER-key wave is enough to break the hash on any wrong
+    // version pick (those keys' priorities shift groups) while the
+    // timed op stays a realistic file-granular commit, not a
+    // full-table rewrite
     upsertIntoLake(s, lake,
-      orders.withColumn("o_orderpriority", lit("9-TT")),
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        .withColumn("o_orderpriority", lit("9-TT")),
       "o_orderkey", "registry", 1L)
     readLakeAsOf(s, lake, tPinned).get
       .groupBy(col("o_orderpriority"))
