@@ -198,7 +198,36 @@ object LakeLayout {
   final case class LakeFile(path: String, minKey: Option[KeyBound],
       maxKey: Option[KeyBound], minTs: Option[KeyBound] = None,
       maxTs: Option[KeyBound] = None, dv: Option[String] = None,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None, bytes: Option[Long] = None)
+
+  /** Resolve a manifest entry's path against the table root. Entries
+    * written by this engine are RELATIVE (`data/v…/part-….parquet`);
+    * a [[cloneLakeShallow]] manifest references the SOURCE table's
+    * files by absolute qualified URI — those pass through untouched.
+    * Every path-to-filesystem translation goes through these two
+    * helpers, so absolute references work uniformly across reads,
+    * stats fallbacks, and rewrites. */
+  private def lakeFilePath(table: org.apache.hadoop.fs.Path,
+      rel: String): org.apache.hadoop.fs.Path =
+    if (rel.startsWith("/") || rel.contains(":/"))
+      new org.apache.hadoop.fs.Path(rel)
+    else new org.apache.hadoop.fs.Path(table, rel)
+  private def lakeFileUri(tablePath: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains(":/")) rel
+    else s"$tablePath/$rel"
+
+  /** A manifest entry's physical size: recorded at write time (the
+    * writer lists its output dir anyway, so the length is free) or ONE
+    * stat fallback for legacy entries. This is what keeps maintenance
+    * census, DESCRIBE, and write accounting O(manifest) instead of
+    * O(files) serial namenode RPCs — at the 800 k-file design point a
+    * per-file stat loop was ~800 k round trips per maintenance pass. */
+  private def fileLen(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, f: LakeFile): Long =
+    f.bytes.getOrElse(fs.getFileStatus(lakeFilePath(table, f.path)).getLen)
+  private def bytesOf(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, files: Seq[LakeFile]): Long =
+    files.map(fileLen(fs, table, _)).sum
 
   /** One committed table version: the FILE LIST the version is made of
     * (possibly spanning several data dirs — untouched files are carried
@@ -217,7 +246,8 @@ object LakeLayout {
     * `data` (the conservative type). */
   final case class LakeCommit(version: Long, dataDir: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile] = Seq.empty,
-      schemaJson: Option[String] = None, op: String = "data")
+      schemaJson: Option[String] = None, op: String = "data",
+      tsClusterCol: Option[String] = None, instantMs: Option[Long] = None)
 
   private def commitsDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_commits")
@@ -297,7 +327,8 @@ object LakeLayout {
     * against parent, `Right` = self-contained full commit. */
   private final case class DeltaManifest(version: Long, dataRel: String,
       checkpoint: String, batchId: Long, parent: Long, adds: Seq[LakeFile],
-      removes: Set[String], schemaJson: Option[String], op: String)
+      removes: Set[String], schemaJson: Option[String], op: String,
+      tsClusterCol: Option[String] = None, instantMs: Option[Long] = None)
 
   private def parseManifest(content: String, v: Long)
       : Either[DeltaManifest, LakeCommit] = {
@@ -305,29 +336,40 @@ object LakeLayout {
     def tagged(tag: String) = lines.drop(4).filter(_.startsWith(tag))
     // fields 5/6, when present, are the optional second-dimension
     // (time) bounds — older manifests simply lack them
-    // field 7, when present, is the deletion-vector dir reference
+    // field 7, when present, is the deletion-vector dir reference;
+    // field 8 the exact row count; field 9 the file's byte length
     def fileLines(tag: String) = tagged(tag).map { ln =>
       val p = ln.split("\t")
       LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)),
         if (p.length > 5) KeyBound.decode(p(4)) else None,
         if (p.length > 5) KeyBound.decode(p(5)) else None,
         if (p.length > 6 && p(6) != "-") Some(p(6)) else None,
-        if (p.length > 7 && p(7) != "-") Some(p(7).toLong) else None)
+        if (p.length > 7 && p(7) != "-") Some(p(7).toLong) else None,
+        if (p.length > 8 && p(8) != "-") Some(p(8).toLong) else None)
     }.toSeq
     val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
     val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
       .getOrElse("data")
+    // `c` = the table's persisted CLUSTER AXIS (second/time dimension) —
+    // a table property every writer carries forward so mid-ingest
+    // rewrites keep recording ts bounds without callers threading it;
+    // `t` = the commit's STORE-CLOCK instant, persisted at publish so
+    // AS-OF resolution survives manifest copies that re-stamp mtimes
+    val cluster = lines.drop(4).find(_.startsWith("c\t")).map(_.drop(2))
+    val instant = lines.drop(4).find(_.startsWith("t\t"))
+      .map(_.drop(2).toLong)
     lines(0) match {
       case "format:2" | "format:3" | "format:4" =>
         Right(LakeCommit(v, lines(1), lines(2), lines(3).toLong,
-          fileLines("f\t"), schema, op))
+          fileLines("f\t"), schema, op, cluster, instant))
       case "format:5" =>
         val parent = lines.drop(4).find(_.startsWith("p\t")).map(_.drop(2).toLong)
           .getOrElse(throw new IllegalStateException(
             s"format:5 manifest v$v missing its parent line"))
         Left(DeltaManifest(v, lines(1), lines(2), lines(3).toLong, parent,
           fileLines("a\t"),
-          tagged("r\t").map(_.split("\t")(1)).toSet, schema, op))
+          tagged("r\t").map(_.split("\t")(1)).toSet, schema, op,
+          cluster, instant))
       case _ => Right(LakeCommit(v, lines(0), lines(1), lines(2).toLong))
     }
   }
@@ -366,11 +408,23 @@ object LakeLayout {
     * [[vacuumLake]] evicts its dropped versions itself so a vacuumed
     * manifest fails loudly instead of resolving from cache. */
   def invalidateManifestCache(tablePath: String): Unit = {
-    val prefix = new org.apache.hadoop.fs.Path(tablePath).toString + "/"
+    // qualified prefix: cache keys are built from fs.makeQualified
+    // ([[cacheKey]]), so an invalidation with a bare path must qualify
+    // the same way or a caller mixing `file:/tmp/t` and `/tmp/t`
+    // would silently evict nothing
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val prefix = fs.makeQualified(p).toString + "/"
     manifestCache.keySet.filter(_.startsWith(prefix)).foreach { k =>
       if (manifestCache.remove(k).isDefined) manifestCacheN.decrementAndGet()
     }
   }
+
+  /** The ONE cache-key form: the fully-qualified URI, so the same
+    * physical location always yields the same key string no matter
+    * which path spelling (bare, scheme-qualified) the caller used. */
+  private def cacheKey(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = fs.makeQualified(p).toString
 
   private def cachedParse(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, v: Long)
@@ -378,7 +432,7 @@ object LakeLayout {
     if (manifestCacheN.get > 8192) {
       manifestCache.clear(); manifestCacheN.set(0)
     }
-    val key = p.toString
+    val key = cacheKey(fs, p)
     manifestCache.get(key) match {
       case Some(hit) => hit
       case None =>
@@ -430,7 +484,8 @@ object LakeLayout {
       case Right(full) => full
       case raw @ Left(d) =>
         LakeCommit(v, d.dataRel, d.checkpoint, d.batchId,
-          resolvedFileList(fs, table, v, raw), d.schemaJson, d.op)
+          resolvedFileList(fs, table, v, raw), d.schemaJson, d.op,
+          d.tsClusterCol, d.instantMs)
     }
 
   /** Atomically publish a version: tmp write + rename (the commit
@@ -440,11 +495,34 @@ object LakeLayout {
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile],
       schemaJson: Option[String] = None, op: String = "data",
-      parentFiles: Seq[LakeFile] = Seq.empty): Unit =
+      parentFiles: Seq[LakeFile] = Seq.empty,
+      tsClusterCol: Option[String] = None): Unit =
     require(tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
-        files, schemaJson = schemaJson, op = op, parentFiles = parentFiles),
+        files, schemaJson = schemaJson, op = op, parentFiles = parentFiles,
+        tsClusterCol = tsClusterCol),
       s"manifest commit lost a race: ${manifestPath(table, v)} " +
         "(single-writer caller; use the OCC path for concurrent writers)")
+
+  /** The one wire encoder for a file entry (manifests AND checkpoints —
+    * a checkpoint that dropped later fields would resurrect dv-deleted
+    * rows and lose the metadata row/byte counts on resolution). Later
+    * fields force the earlier optional ones (as "-") so field positions
+    * stay fixed; older manifests simply stop short. */
+  private def encodeFileLine(tag: String, f: LakeFile,
+      b: StringBuilder): Unit = {
+    b.append(tag).append('\t').append(f.path).append('\t')
+      .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
+      .append(f.maxKey.map(_.enc).getOrElse("-"))
+    val hasLater = f.dv.isDefined || f.rows.isDefined || f.bytes.isDefined
+    if (f.minTs.isDefined || f.maxTs.isDefined || hasLater)
+      b.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
+        .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
+    if (hasLater) b.append('\t').append(f.dv.getOrElse("-"))
+    if (f.rows.isDefined || f.bytes.isDefined)
+      b.append('\t').append(f.rows.map(_.toString).getOrElse("-"))
+    f.bytes.foreach(n => b.append('\t').append(n))
+    b.append('\n')
+  }
 
   /** Attempt to claim version `v`: tmp write + an ATOMIC claim of the
     * manifest path. Returns false iff another writer already claimed
@@ -473,26 +551,24 @@ object LakeLayout {
       table: org.apache.hadoop.fs.Path, v: Long, dataRel: String,
       checkpoint: String, batchId: Long, files: Seq[LakeFile],
       tmpTag: String = "", schemaJson: Option[String] = None,
-      op: String = "data", parentFiles: Seq[LakeFile] = Seq.empty): Boolean = {
+      op: String = "data", parentFiles: Seq[LakeFile] = Seq.empty,
+      tsClusterCol: Option[String] = None): Boolean = {
     fs.mkdirs(commitsDir(table))
-    def fileLine(tag: String, f: LakeFile, b: StringBuilder): Unit = {
-      b.append(tag).append('\t').append(f.path).append('\t')
-        .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
-        .append(f.maxKey.map(_.enc).getOrElse("-"))
-      // later fields force the earlier optional ones (as "-") so field
-      // positions stay fixed; older manifests simply stop short
-      val hasLater = f.dv.isDefined || f.rows.isDefined
-      if (f.minTs.isDefined || f.maxTs.isDefined || hasLater)
-        b.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
-          .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
-      if (hasLater) b.append('\t').append(f.dv.getOrElse("-"))
-      f.rows.foreach(r => b.append('\t').append(r))
-      b.append('\n')
+    // the commit's DURABLE instant, read from the store's own clock
+    // (one probe per publish): AS-OF resolution reads this line, so a
+    // migration tool that copies `_commits` without preserving mtimes
+    // can no longer re-stamp the table's history
+    val instantMs = storeNowMillis(fs, table)
+    def commonLines(body: StringBuilder): Unit = {
+      schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
+      if (op != "data") body.append("o\t").append(op).append('\n')
+      tsClusterCol.foreach(c => body.append("c\t").append(c).append('\n'))
+      body.append("t\t").append(instantMs).append('\n')
     }
     // format:3 = format:2 plus an `s\t<json>` table-schema line;
     // format:4 adds the `o\t<op>` commit-type line; format:5 is the
-    // delta form. Plain full data commits keep the older headers so
-    // their manifests stay bit-stable.
+    // delta form. The `c` (cluster axis) and `t` (commit instant)
+    // lines are tag-parsed, so they ride any header without a bump.
     def fullBody: String = {
       val header =
         if (op != "data") "format:4\n"
@@ -502,9 +578,8 @@ object LakeLayout {
         .append(header)
         .append(dataRel).append('\n')
         .append(checkpoint).append('\n').append(batchId).append('\n')
-      schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
-      if (op != "data") body.append("o\t").append(op).append('\n')
-      files.foreach(f => fileLine("f", f, body))
+      commonLines(body)
+      files.foreach(f => encodeFileLine("f", f, body))
       body.toString
     }
     def deltaBody(adds: Seq[LakeFile], removes: Seq[String]): String = {
@@ -513,9 +588,8 @@ object LakeLayout {
         .append(dataRel).append('\n')
         .append(checkpoint).append('\n').append(batchId).append('\n')
         .append("p\t").append(v - 1).append('\n')
-      schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
-      if (op != "data") body.append("o\t").append(op).append('\n')
-      adds.foreach(f => fileLine("a", f, body))
+      commonLines(body)
+      adds.foreach(f => encodeFileLine("a", f, body))
       removes.foreach(p => body.append("r\t").append(p).append('\n'))
       body.toString
     }
@@ -575,15 +649,12 @@ object LakeLayout {
         .append(checkpoint).append('\n').append(batchId).append('\n')
       schemaJson.foreach(j => body.append("s\t").append(j).append('\n'))
       body.append("o\t").append(op).append('\n')
-      files.foreach { f =>
-        body.append("f\t").append(f.path).append('\t')
-          .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
-          .append(f.maxKey.map(_.enc).getOrElse("-"))
-        if (f.minTs.isDefined || f.maxTs.isDefined)
-          body.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
-            .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
-        body.append('\n')
-      }
+      // the SHARED entry encoder: a checkpoint is a resolution
+      // substitute for the chain, so dropping any per-file field here
+      // (dv! rows, bytes) would change what resolution returns — a
+      // dv-delete landing on a checkpoint boundary would resurrect
+      // its deleted rows (CheckpointFidelitySpec pins this)
+      files.foreach(f => encodeFileLine("f", f, body))
       val tmp = new org.apache.hadoop.fs.Path(commitsDir(table),
         s".tmpckpt-${versionName(v)}")
       val out = fs.create(tmp, true)
@@ -621,11 +692,18 @@ object LakeLayout {
     val dir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tablePath), dataRel)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dir.getFileSystem(conf)
-    val names = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
+    // one listing yields names AND byte lengths — recording sizes in
+    // the manifest costs zero extra RPCs here and saves an O(files)
+    // serial stat loop in every census/DESCRIBE/accounting path later
+    val statuses = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).toSeq
+    val names = statuses.map(_.getPath.getName)
+    val lenOf = statuses.map(st => st.getPath.getName -> st.getLen).toMap
     if (names.isEmpty) Seq.empty
     else if (statsKey.isEmpty && tsKey.isEmpty)
-      names.map(n => LakeFile(s"$dataRel/$n", None, None))
+      names.map(n => LakeFile(s"$dataRel/$n", None, None,
+        bytes = Some(lenOf(n))))
     else {
         // one footer open per file; bounds for BOTH the primary key and
         // the optional second (time) dimension come from the same
@@ -753,7 +831,7 @@ object LakeLayout {
                 math.max(300L, names.size * 5L), "s"))
             .map { case (n, ((lo, hi), (tLo, tHi), nRows)) =>
               LakeFile(s"$dataRel/$n", lo, hi, tLo, tHi,
-                rows = Some(nRows)) }
+                rows = Some(nRows), bytes = Some(lenOf(n))) }
         } finally pool.shutdown()
     }
   }
@@ -788,11 +866,12 @@ object LakeLayout {
     def rdr = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     files.groupBy(_.dv).toSeq.sortBy(_._1.getOrElse("")).map {
       case (dvRef, group) =>
-        val df = rdr.parquet(group.map(f => s"$tablePath/${f.path}"): _*)
+        val df = rdr.parquet(group.map(f =>
+          lakeFileUri(tablePath, f.path)): _*)
         dvRef match {
           case None => df
           case Some(d) =>
-            val keys = spark.read.parquet(s"$tablePath/$d")
+            val keys = spark.read.parquet(lakeFileUri(tablePath, d))
             df.join(broadcast(keys.select(keys.columns.head).distinct()),
               Seq(keys.columns.head), "left_anti")
         }
@@ -876,6 +955,11 @@ object LakeLayout {
     val cur = latestLakeCommit(s, tablePath)
     val v = cur.map(_.version + 1).getOrElse(0L)
     val dataRel = s"data/${versionName(v)}"
+    // the table's persisted cluster axis: set it when the caller
+    // declares one, else carry the table property forward so every
+    // rewrite keeps recording second-axis bounds (wide bounds beat no
+    // bounds — a stat-less file is ALWAYS a band candidate)
+    val effTs = tsStatsKey.orElse(cur.flatMap(_.tsClusterCol))
     // overwrite: an orphan dir from a crashed previous attempt at this
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
@@ -883,9 +967,10 @@ object LakeLayout {
     // publisher self-selects the full form; passing the parent is
     // still correct and keeps the decision in one place
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      fileStats(s, tablePath, dataRel, statsKey, tsStatsKey),
+      fileStats(s, tablePath, dataRel, statsKey, effTs),
       Some(df.schema.json), op,
-      parentFiles = cur.map(_.files).getOrElse(Seq.empty))
+      parentFiles = cur.map(_.files).getOrElse(Seq.empty),
+      tsClusterCol = effTs)
     v
   }
 
@@ -951,9 +1036,6 @@ object LakeLayout {
       statsKey: Option[String] = None): LakeUpsertResult = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
-    }.sum
     val cur = latestLakeCommit(spark, tablePath)
     cur.flatMap(_.schemaJson).foreach { j =>
       val old = org.apache.spark.sql.types.DataType.fromJson(j)
@@ -966,14 +1048,16 @@ object LakeLayout {
     val v = cur.map(_.version + 1).getOrElse(0L)
     val carried = cur.map(c => resolveFiles(fs, table, c)).getOrElse(Seq.empty)
     val dataRel = s"data/${versionName(v)}-app"
+    val effTs = cur.flatMap(_.tsClusterCol)
     rows.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-    val newFiles = fileStats(spark, tablePath, dataRel, statsKey)
+    val newFiles = fileStats(spark, tablePath, dataRel, statsKey, effTs)
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
       carried ++ newFiles, Some(rows.schema.json),
-      parentFiles = cur.map(_.files).getOrElse(Seq.empty))
-    val bytes = sizeOf(newFiles.map(_.path))
+      parentFiles = cur.map(_.files).getOrElse(Seq.empty),
+      tsClusterCol = effTs)
+    val bytes = bytesOf(fs, table, newFiles)
     LakeUpsertResult(v, carried.size, 0, newFiles.size, bytes,
-      bytes + sizeOf(carried.map(_.path)))
+      bytes + bytesOf(fs, table, carried))
   }
 
   /** A commit's file list, with legacy dir-pointer manifests resolved
@@ -983,8 +1067,9 @@ object LakeLayout {
       table: org.apache.hadoop.fs.Path, cur: LakeCommit): Seq[LakeFile] =
     if (cur.files.nonEmpty) cur.files
     else fs.listStatus(new org.apache.hadoop.fs.Path(table, cur.dataDir))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .map(n => LakeFile(s"${cur.dataDir}/$n", None, None)).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => LakeFile(s"${cur.dataDir}/${st.getPath.getName}",
+        None, None, bytes = Some(st.getLen))).toSeq
 
   /** The subset of `files` some key in `keys` can live in: range
     * semi-join of the (small, broadcastable) file-range list against
@@ -999,10 +1084,12 @@ object LakeLayout {
     // unsigned-UTF-8 binary order, the same collation the bounds were
     // computed under. Mixed/absent bounds → conservatively touched.
     val longRanges = files.collect {
-      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)), _, _, _, _) => (p, a, b)
+      case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)),
+          _, _, _, _, _) => (p, a, b)
     }
     val strRanges = files.collect {
-      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)), _, _, _, _) => (p, a, b)
+      case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)),
+          _, _, _, _, _) => (p, a, b)
     }
     val typed = (longRanges.map(_._1) ++ strRanges.map(_._1)).toSet
     val statless = files.map(_.path).filterNot(typed).toSet
@@ -1090,9 +1177,6 @@ object LakeLayout {
       : Either[Option[UpsertConflict], LakeUpsertResult] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
-    }.sum
     // rows the merge KEEPS from the source side: delete-marked source
     // rows remove their matched base row and are never inserted (a
     // delete-marked key absent from the table is a no-op)
@@ -1107,13 +1191,13 @@ object LakeLayout {
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
             newFiles, dirTag, Some(keep.schema.json))) {
-          val bytes = sizeOf(newFiles.map(_.path))
+          val bytes = bytesOf(fs, table, newFiles)
           Right(LakeUpsertResult(v, 0, 0, newFiles.size, bytes, bytes))
         } else if (keepOnConflict)
           // a raced first commit is a pure-insert attempt: rebasable if
           // the winner's keys are disjoint (empty base/rewritten sets)
           Left(Some(UpsertConflict(dataRel, newFiles, Set.empty, Set.empty,
-            sizeOf(newFiles.map(_.path)), Some(keep.schema.json), Map.empty)))
+            bytesOf(fs, table, newFiles), Some(keep.schema.json), Map.empty)))
         else {
           fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
           Left(None)
@@ -1178,23 +1262,29 @@ object LakeLayout {
         // (file-backed sources report real bytes; statless plans fall
         // back to a row-width estimate — see insertBytesEstimate).
         val outParts = sizeParts(spark,
-          BigInt(sizeOf(rewritten.map(_.path))) +
+          BigInt(bytesOf(fs, table, rewritten)) +
             insertBytesEstimate(upKeep))
         merged.repartitionByRange(outParts, col(key))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-        val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
+        // the persisted cluster axis rides into the rewrite's stats:
+        // a mid-ingest upsert on a Z-ordered table keeps its rewritten
+        // files ts-band prunable (wide bounds beat no bounds) instead
+        // of decaying them to always-candidates until the next
+        // clustered maintenance pass
+        val effTs = cur.tsClusterCol.filter(evolved.fieldNames.contains)
+        val newFiles = fileStats(spark, tablePath, dataRel, Some(key), effTs)
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
             carried ++ newFiles, dirTag, Some(evolved.json),
-            parentFiles = cur.files)) {
-          val bytesWritten = sizeOf(newFiles.map(_.path))
+            parentFiles = cur.files, tsClusterCol = cur.tsClusterCol)) {
+          val bytesWritten = bytesOf(fs, table, newFiles)
           Right(LakeUpsertResult(v, carried.size, rewritten.size,
             newFiles.size, bytesWritten,
-            bytesWritten + sizeOf(carried.map(_.path))))
+            bytesWritten + bytesOf(fs, table, carried)))
         } else if (keepOnConflict)
           Left(Some(UpsertConflict(dataRel, newFiles,
             rewritten.map(_.path).toSet, files.map(_.path).toSet,
-            sizeOf(newFiles.map(_.path)), Some(evolved.json),
+            bytesOf(fs, table, newFiles), Some(evolved.json),
             rewritten.map(f => f.path -> f.dv).toMap)))
         else {
           fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
@@ -1234,9 +1324,6 @@ object LakeLayout {
       "writerId must be a non-empty path-safe token")
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
-    }.sum
     // jittered backoff before a recompute breaks the livelock two
     // writers with equal-length merges otherwise fall into (observed:
     // the loser's recompute finishing just after each winner's claim,
@@ -1288,12 +1375,13 @@ object LakeLayout {
           c.newFiles
         if (tryPublishManifest(fs, table, latest.version + 1, c.dataRel,
             writerId, batchId, newList, s"-$writerId-rb", c.schemaJson,
-            parentFiles = latest.files))
+            parentFiles = latest.files,
+            tsClusterCol = latest.tsClusterCol))
           return Some(LakeUpsertResult(latest.version + 1,
             newList.size - c.newFiles.size, c.rewrittenPaths.size,
             c.newFiles.size, c.bytesWritten,
-            c.bytesWritten + sizeOf(newList.filterNot(c.newFiles.contains)
-              .map(_.path))))
+            c.bytesWritten + bytesOf(fs, table,
+              newList.filterNot(c.newFiles.contains))))
         // claim raced again — re-read the even newer snapshot and retry
         i += 1
       }
@@ -1394,9 +1482,6 @@ object LakeLayout {
       batchId: Long): LakeUpsertResult = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    def sizeOf(relPaths: Seq[String]): Long = relPaths.map { p =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen
-    }.sum
     val cur = latestLakeCommit(spark, tablePath)
       .getOrElse(throw new IllegalArgumentException(
         s"deleteFromLake: $tablePath has no committed version"))
@@ -1414,18 +1499,18 @@ object LakeLayout {
           // rows' files tight and key-disjoint; survivors are bounded
           // by the rewritten files' exact bytes
           .repartitionByRange(
-            sizeParts(spark, BigInt(sizeOf(rewritten.map(_.path)))),
+            sizeParts(spark, BigInt(bytesOf(fs, table, rewritten))),
             col(key))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-        fileStats(spark, tablePath, dataRel, Some(key))
+        fileStats(spark, tablePath, dataRel, Some(key), cur.tsClusterCol)
       }
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
       carried ++ newFiles, cur.schemaJson, op = "delete",
-      parentFiles = cur.files)
-    val bytesWritten = sizeOf(newFiles.map(_.path))
+      parentFiles = cur.files, tsClusterCol = cur.tsClusterCol)
+    val bytesWritten = bytesOf(fs, table, newFiles)
     LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
-      bytesWritten, bytesWritten + sizeOf(carried.map(_.path)))
+      bytesWritten, bytesWritten + bytesOf(fs, table, carried))
   }
 
   /** MERGE-ON-READ delete — the DELETION-VECTOR twin of
@@ -1471,7 +1556,8 @@ object LakeLayout {
     val newList = cur.files.map(f =>
       if (affected(f.path)) f.copy(dv = Some(dvRel)) else f)
     publishManifest(fs, table, v, dvRel, checkpoint, batchId, newList,
-      cur.schemaJson, op = "dvdelete", parentFiles = cur.files)
+      cur.schemaJson, op = "dvdelete", parentFiles = cur.files,
+      tsClusterCol = cur.tsClusterCol)
     v
   }
 
@@ -1508,7 +1594,7 @@ object LakeLayout {
         if (affected(f.path)) f.copy(dv = Some(dvRel)) else f)
       if (tryPublishManifest(fs, table, v, dvRel, writerId, batchId,
           newList, s"-$writerId-dv", cur.schemaJson, op = "dvdelete",
-          parentFiles = cur.files))
+          parentFiles = cur.files, tsClusterCol = cur.tsClusterCol))
         return v
       fs.delete(new org.apache.hadoop.fs.Path(table, dvRel), true)
       Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
@@ -1530,9 +1616,17 @@ object LakeLayout {
       .flatMap(_.dv).distinct
     val newKeys = deletes.select(col(key)).distinct()
     val allKeys = priorDvs.foldLeft(newKeys)((acc, d) =>
-      acc.unionByName(spark.read.parquet(s"$tablePath/$d")
+      acc.unionByName(spark.read.parquet(lakeFileUri(tablePath, d))
         .select(col(key)))).distinct()
-    allKeys.coalesce(1).write.mode("overwrite")
+    // SHARDED write: sidecars are byte-capped by maintainLake (64 MB
+    // default), but a delete wave near the cap — or a raised cap —
+    // must not funnel through one task. ~8 MB shards keep write
+    // parallelism proportional to the wave while staying a handful of
+    // files for the common tiny delete (readers take the whole dir).
+    val shardBytes = 8L * 1024 * 1024
+    val parts = ((insertBytesEstimate(allKeys) + shardBytes - 1)
+      / shardBytes).max(1).min(64).toInt
+    allKeys.repartition(parts).write.mode("overwrite")
       .parquet(s"$tablePath/$dvRel")
   }
 
@@ -1630,15 +1724,34 @@ object LakeLayout {
       .filter { case (_, mtime) => mtime <= tsMillis }
       .keys.maxOption
 
-  /** Every live version's (version → store commit mtime) — the audit
+  /** Every live version's (version → store commit instant) — the audit
     * surface a training pipeline records so a run can later be pinned
-    * to the exact wall-clock table state it read. */
+    * to the exact wall-clock table state it read. The instant is the
+    * one PERSISTED INSIDE the manifest at publish time (read from the
+    * store's own clock — [[storeNowMillis]]); legacy manifests fall
+    * back to the manifest file's mtime. Instants are then MONOTONIZED
+    * over ascending versions (a regressed instant becomes
+    * predecessor + 1 ms — Delta's adjusted-commit-timestamp
+    * semantics): clock jitter between metadata nodes, or a copy tool
+    * that re-stamps some mtimes, can otherwise make AS-OF resolution
+    * serve a version committed AFTER the pinned instant. */
   def lakeCommitInstants(spark: SparkSession,
       tablePath: String): Map[Long, Long] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    liveManifestStatuses(fs, table)
-      .map { case (v, st) => v -> st.getModificationTime }.toMap
+    val raw = liveManifestStatuses(fs, table).map { case (v, st) =>
+      val persisted = readRawManifest(fs, table, v) match {
+        case Right(c) => c.instantMs
+        case Left(d) => d.instantMs
+      }
+      v -> persisted.getOrElse(st.getModificationTime)
+    }
+    var prev = Long.MinValue
+    raw.map { case (v, t) =>
+      val adj = if (t < prev) prev + 1 else t
+      prev = adj
+      v -> adj
+    }.toMap
   }
 
   /** The table AS OF a wall-clock instant ([[lakeVersionAsOf]] +
@@ -1660,9 +1773,13 @@ object LakeLayout {
     import spark.implicits._
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    liveManifestStatuses(fs, table).reverse.map { case (v, st) =>
+    // commit_ms = the RESOLVED instant (persisted + monotonized) — the
+    // same value AS-OF resolution uses, so history and time travel can
+    // never disagree about when a version became visible
+    val instants = lakeCommitInstants(spark, tablePath)
+    liveManifestStatuses(fs, table).reverse.map { case (v, _) =>
       val c = readManifest(fs, table, v)
-      (v, st.getModificationTime, c.op, c.checkpoint, c.batchId,
+      (v, instants(v), c.op, c.checkpoint, c.batchId,
         c.files.size.toLong, c.files.count(_.dv.isDefined).toLong)
     }.toDF("version", "commit_ms", "op", "writer", "batch_id",
       "n_files", "n_dv_files")
@@ -1673,36 +1790,55 @@ object LakeLayout {
     * maintenance (is compaction due? how big is the dv read tax? are
     * both cluster axes stat-covered?). Metadata + one listing; no
     * data files are opened. */
-  def describeLake(spark: SparkSession, tablePath: String): DataFrame = {
+  def describeLake(spark: SparkSession, tablePath: String): DataFrame =
+    describeLakeAttempt(spark, tablePath, retry = true)
+
+  private def describeLakeAttempt(spark: SparkSession, tablePath: String,
+      retry: Boolean): DataFrame = {
     import spark.implicits._
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = latestLakeCommit(spark, tablePath)
       .getOrElse(throw new IllegalArgumentException(
         s"describeLake: $tablePath has no committed version"))
-    val sizes = cur.files.map(f => fs.getFileStatus(
-      new org.apache.hadoop.fs.Path(table, f.path)).getLen)
-    val dvDirs = cur.files.flatMap(_.dv).distinct
-    val dvBytes = dvDirs.map(d => fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(table, d)).getLength).sum
-    Seq((cur.version, lakeVersions(spark, tablePath).size.toLong,
-      cur.files.size.toLong, sizes.sum,
-      if (sizes.isEmpty) 0L else sizes.min,
-      if (sizes.isEmpty) 0L else sizes.max,
-      cur.files.count(_.dv.isDefined).toLong, dvDirs.size.toLong,
-      dvBytes,
-      cur.files.count(f => f.minKey.isDefined && f.maxKey.isDefined).toLong,
-      cur.files.count(f => f.minTs.isDefined && f.maxTs.isDefined).toLong,
-      // -1 = not answerable from metadata alone (stat-less or
-      // dv-carrying files would need a scan; lakeRowCount does that)
-      if (cur.files.nonEmpty &&
-          cur.files.forall(f => f.rows.isDefined && f.dv.isEmpty))
-        cur.files.flatMap(_.rows).sum
-      else -1L))
-      .toDF("version", "n_versions", "n_files", "total_bytes",
-        "min_file_bytes", "max_file_bytes", "n_dv_files", "n_dv_sidecars",
-        "dv_sidecar_bytes", "n_key_stat_files", "n_ts_stat_files",
-        "n_rows_meta")
+    try {
+      // sizes come from the MANIFEST (recorded at write time) — the
+      // whole DESCRIBE is O(manifest), no per-file stat loop; only
+      // legacy entries without a recorded length fall back to one stat
+      val sizes = cur.files.map(fileLen(fs, table, _))
+      val dvDirs = cur.files.flatMap(_.dv).distinct
+      val dvBytes = dvDirs.map(d => fs.getContentSummary(
+        lakeFilePath(table, d)).getLength).sum
+      Seq((cur.version, lakeVersions(spark, tablePath).size.toLong,
+        cur.files.size.toLong, sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.min,
+        if (sizes.isEmpty) 0L else sizes.max,
+        cur.files.count(_.dv.isDefined).toLong, dvDirs.size.toLong,
+        dvBytes,
+        cur.files.count(f => f.minKey.isDefined && f.maxKey.isDefined).toLong,
+        cur.files.count(f => f.minTs.isDefined && f.maxTs.isDefined).toLong,
+        // -1 = not answerable from metadata alone (stat-less or
+        // dv-carrying files would need a scan; lakeRowCount does that).
+        // A modern manifest with ZERO file entries is a committed
+        // empty table — trivially 0 rows; only a legacy dir-pointer
+        // (no file list, no recorded schema) is truly unknown.
+        if (cur.files.isEmpty)
+          (if (cur.schemaJson.isDefined) 0L else -1L)
+        else if (cur.files.forall(f => f.rows.isDefined && f.dv.isEmpty))
+          cur.files.flatMap(_.rows).sum
+        else -1L))
+        .toDF("version", "n_versions", "n_files", "total_bytes",
+          "min_file_bytes", "max_file_bytes", "n_dv_files", "n_dv_sidecars",
+          "dv_sidecar_bytes", "n_key_stat_files", "n_ts_stat_files",
+          "n_rows_meta")
+    } catch {
+      // TOCTOU next to live maintenance: a concurrent vacuum can
+      // retire the just-resolved version between the manifest read and
+      // a legacy/sidecar listing — re-resolve the new latest once
+      // (same retry posture as the OCC paths), then fail loudly
+      case _: java.io.FileNotFoundException if retry =>
+        describeLakeAttempt(spark, tablePath, retry = false)
+    }
   }
 
   /** The commit record (provenance + file list) of a live version —
@@ -1773,9 +1909,13 @@ object LakeLayout {
         s"compactLake: $tablePath has no committed version"))
     val df = commitFrame(spark, tablePath, cur)
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val bytes = df.inputFiles
-      .map(f => new org.apache.hadoop.fs.Path(f))
-      .map(p => p.getFileSystem(hadoopConf).getFileStatus(p).getLen).sum
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val bytes =
+      if (cur.files.nonEmpty)
+        bytesOf(table.getFileSystem(hadoopConf), table, cur.files)
+      else df.inputFiles
+        .map(f => new org.apache.hadoop.fs.Path(f))
+        .map(p => p.getFileSystem(hadoopConf).getFileStatus(p).getLen).sum
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     // statsKey: a compacted version's manifest carries tight DISJOINT
     // per-file key ranges (repartitionByRange), the layout that makes
@@ -1851,8 +1991,11 @@ object LakeLayout {
     if (cur.files.isEmpty) return compactLake(spark, tablePath, key, targetFileMB)
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val sized = cur.files.map(f =>
-      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(table, f.path)).getLen)
+    // the persisted cluster axis kicks in when the caller passes none —
+    // an OPTIMIZE'd table keeps its two-axis layout through plain
+    // maintenance without every scheduler knowing the table's history
+    val effTs = tsCluster.orElse(cur.tsClusterCol)
+    val sized = cur.files.map(f => f -> fileLen(fs, table, f))
     val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
     if (small.size < 2) return cur.version
     val bytes = small.map(_._2).sum
@@ -1862,12 +2005,13 @@ object LakeLayout {
     val dataRel = s"data/${versionName(v)}"
     maintenanceWrite(
       filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur)),
-      nFiles, key, tsCluster, s"$tablePath/$dataRel")
+      nFiles, key, effTs, s"$tablePath/$dataRel")
     publishManifest(fs, table, v, dataRel,
       s"compaction-small:${cur.version}", -1L,
       big.map(_._1) ++
-        fileStats(spark, tablePath, dataRel, Some(key), tsCluster),
-      cur.schemaJson, op = "compact", parentFiles = cur.files)
+        fileStats(spark, tablePath, dataRel, Some(key), effTs),
+      cur.schemaJson, op = "compact", parentFiles = cur.files,
+      tsClusterCol = effTs)
     v
   }
 
@@ -1905,8 +2049,8 @@ object LakeLayout {
       require(cur.files.nonEmpty,
         "compactLakeOcc needs file-granular manifests (run a single-writer " +
           "full compaction once to convert a legacy dir-pointer table)")
-      val sized = cur.files.map(f => f ->
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(table, f.path)).getLen)
+      val effTs = tsCluster.orElse(cur.tsClusterCol)
+      val sized = cur.files.map(f => f -> fileLen(fs, table, f))
       val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
       if (small.size < 2) return cur.version
       val bytes = small.map(_._2).sum
@@ -1916,13 +2060,13 @@ object LakeLayout {
       val dataRel = s"data/${versionName(v)}-$writerId-cmp"
       maintenanceWrite(
         filesFrame(spark, tablePath, small.map(_._1), commitSchema(cur)),
-        nFiles, key, tsCluster, s"$tablePath/$dataRel")
+        nFiles, key, effTs, s"$tablePath/$dataRel")
       if (tryPublishManifest(fs, table, v, dataRel,
           s"compaction-occ:$writerId", -1L,
           big.map(_._1) ++
-            fileStats(spark, tablePath, dataRel, Some(key), tsCluster),
+            fileStats(spark, tablePath, dataRel, Some(key), effTs),
           s"-$writerId-cmp", cur.schemaJson, op = "compact",
-          parentFiles = cur.files))
+          parentFiles = cur.files, tsClusterCol = effTs))
         return v
       // claim raced: our consolidated files may include rows the winner
       // just rewrote — drop the orphan and recompute from the new tip
@@ -1963,21 +2107,21 @@ object LakeLayout {
         "materializeDvOcc needs file-granular manifests")
       val (vectored, clean) = cur.files.partition(_.dv.isDefined)
       if (vectored.isEmpty) return cur.version
-      val bytes = vectored.map(f => fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(table, f.path)).getLen).sum
+      val effTs = tsCluster.orElse(cur.tsClusterCol)
+      val bytes = bytesOf(fs, table, vectored)
       val nFiles = math.max(math.max(1, minFiles),
         (bytes / (targetFileMB * 1024L * 1024L)).toInt)
       val v = cur.version + 1
       val dataRel = s"data/${versionName(v)}-$writerId-dvm"
       maintenanceWrite(
         filesFrame(spark, tablePath, vectored, commitSchema(cur)),
-        nFiles, key, tsCluster, s"$tablePath/$dataRel")
+        nFiles, key, effTs, s"$tablePath/$dataRel")
       if (tryPublishManifest(fs, table, v, dataRel,
           s"dv-materialize:$writerId", -1L,
           clean ++
-            fileStats(spark, tablePath, dataRel, Some(key), tsCluster),
+            fileStats(spark, tablePath, dataRel, Some(key), effTs),
           s"-$writerId-dvm", cur.schemaJson, op = "compact",
-          parentFiles = cur.files))
+          parentFiles = cur.files, tsClusterCol = effTs))
         return v
       fs.delete(new org.apache.hadoop.fs.Path(table, dataRel), true)
       Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
@@ -2032,14 +2176,18 @@ object LakeLayout {
       .getOrElse(throw new IllegalArgumentException(
         s"maintainLake: $tablePath has no committed version"))
     require(cur.files.nonEmpty, "maintainLake needs file-granular manifests")
-    val small = cur.files.count(f => fs.getFileStatus(
-      new org.apache.hadoop.fs.Path(table, f.path)).getLen <
-        smallFileMB * 1024L * 1024L)
+    // the small-file census reads lengths from the MANIFEST — the
+    // whole decision pass stays O(manifest) instead of one stat RPC
+    // per live file (at the 800 k-file delta-protocol design point
+    // that was ~800 k serial namenode round trips per maintenance run)
+    val small = cur.files.count(f =>
+      fileLen(fs, table, f) < smallFileMB * 1024L * 1024L)
+    val effTs = tsCluster.orElse(cur.tsClusterCol)
     val compacted =
       if (small >= minSmallFiles)
         Some(compactLakeOcc(spark, tablePath, key, writerId,
           smallFileMB = smallFileMB, targetFileMB = targetFileMB,
-          tsCluster = tsCluster, minFiles = minFiles))
+          tsCluster = effTs, minFiles = minFiles))
       else None
     val afterCompact = latestLakeCommit(spark, tablePath).get
     val dvShare =
@@ -2051,13 +2199,12 @@ object LakeLayout {
     // def, so the listings are skipped entirely when the cheaper
     // manifest-only fraction check has already decided
     def dvBytes: Long = afterCompact.files.flatMap(_.dv).distinct.map { d =>
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(table, d))
-        .getLength
+      fs.getContentSummary(lakeFilePath(table, d)).getLength
     }.sum
     val materialized =
       if (dvShare > dvFileFraction || dvBytes > dvMaxSidecarBytes)
         Some(materializeDvOcc(spark, tablePath, key, writerId,
-          targetFileMB = targetFileMB, tsCluster = tsCluster,
+          targetFileMB = targetFileMB, tsCluster = effTs,
           minFiles = minFiles))
       else None
     val before = lakeVersions(spark, tablePath).size
@@ -2158,8 +2305,7 @@ object LakeLayout {
             "long-castable — a string axis has no meaningful Morton " +
             "interleave (cast-to-long would null out the bin)")
       }
-      val bytes = cur.files.map(f => fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(table, f.path)).getLen).sum
+      val bytes = bytesOf(fs, table, cur.files)
       // minFiles is a PARALLELISM floor (readers of a re-ordered table
       // prune file-granularly — one giant file prunes nothing), not a
       // size target
@@ -2172,11 +2318,13 @@ object LakeLayout {
         .sortWithinPartitions(col("zkey"))
         .drop("zkey")
         .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
+      // OPTIMIZE declares the table's cluster axis: from here on every
+      // writer carries it and keeps recording second-axis bounds
       if (tryPublishManifest(fs, table, v, dataRel,
           s"zorder-occ:$writerId", -1L,
           fileStats(spark, tablePath, dataRel, Some(key), Some(tsKey)),
           s"-$writerId-zord", cur.schemaJson, op = "compact",
-          parentFiles = cur.files))
+          parentFiles = cur.files, tsClusterCol = Some(tsKey)))
         return v
       // claim raced: the winner may have rewritten rows we just
       // re-ordered — drop the orphan and recompute from the new tip
@@ -2252,7 +2400,7 @@ object LakeLayout {
         // lakeCommitAt, chain resolution) can serve a ghost
         Seq(manifestPath(table, v), checkpointFilePath(table, v))
           .foreach { p =>
-            if (manifestCache.remove(p.toString).isDefined)
+            if (manifestCache.remove(cacheKey(fs, p)).isDefined)
               manifestCacheN.decrementAndGet()
           }
       }
@@ -2533,19 +2681,46 @@ object LakeLayout {
         root
       })
 
-  /** Clone a staged base into a fresh UUID root — a recursive
-    * filesystem copy, no Spark job, no footer-stats pass (manifests
-    * reference relative paths, so a dir copy IS a valid table). This
-    * is bench harness plumbing, not an engine operation: it keeps each
-    * mutating drive's timed span to op + readback. */
+  /** SHALLOW CLONE — a real engine operation (Delta's `CREATE TABLE
+    * ... SHALLOW CLONE`): publish a v0 at `dstPath` whose manifest
+    * references the SOURCE's live files by absolute qualified URI.
+    * Zero data bytes move — the clone costs O(manifest) regardless of
+    * table size, which is what makes cheap table forks (experiment
+    * branches, bench isolation) viable at 100 TB. Writes to the clone
+    * land as normal LOCAL files (rewrites gradually replace the
+    * absolute references); vacuum/orphan sweeps only ever list the
+    * clone's OWN `data/` dir, so the source's files can never be
+    * reclaimed through the clone (spec-pinned). Deletion-vector
+    * references are qualified the same way, so a cloned dv table reads
+    * identically. The source must not be vacuumed below the cloned
+    * version while the clone still references its files — same
+    * retention contract as any pinned reader. */
+  def cloneLakeShallow(spark: SparkSession, srcPath: String,
+      dstPath: String): Long = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = latestLakeCommit(spark, srcPath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cloneLakeShallow: $srcPath has no committed version"))
+    val files = resolveFiles(fs, src, cur)
+    def qualify(rel: String): String =
+      fs.makeQualified(lakeFilePath(src, rel)).toString
+    val absFiles = files.map(f =>
+      f.copy(path = qualify(f.path), dv = f.dv.map(qualify)))
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val dstFs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    publishManifest(dstFs, dst, 0L, s"data/${versionName(0L)}-shallow",
+      s"clone:$srcPath", -1L, absFiles, cur.schemaJson,
+      tsClusterCol = cur.tsClusterCol)
+    0L
+  }
+
+  /** Clone a staged base into a fresh UUID root for a mutating bench
+    * drive — now a [[cloneLakeShallow]] (O(manifest), no byte copy),
+    * so the timed span is the lake OP itself, not clone staging. */
   private[graft] def cloneLake(s: SparkSession, src: String): String = {
     val dst = registryLakeRoot(s)
-    val conf = s.sessionState.newHadoopConf()
-    val sp = new org.apache.hadoop.fs.Path(src)
-    val fs = sp.getFileSystem(conf)
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp,
-      fs, new org.apache.hadoop.fs.Path(dst), false, conf),
-      s"cloneLake: copy $src -> $dst failed")
+    cloneLakeShallow(s, src, dst)
     dst
   }
 
@@ -2647,11 +2822,15 @@ object LakeLayout {
     // wait is one probe ~immediately on a ms-granular local FS)
     val table = new org.apache.hadoop.fs.Path(lake)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())
+    // success is tracked by the PROBE result, not the loop counter — a
+    // clock that advances exactly on the last re-probe must not abort
     var tries = 0
-    while (storeNowMillis(fs, table) <= tPinned && tries < 200) {
+    var advanced = storeNowMillis(fs, table) > tPinned
+    while (!advanced && tries < 200) {
       tries += 1; Thread.sleep(25)
+      advanced = storeNowMillis(fs, table) > tPinned
     }
-    require(tries < 200,
+    require(advanced,
       s"store clock did not advance past the pinned instant $tPinned")
     // a QUARTER-key wave is enough to break the hash on any wrong
     // version pick (those keys' priorities shift groups) while the

@@ -1391,16 +1391,19 @@ class LakeLayoutSpec extends SparkSuite {
     assert(got("1.25") == 777L)
   }
 
-  test("cluster-preserving maintenance: tsCluster keeps both axes prunable through compaction; plain maintenance decays ts") {
+  test("cluster-preserving maintenance: the persisted cluster axis keeps both axes prunable through plain maintenance; an undeclared table decays") {
     import spark.implicits._
-    def mkTable(): String = {
+    def mkTable(declare: Boolean): String = {
       val t = java.nio.file.Files.createTempDirectory("graft-zmaint").toString
       val rows = (0L until 16000L).map(id => (id, (id * 7919) % 16000, id % 97))
       LakeLayout.commitLakeVersion(
         rows.toDF("k", "t", "payload")
           .repartitionByRange(8, $"k").sortWithinPartitions($"k"),
-        t, "ck", 0L, statsKey = Some("k"), tsStatsKey = Some("t"))
-      LakeLayout.optimizeLakeZOrderOcc(spark, t, "k", "t", "opt", minFiles = 8)
+        t, "ck", 0L, statsKey = Some("k"),
+        tsStatsKey = if (declare) Some("t") else None)
+      if (declare)
+        LakeLayout.optimizeLakeZOrderOcc(spark, t, "k", "t", "opt",
+          minFiles = 8)
       // fragment with small ingest waves (what streaming upserts do)
       (1L to 3L).foreach { b =>
         LakeLayout.upsertIntoLake(spark, t,
@@ -1415,39 +1418,51 @@ class LakeLayoutSpec extends SparkSuite {
       (LakeLayout.readLakeTsRange(spark, t, "t", 0L, 2000L).get
         .inputFiles.length, n)
     }
-    // WITH tsCluster: compaction writes z-ordered output with ts
-    // bounds re-recorded — both axes stay prunable
-    val t1 = mkTable()
+    // DECLARED table (OPTIMIZE persisted the axis as a table
+    // property): mid-ingest upserts already re-recorded ts bounds on
+    // their rewrites, and PLAIN maintenance — no tsCluster argument —
+    // carries the property and keeps both axes prunable. This is the
+    // round-16 contract: schedulers need not know the table's history.
+    val t1 = mkTable(declare = true)
+    val preMaint = LakeLayout.latestLakeCommit(spark, t1).get
+    assert(preMaint.tsClusterCol.contains("t"),
+      "OPTIMIZE must persist the cluster axis; ingest must carry it")
+    assert(preMaint.files.forall(f => f.minTs.isDefined && f.maxTs.isDefined),
+      "mid-ingest upsert rewrites must re-record ts bounds from the " +
+        s"persisted axis: ${preMaint.files.filter(_.minTs.isEmpty)}")
     val r1 = LakeLayout.maintainLake(spark, t1, "k", "maint",
       minSmallFiles = 2, smallFileMB = 1024, targetFileMB = 1,
-      tsCluster = Some("t"), minFiles = 8)
+      minFiles = 8)
     assert(r1.compactedTo.isDefined, "fragmented table must compact")
     val files1 = LakeLayout.latestLakeCommit(spark, t1).get.files
     assert(files1.forall(f => f.minTs.isDefined && f.maxTs.isDefined),
-      "clustered maintenance must re-record ts bounds on every rewrite")
+      "plain maintenance on a declared table must re-record ts bounds")
     val (hit1, n1) = tsBandFiles(t1)
     assert(n1 >= 4 && hit1 < n1 && hit1 > 0,
-      s"ts band must still prune after clustered maintenance: $hit1/$n1")
+      s"ts band must still prune after plain maintenance: $hit1/$n1")
     val kband = LakeLayout.readLakeKeyRange(spark, t1, "k", 6000L, 8000L).get
     assert(kband.inputFiles.length < n1,
       s"key band must still prune: ${kband.inputFiles.length}/$n1")
     assert(kband.count() == 2001)
-    // CONTROL — plain maintenance: compacted files carry no ts bounds
-    // (always band candidates); this documents the decay tsCluster
-    // exists to stop
-    val t2 = mkTable()
+    // CONTROL — a table that never declared a cluster axis: writes and
+    // maintenance record key bounds only; its compacted files carry no
+    // ts bounds (always band candidates). The decay now exists ONLY
+    // where no axis was ever declared.
+    val t2 = mkTable(declare = false)
+    assert(LakeLayout.latestLakeCommit(spark, t2).get.tsClusterCol.isEmpty,
+      "an undeclared table must carry no cluster property")
     LakeLayout.maintainLake(spark, t2, "k", "maint",
       minSmallFiles = 2, smallFileMB = 1024, targetFileMB = 1,
       minFiles = 8)
     val files2 = LakeLayout.latestLakeCommit(spark, t2).get.files
     assert(files2.exists(_.minTs.isEmpty),
-      "plain maintenance drops ts bounds on rewritten files (the decay)")
+      "an undeclared table's maintenance records no ts bounds (the decay)")
     // data identical either way
     assert(LakeLayout.readLake(spark, t1).get.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
       LakeLayout.readLake(spark, t2).get.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
-      "clustered and plain maintenance must agree on content")
+      "declared and undeclared maintenance must agree on content")
   }
 
   test("DESCRIBE HISTORY / DETAIL: metadata-only audit surface tracks ops, instants, files, and dv state") {
