@@ -85,6 +85,86 @@ object IvfIndex {
       .parquet(s"$indexPath/vectors")
   }
 
+  /** DRIFT OBSERVABILITY — the measured trigger for the periodic
+    * retrain ([[rebuild]]), so maintenance runs on imbalance, not
+    * cadence. One row of index health, all bounded by K or one
+    * distributed pass:
+    *  - occupancy stats (min/max/mean/p50/p90, empty cells) and
+    *    `occupancy_skew` = max/mean — detects HOT CELLS: an append
+    *    wave the frozen model funnels into few cells makes probe costs
+    *    lopsided (a probe hitting the hot cell scans far more than
+    *    nprobe/cells of the corpus);
+    *  - `mean_centroid_sim` — average cosine of each vector to its
+    *    cell's centroid, the model-FIT signal: drift moves it down
+    *    (appended vectors live far from every frozen centroid, so
+    *    recall erodes — true neighbours fall outside nprobe cells),
+    *    and a retrain moves it back up. Occupancy alone cannot see a
+    *    wave that lands in one cell BECAUSE the model has no better
+    *    centroid for it; the fit metric does.
+    * The (cell → count) frame is ≤ K rows — the same bounded model
+    * state [[probeTopK]] collects. */
+  def describeIvf(s: SparkSession, indexPath: String): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexPath/centroids")
+    val k = cents.count().toInt
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+    val occ = vecs.groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (0 until k).map(c => occ.getOrElse(c, 0L)).sorted
+    val nVec = counts.sum
+    val meanOcc = nVec.toDouble / math.max(1, k)
+    def pct(p: Double): Long = counts(math.min(k - 1, (p * k).toInt))
+    val meanSim = vecs
+      .join(broadcast(cents), "cell")
+      .agg(avg(VectorFunctions.cosine(col("embedding"), col("centroid"))))
+      .head().getDouble(0)
+    Seq((k.toLong, nVec, counts.count(_ == 0L).toLong,
+      counts.head, counts.last, meanOcc, pct(0.5), pct(0.9),
+      if (meanOcc > 0) counts.last / meanOcc else 0.0, meanSim))
+      .toDF("n_cells", "n_vectors", "empty_cells", "min_occupancy",
+        "max_occupancy", "mean_occupancy", "p50_occupancy",
+        "p90_occupancy", "occupancy_skew", "mean_centroid_sim")
+  }
+
+  /** RETRAIN in place — the IVF analogue of compaction, scheduled when
+    * [[describeIvf]]'s drift metrics say so. Trains fresh centroids on
+    * the index's CURRENT vectors (original corpus + every appended
+    * wave — unlike [[build]], which only sees the corpus table),
+    * re-assigns everything, and swaps the new layout in. Single-writer
+    * maintenance (same contract as [[build]]); probes during the final
+    * swap window should be drained. */
+  def rebuild(s: SparkSession, indexPath: String,
+      cells: Int = Similarity.IvfCells,
+      iters: Int = Similarity.IvfIters): Unit = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+      .select("vec_id", "label", "embedding")
+    val cents = Similarity.trainIvfCentroidsFrom(s,
+      vecs.select($"vec_id", $"embedding"), cells, iters)
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+    // stage beside the live layout, then swap: the read above is lazy,
+    // so the live dirs must survive until the staged writes finish
+    assignCells(vecs, centsDf)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/vectors_rebuild")
+    centsDf.coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids_rebuild")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    Seq("vectors", "centroids").foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(root, d)
+      fs.delete(live, true)
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(root, s"${d}_rebuild"), live),
+        s"rebuild: swapping $d failed on $indexPath")
+    }
+  }
+
   /** Serve a top-k query from the persisted index: rank cells against
     * the probe on the driver (K rows of model state), then scan ONLY the
     * nprobe nearest cell partitions with exact cosine. `excludeId` drops

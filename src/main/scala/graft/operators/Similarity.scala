@@ -302,14 +302,25 @@ object Similarity {
 
   private def trainIvfCentroids(s: SparkSession, dir: String,
       cells: Int, iters: Int, trainModulo: Int): Array[Array[Double]] = {
+    import s.implicits._
+    trainIvfCentroidsFrom(s,
+      e(s, dir).filter(pmod($"vec_id", lit(trainModulo)) === 0),
+      cells, iters)
+  }
+
+  /** Lloyd training over an arbitrary (vec_id, embedding) frame — the
+    * corpus-table path above and [[IvfIndex.rebuild]] (which retrains
+    * on the INDEX's own vectors, appended waves included) share it. */
+  private[graft] def trainIvfCentroidsFrom(s: SparkSession,
+      vecs: org.apache.spark.sql.DataFrame,
+      cells: Int, iters: Int): Array[Array[Double]] = {
     VectorFunctions.register(s)
     import s.implicits._
     // cache the UNIT vectors themselves: every Lloyd iteration (and the
     // seed collect) reads them, and the cache boundary also stops
     // project-collapse from inlining the norm into the per-element
     // division lambda
-    val unitVecs = e(s, dir)
-      .filter(pmod($"vec_id", lit(trainModulo)) === 0)
+    val unitVecs = vecs
       .withColumn("nrm", VectorFunctions.l2Norm($"embedding"))
       .filter($"nrm" > 0.0)
       .select($"vec_id",

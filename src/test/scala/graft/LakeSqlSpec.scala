@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.{LakeLayout, LakeSql}
+import org.apache.spark.sql.functions._
+
+/** Parity of the lake's SQL face ([[LakeSql]]) with the API surface:
+  * every statement form must return exactly what the corresponding
+  * API call returns — the SQL layer is a resolver, never a second
+  * implementation. */
+class LakeSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def stageTable(): String = {
+    val t = java.nio.file.Files.createTempDirectory("graft-lakesql").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 3000L).map(k => (k, k % 5, s"p$k")).toDF("id", "grp", "pay")
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      t, "ck", 0L, statsKey = Some("id"))
+    LakeLayout.upsertIntoLake(spark, t,
+      (0L until 3000L by 3).map(k => (k, -1L, "upd")).toDF("id", "grp", "pay"),
+      "id", "ck", 1L)
+    t
+  }
+
+  test("SELECT over a registered lake table equals the API snapshot, and advances with new commits") {
+    val t = stageTable()
+    LakeSql.register(spark, "sqlspec_t", t)
+    def viaSql = LakeSql.sql(spark,
+      "SELECT grp, count(*) AS n FROM sqlspec_t GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def viaApi = LakeLayout.readLake(spark, t).get
+      .groupBy($"grp").agg(count(lit(1)).as("n")).orderBy($"grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaApi)
+    // a new commit must be visible on the NEXT statement without
+    // re-registering (the view advances per statement)
+    LakeLayout.deleteFromLake(spark, t,
+      (0L until 3000L by 2).toDF("id"), "id", "ck", 2L)
+    assert(viaSql == viaApi,
+      "the SQL view must advance to the latest commit per statement")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin exactly what the API time travel reads") {
+    val t = stageTable()
+    LakeSql.register(spark, "sqlspec_tt", t)
+    val pin = LakeLayout.lakeCommitInstants(spark, t)(0L)
+    // v0 predates the update wave: no grp = -1 rows
+    val v0 = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_tt VERSION AS OF 0 " +
+        "WHERE grp = -1").collect()(0).getLong(0)
+    assert(v0 == 0L)
+    val v0All = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_tt VERSION AS OF 0")
+      .collect()(0).getLong(0)
+    assert(v0All == LakeLayout.readLakeVersion(spark, t, 0L).count())
+    val tsAll = LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM sqlspec_tt TIMESTAMP AS OF $pin")
+      .collect()(0).getLong(0)
+    assert(tsAll == LakeLayout.readLakeAsOf(spark, t, pin).get.count())
+    // both references in ONE statement: current vs pinned join
+    val changed = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_tt cur " +
+        "JOIN sqlspec_tt VERSION AS OF 0 old ON cur.id = old.id " +
+        "WHERE cur.grp <> old.grp").collect()(0).getLong(0)
+    assert(changed == 1000L,
+      s"the update wave re-grouped every 3rd of 3000 keys: $changed")
+    // an instant before the table existed fails loudly
+    val e = intercept[IllegalArgumentException](LakeSql.sql(spark,
+      s"SELECT * FROM sqlspec_tt TIMESTAMP AS OF ${pin - 1000000L}"))
+    assert(e.getMessage.contains("did not exist"))
+  }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL return the API frames verbatim") {
+    val t = stageTable()
+    LakeSql.register(spark, "sqlspec_h", t)
+    val histSql = LakeSql.sql(spark, "DESCRIBE HISTORY sqlspec_h")
+      .collect().map(_.toSeq).toSeq
+    val histApi = LakeLayout.lakeHistory(spark, t)
+      .collect().map(_.toSeq).toSeq
+    assert(histSql == histApi)
+    val detSql = LakeSql.sql(spark, "describe detail sqlspec_h")
+      .collect().map(_.toSeq).toSeq
+    val detApi = LakeLayout.describeLake(spark, t)
+      .collect().map(_.toSeq).toSeq
+    assert(detSql == detApi)
+  }
+
+  test("unregistered names and malformed identifiers fail loudly") {
+    assert(intercept[IllegalArgumentException](
+      LakeSql.sql(spark, "DESCRIBE HISTORY nosuch_lake_table"))
+      .getMessage.contains("not a registered lake table"))
+    assert(intercept[IllegalArgumentException](
+      LakeSql.register(spark, "bad name!", "/tmp/x"))
+      .getMessage.contains("identifier"))
+  }
+}
