@@ -2820,18 +2820,7 @@ object LakeLayout {
     // wait on the STORE's clock, not a blind sleep, so the drive stays
     // correct on stores with coarser-than-ms mtime granularity (the
     // wait is one probe ~immediately on a ms-granular local FS)
-    val table = new org.apache.hadoop.fs.Path(lake)
-    val fs = table.getFileSystem(s.sessionState.newHadoopConf())
-    // success is tracked by the PROBE result, not the loop counter — a
-    // clock that advances exactly on the last re-probe must not abort
-    var tries = 0
-    var advanced = storeNowMillis(fs, table) > tPinned
-    while (!advanced && tries < 200) {
-      tries += 1; Thread.sleep(25)
-      advanced = storeNowMillis(fs, table) > tPinned
-    }
-    require(advanced,
-      s"store clock did not advance past the pinned instant $tPinned")
+    awaitStoreClockPast(s, lake, tPinned)
     // a QUARTER-key wave is enough to break the hash on any wrong
     // version pick (those keys' priorities shift groups) while the
     // timed op stays a realistic file-granular commit, not a
@@ -2851,6 +2840,47 @@ object LakeLayout {
     """SELECT o_orderpriority, COUNT(*) AS n_orders,
          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
        FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** Wait until the store's clock is strictly past `tPinned`, so the
+    * NEXT commit's instant lands after the pin even on stores with
+    * coarse mtime granularity. Success is tracked by the probe result,
+    * not the loop counter — a clock that advances exactly on the last
+    * re-probe must not abort. */
+  private def awaitStoreClockPast(s: SparkSession, lake: String,
+      tPinned: Long): Unit = {
+    val table = new org.apache.hadoop.fs.Path(lake)
+    val fs = table.getFileSystem(s.sessionState.newHadoopConf())
+    var tries = 0
+    var advanced = storeNowMillis(fs, table) > tPinned
+    while (!advanced && tries < 200) {
+      tries += 1; Thread.sleep(25)
+      advanced = storeNowMillis(fs, table) > tPinned
+    }
+    require(advanced,
+      s"store clock did not advance past the pinned instant $tPinned")
+  }
+
+  /** The TIMESTAMP-AS-OF drive THROUGH THE SQL FACE: the same
+    * pin → update wave → as-of read shape as [[qLakeTimeTravel]], but
+    * the read is a SQL statement resolved by [[LakeSql]] — the
+    * registry gates the SQL surface itself against the DuckDB oracle,
+    * not just the API it delegates to. */
+  def qLakeSqlAsof(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = cloneLake(s, stagedOrders(s, dir, 4))
+    val tPinned = lakeCommitInstants(s, lake)(0L)
+    awaitStoreClockPast(s, lake, tPinned)
+    upsertIntoLake(s, lake,
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        .withColumn("o_orderpriority", lit("9-TT")),
+      "o_orderkey", "registry", 1L)
+    LakeSql.register(s, "sql_asof_lake", lake)
+    LakeSql.sql(s,
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+            sum(o_orderkey) AS sum_key
+          FROM sql_asof_lake TIMESTAMP AS OF $tPinned
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
 
   /** The MERGE-ON-READ twin of [[qLakeDelete]]: the SAME delete (every
     * key ≡ 3 mod 10 — maximally scattered, the copy-on-write worst
@@ -3146,6 +3176,7 @@ object LakeLayout {
     "q_lake_dv_delete" -> (qLakeDvDelete _),
     "q_lake_meta_count" -> (qLakeMetaCount _),
     "q_lake_time_travel" -> (qLakeTimeTravel _),
+    "q_lake_sql_asof" -> (qLakeSqlAsof _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
     "q_lake_zorder_opt" -> (qLakeZorderOpt _),
@@ -3161,6 +3192,8 @@ object LakeLayout {
     "q_lake_dv_delete" -> qLakeDeleteSql,
     "q_lake_meta_count" -> qLakeMetaCountSql,
     "q_lake_time_travel" -> qLakeTimeTravelSql,
+    // the SQL face resolves to the same pinned snapshot → same truth
+    "q_lake_sql_asof" -> qLakeTimeTravelSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
     "q_lake_ts_read" -> qLakeTsReadSql,
     "q_lake_zorder_opt" -> qLakeZorderOptSql,
