@@ -59,6 +59,10 @@ object SqlCli {
         .sortWithinPartitions(col("o_orderkey")),
       t, "cli", 0L, statsKey = Some("o_orderkey"))
     val pin = LakeLayout.lakeCommitInstants(spark, t)(0L)
+    // the next commit's instant must land strictly after the pin even
+    // on stores with coarse clock granularity (same guard as the
+    // registry time-travel drives)
+    LakeLayout.awaitStoreClockPast(spark, t, pin)
     LakeLayout.upsertIntoLake(spark, t,
       orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
         .withColumn("o_orderpriority", lit("9-SQL")),

@@ -112,14 +112,21 @@ object IvfIndex {
     val occ = vecs.groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val counts = (0 until k).map(c => occ.getOrElse(c, 0L)).sorted
+    // a just-created or emptied index reports a zero-health row — an
+    // observability call must never abort the maintenance pass
+    val counts =
+      if (k == 0) IndexedSeq(0L)
+      else (0 until k).map(c => occ.getOrElse(c, 0L)).sorted
     val nVec = counts.sum
     val meanOcc = nVec.toDouble / math.max(1, k)
-    def pct(p: Double): Long = counts(math.min(k - 1, (p * k).toInt))
-    val meanSim = vecs
-      .join(broadcast(cents), "cell")
-      .agg(avg(VectorFunctions.cosine(col("embedding"), col("centroid"))))
-      .head().getDouble(0)
+    def pct(p: Double): Long =
+      counts(math.max(0, math.min(counts.size - 1, (p * k).toInt)))
+    val meanSim =
+      if (k == 0 || nVec == 0L) 0.0
+      else Option(vecs
+        .join(broadcast(cents), "cell")
+        .agg(avg(VectorFunctions.cosine(col("embedding"), col("centroid"))))
+        .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
     Seq((k.toLong, nVec, counts.count(_ == 0L).toLong,
       counts.head, counts.last, meanOcc, pct(0.5), pct(0.9),
       if (meanOcc > 0) counts.last / meanOcc else 0.0, meanSim))
@@ -156,13 +163,22 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$indexPath/centroids_rebuild")
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    // swap via rename-aside, never delete-first: a crash mid-swap
+    // leaves the old layout recoverable under *_old instead of a
+    // destroyed live index; old dirs are dropped only after the new
+    // layout is fully in place
     Seq("vectors", "centroids").foreach { d =>
       val live = new org.apache.hadoop.fs.Path(root, d)
-      fs.delete(live, true)
+      val old = new org.apache.hadoop.fs.Path(root, s"${d}_old")
+      fs.delete(old, true)
+      require(!fs.exists(live) || fs.rename(live, old),
+        s"rebuild: setting aside live $d failed on $indexPath")
       require(fs.rename(
         new org.apache.hadoop.fs.Path(root, s"${d}_rebuild"), live),
         s"rebuild: swapping $d failed on $indexPath")
     }
+    Seq("vectors_old", "centroids_old").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
   }
 
   /** Serve a top-k query from the persisted index: rank cells against

@@ -224,7 +224,13 @@ object LakeLayout {
     * per-file stat loop was ~800 k round trips per maintenance pass. */
   private def fileLen(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, f: LakeFile): Long =
-    f.bytes.getOrElse(fs.getFileStatus(lakeFilePath(table, f.path)).getLen)
+    f.bytes.getOrElse {
+      // resolve against the ENTRY's own filesystem: an absolute
+      // shallow-clone reference may live on a different store than
+      // the clone's root (same-fs entries get the cached instance)
+      val p = lakeFilePath(table, f.path)
+      p.getFileSystem(fs.getConf).getFileStatus(p).getLen
+    }
   private def bytesOf(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, files: Seq[LakeFile]): Long =
     files.map(fileLen(fs, table, _)).sum
@@ -413,7 +419,15 @@ object LakeLayout {
     // the same way or a caller mixing `file:/tmp/t` and `/tmp/t`
     // would silently evict nothing
     val p = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // qualify with the ACTIVE session's Hadoop conf when one exists —
+    // cache keys were built through that conf's filesystems, and a
+    // spark.hadoop.* override (fs.defaultFS, per-bucket settings)
+    // would make a classpath-default qualification miss every key
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val prefix = fs.makeQualified(p).toString + "/"
     manifestCache.keySet.filter(_.startsWith(prefix)).foreach { k =>
       if (manifestCache.remove(k).isDefined) manifestCacheN.decrementAndGet()
@@ -883,6 +897,15 @@ object LakeLayout {
     c.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** The table's carried cluster axis, DROPPED when the current schema
+    * no longer has the column: a full rewrite may legally rename or
+    * drop it, and re-persisting a dangling name would crash every
+    * later maintenance pass with no API path to unset it. A schemaless
+    * (legacy) commit keeps the property — unknowable is not wrong. */
+  private def carriedTsCluster(cur: LakeCommit): Option[String] =
+    cur.tsClusterCol.filter(c =>
+      commitSchema(cur).forall(_.fieldNames.contains(c)))
+
   private def commitFrame(spark: SparkSession, tablePath: String,
       c: LakeCommit): DataFrame =
     if (c.files.isEmpty) schemaReader(spark, c).parquet(s"$tablePath/${c.dataDir}")
@@ -958,8 +981,11 @@ object LakeLayout {
     // the table's persisted cluster axis: set it when the caller
     // declares one, else carry the table property forward so every
     // rewrite keeps recording second-axis bounds (wide bounds beat no
-    // bounds — a stat-less file is ALWAYS a band candidate)
-    val effTs = tsStatsKey.orElse(cur.flatMap(_.tsClusterCol))
+    // bounds — a stat-less file is ALWAYS a band candidate); the
+    // carried axis must exist in the NEW frame too (a full rewrite
+    // may drop the column — that clears the property)
+    val effTs = tsStatsKey.orElse(cur.flatMap(carriedTsCluster))
+      .filter(df.schema.fieldNames.contains)
     // overwrite: an orphan dir from a crashed previous attempt at this
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
@@ -1048,7 +1074,8 @@ object LakeLayout {
     val v = cur.map(_.version + 1).getOrElse(0L)
     val carried = cur.map(c => resolveFiles(fs, table, c)).getOrElse(Seq.empty)
     val dataRel = s"data/${versionName(v)}-app"
-    val effTs = cur.flatMap(_.tsClusterCol)
+    val effTs = cur.flatMap(carriedTsCluster)
+      .filter(rows.schema.fieldNames.contains)
     rows.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     val newFiles = fileStats(spark, tablePath, dataRel, statsKey, effTs)
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
@@ -1272,11 +1299,11 @@ object LakeLayout {
         // files ts-band prunable (wide bounds beat no bounds) instead
         // of decaying them to always-candidates until the next
         // clustered maintenance pass
-        val effTs = cur.tsClusterCol.filter(evolved.fieldNames.contains)
+        val effTs = carriedTsCluster(cur).filter(evolved.fieldNames.contains)
         val newFiles = fileStats(spark, tablePath, dataRel, Some(key), effTs)
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
             carried ++ newFiles, dirTag, Some(evolved.json),
-            parentFiles = cur.files, tsClusterCol = cur.tsClusterCol)) {
+            parentFiles = cur.files, tsClusterCol = effTs)) {
           val bytesWritten = bytesOf(fs, table, newFiles)
           Right(LakeUpsertResult(v, carried.size, rewritten.size,
             newFiles.size, bytesWritten,
@@ -1376,7 +1403,7 @@ object LakeLayout {
         if (tryPublishManifest(fs, table, latest.version + 1, c.dataRel,
             writerId, batchId, newList, s"-$writerId-rb", c.schemaJson,
             parentFiles = latest.files,
-            tsClusterCol = latest.tsClusterCol))
+            tsClusterCol = carriedTsCluster(latest)))
           return Some(LakeUpsertResult(latest.version + 1,
             newList.size - c.newFiles.size, c.rewrittenPaths.size,
             c.newFiles.size, c.bytesWritten,
@@ -1503,11 +1530,12 @@ object LakeLayout {
             col(key))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-        fileStats(spark, tablePath, dataRel, Some(key), cur.tsClusterCol)
+        fileStats(spark, tablePath, dataRel, Some(key),
+          carriedTsCluster(cur))
       }
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
       carried ++ newFiles, cur.schemaJson, op = "delete",
-      parentFiles = cur.files, tsClusterCol = cur.tsClusterCol)
+      parentFiles = cur.files, tsClusterCol = carriedTsCluster(cur))
     val bytesWritten = bytesOf(fs, table, newFiles)
     LakeUpsertResult(v, carried.size, rewritten.size, newFiles.size,
       bytesWritten, bytesWritten + bytesOf(fs, table, carried))
@@ -1557,7 +1585,7 @@ object LakeLayout {
       if (affected(f.path)) f.copy(dv = Some(dvRel)) else f)
     publishManifest(fs, table, v, dvRel, checkpoint, batchId, newList,
       cur.schemaJson, op = "dvdelete", parentFiles = cur.files,
-      tsClusterCol = cur.tsClusterCol)
+      tsClusterCol = carriedTsCluster(cur))
     v
   }
 
@@ -1594,7 +1622,7 @@ object LakeLayout {
         if (affected(f.path)) f.copy(dv = Some(dvRel)) else f)
       if (tryPublishManifest(fs, table, v, dvRel, writerId, batchId,
           newList, s"-$writerId-dv", cur.schemaJson, op = "dvdelete",
-          parentFiles = cur.files, tsClusterCol = cur.tsClusterCol))
+          parentFiles = cur.files, tsClusterCol = carriedTsCluster(cur)))
         return v
       fs.delete(new org.apache.hadoop.fs.Path(table, dvRel), true)
       Thread.sleep(rnd.nextInt(40 * attempt) + 5L)
@@ -1748,7 +1776,12 @@ object LakeLayout {
     }
     var prev = Long.MinValue
     raw.map { case (v, t) =>
-      val adj = if (t < prev) prev + 1 else t
+      // STRICTLY increasing (ties adjusted too): on a store with
+      // coarse clock granularity two commits can carry the SAME
+      // instant, and AS-OF `<= pin` + max-version would then serve
+      // the later one at the earlier one's pin — resolving ties
+      // upward errs toward the EARLIER version, never future state
+      val adj = if (t <= prev) prev + 1 else t
       prev = adj
       v -> adj
     }.toMap
@@ -1994,7 +2027,7 @@ object LakeLayout {
     // the persisted cluster axis kicks in when the caller passes none —
     // an OPTIMIZE'd table keeps its two-axis layout through plain
     // maintenance without every scheduler knowing the table's history
-    val effTs = tsCluster.orElse(cur.tsClusterCol)
+    val effTs = tsCluster.orElse(carriedTsCluster(cur))
     val sized = cur.files.map(f => f -> fileLen(fs, table, f))
     val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
     if (small.size < 2) return cur.version
@@ -2049,7 +2082,7 @@ object LakeLayout {
       require(cur.files.nonEmpty,
         "compactLakeOcc needs file-granular manifests (run a single-writer " +
           "full compaction once to convert a legacy dir-pointer table)")
-      val effTs = tsCluster.orElse(cur.tsClusterCol)
+      val effTs = tsCluster.orElse(carriedTsCluster(cur))
       val sized = cur.files.map(f => f -> fileLen(fs, table, f))
       val (small, big) = sized.partition(_._2 < smallFileMB * 1024L * 1024L)
       if (small.size < 2) return cur.version
@@ -2107,7 +2140,7 @@ object LakeLayout {
         "materializeDvOcc needs file-granular manifests")
       val (vectored, clean) = cur.files.partition(_.dv.isDefined)
       if (vectored.isEmpty) return cur.version
-      val effTs = tsCluster.orElse(cur.tsClusterCol)
+      val effTs = tsCluster.orElse(carriedTsCluster(cur))
       val bytes = bytesOf(fs, table, vectored)
       val nFiles = math.max(math.max(1, minFiles),
         (bytes / (targetFileMB * 1024L * 1024L)).toInt)
@@ -2182,7 +2215,7 @@ object LakeLayout {
     // that was ~800 k serial namenode round trips per maintenance run)
     val small = cur.files.count(f =>
       fileLen(fs, table, f) < smallFileMB * 1024L * 1024L)
-    val effTs = tsCluster.orElse(cur.tsClusterCol)
+    val effTs = tsCluster.orElse(carriedTsCluster(cur))
     val compacted =
       if (small >= minSmallFiles)
         Some(compactLakeOcc(spark, tablePath, key, writerId,
@@ -2711,7 +2744,7 @@ object LakeLayout {
     val dstFs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     publishManifest(dstFs, dst, 0L, s"data/${versionName(0L)}-shallow",
       s"clone:$srcPath", -1L, absFiles, cur.schemaJson,
-      tsClusterCol = cur.tsClusterCol)
+      tsClusterCol = carriedTsCluster(cur))
     0L
   }
 
@@ -2846,7 +2879,7 @@ object LakeLayout {
     * coarse mtime granularity. Success is tracked by the probe result,
     * not the loop counter — a clock that advances exactly on the last
     * re-probe must not abort. */
-  private def awaitStoreClockPast(s: SparkSession, lake: String,
+  private[graft] def awaitStoreClockPast(s: SparkSession, lake: String,
       tPinned: Long): Unit = {
     val table = new org.apache.hadoop.fs.Path(lake)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())

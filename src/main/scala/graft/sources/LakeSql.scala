@@ -46,14 +46,19 @@ object LakeSql {
   def register(spark: SparkSession, name: String, tablePath: String): Unit = {
     require(name.matches(ident),
       s"lake table name must be a plain SQL identifier, got '$name'")
-    registered(name) = tablePath
+    // SQL identifiers are case-insensitive — so is this registry
+    registered(name.toLowerCase) = tablePath
     Catalog.registerLakeView(spark, tablePath, name)
   }
 
+  private def isRegistered(name: String): Boolean =
+    registered.contains(name.toLowerCase)
+
   private def pathOf(name: String): String =
-    registered.getOrElse(name, throw new IllegalArgumentException(
-      s"'$name' is not a registered lake table " +
-        s"(registered: ${registered.keys.toSeq.sorted.mkString(", ")})"))
+    registered.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"'$name' is not a registered lake table " +
+          s"(registered: ${registered.keys.toSeq.sorted.mkString(", ")})"))
 
   private val historyRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($ident)\\s*;?\\s*$$".r
@@ -72,19 +77,28 @@ object LakeSql {
       case detailRe(name) =>
         LakeLayout.describeLake(spark, pathOf(name))
       case _ =>
-        // pin VERSION AS OF references as snapshot views
+        // pin VERSION AS OF references as snapshot views; a match
+        // whose identifier is NOT a registered lake table passes
+        // through untouched — this keeps string literals that happen
+        // to contain the phrase intact and leaves genuinely-misspelled
+        // table references to Spark's own analysis error
+        def quoted(m: scala.util.matching.Regex.Match): String =
+          scala.util.matching.Regex.quoteReplacement(m.matched)
         val afterVersion = versionAsOfRe.replaceAllIn(statement, m => {
           val (name, v) = (m.group(1), m.group(2).toLong)
-          pinnedView(spark, name, v)
+          if (isRegistered(name)) pinnedView(spark, name, v) else quoted(m)
         })
         // resolve TIMESTAMP AS OF to a version on the instants surface
         val rewritten = timestampAsOfRe.replaceAllIn(afterVersion, m => {
           val (name, ts) = (m.group(1), m.group(2).toLong)
-          val v = LakeLayout.lakeVersionAsOf(spark, pathOf(name), ts)
-            .getOrElse(throw new IllegalArgumentException(
-              s"$name has no version committed at or before instant $ts " +
-                "(the table did not exist yet)"))
-          pinnedView(spark, name, v)
+          if (!isRegistered(name)) quoted(m)
+          else {
+            val v = LakeLayout.lakeVersionAsOf(spark, pathOf(name), ts)
+              .getOrElse(throw new IllegalArgumentException(
+                s"$name has no version committed at or before instant " +
+                  s"$ts (the table did not exist yet)"))
+            pinnedView(spark, name, v)
+          }
         })
         // advance the plain current-snapshot views the statement uses
         registered.foreach { case (name, path) =>

@@ -24,6 +24,19 @@ class LakeMetadataSpec extends SparkSuite {
   private def fsOf(p: String) =
     new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
 
+  /** Byte-wise recursive copy through plain NIO — every copied file
+    * gets a FRESH mtime (the migration-tool failure mode both instant
+    * tests simulate) and no Hadoop .crc sidecars. */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(c =>
+        copyTree(c, new java.io.File(dst, c.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def freshOrders(parts: Int = 4): String = {
     val t = java.nio.file.Files.createTempDirectory("graft-meta").toString
     LakeLayout.commitLakeVersion(
@@ -114,15 +127,6 @@ class LakeMetadataSpec extends SparkSuite {
     // copy the WHOLE table byte-wise through read+write (fresh mtimes
     // on every manifest — the migration-tool failure mode)
     val t2 = java.nio.file.Files.createTempDirectory("graft-meta-cp").toString
-    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
-      if (src.isDirectory) {
-        dst.mkdirs()
-        src.listFiles().foreach(c =>
-          copyTree(c, new java.io.File(dst, c.getName)))
-      } else
-        java.nio.file.Files.copy(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     Thread.sleep(30) // guarantee the copy's mtimes differ from commit time
     copyTree(new java.io.File(t), new java.io.File(t2))
     val instants2 = LakeLayout.lakeCommitInstants(spark, t2)
@@ -147,15 +151,6 @@ class LakeMetadataSpec extends SparkSuite {
     // (store-clock skew between metadata nodes); edit before any read
     // of the fork so the parse cache never sees the unedited bytes
     val t2 = java.nio.file.Files.createTempDirectory("graft-meta-mono").toString
-    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
-      if (src.isDirectory) {
-        dst.mkdirs()
-        src.listFiles().foreach(c =>
-          copyTree(c, new java.io.File(dst, c.getName)))
-      } else
-        java.nio.file.Files.copy(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     copyTree(new java.io.File(t), new java.io.File(s"$t2/tbl"))
     val tbl = s"$t2/tbl"
     val v2m = new java.io.File(s"$tbl/_commits/v${"0" * 19}2.manifest")
@@ -172,6 +167,50 @@ class LakeMetadataSpec extends SparkSuite {
     // AS OF v1's instant must serve v1, not the future v2
     assert(LakeLayout.lakeVersionAsOf(spark, tbl, inst(1L)) == Some(1L),
       "a regressed later commit must stay invisible at v1's instant")
+    // TIES adjust too (coarse store clocks): v2 stamped EXACTLY at
+    // v1's instant must still resolve AS OF v1's pin to v1 — ties
+    // resolve toward the earlier version, never future state
+    val t3 = java.nio.file.Files.createTempDirectory("graft-meta-tie").toString
+    copyTree(new java.io.File(t), new java.io.File(s"$t3/tbl"))
+    val tieM = new java.io.File(s"$t3/tbl/_commits/v${"0" * 19}2.manifest")
+    val tied = new String(
+      java.nio.file.Files.readAllBytes(tieM.toPath), "UTF-8")
+      .linesIterator.map(l =>
+        if (l.startsWith("t\t")) s"t\t${base(1L)}" else l)
+      .mkString("\n") + "\n"
+    java.nio.file.Files.write(tieM.toPath, tied.getBytes("UTF-8"))
+    val instTie = LakeLayout.lakeCommitInstants(spark, s"$t3/tbl")
+    assert(instTie(2L) == instTie(1L) + 1,
+      s"an equal-instant later commit must adjust to +1ms: $instTie")
+    assert(LakeLayout.lakeVersionAsOf(spark, s"$t3/tbl", instTie(1L))
+      == Some(1L))
+  }
+
+  test("the persisted cluster axis clears itself when a full rewrite drops the column; maintenance keeps working") {
+    val t = java.nio.file.Files.createTempDirectory("graft-meta-axis")
+      .toString
+    val rows = (0L until 4000L).map(k => (k, (k * 7919) % 4000, k % 7))
+      .toDF("k", "t", "grp")
+    LakeLayout.commitLakeVersion(
+      rows.repartitionByRange(4, $"k").sortWithinPartitions($"k"),
+      t, "ck", 0L, statsKey = Some("k"), tsStatsKey = Some("t"))
+    assert(LakeLayout.latestLakeCommit(spark, t).get.tsClusterCol
+      .contains("t"))
+    // a full rewrite WITHOUT the cluster column: the property must
+    // clear, not dangle — a dangling axis would crash every later
+    // maintenance pass with no way to unset it
+    LakeLayout.commitLakeVersion(
+      LakeLayout.readLake(spark, t).get.drop("t")
+        .repartitionByRange(4, $"k").sortWithinPartitions($"k"),
+      t, "ck", 1L, statsKey = Some("k"))
+    assert(LakeLayout.latestLakeCommit(spark, t).get.tsClusterCol.isEmpty,
+      "dropping the cluster column must clear the table property")
+    val r = LakeLayout.maintainLake(spark, t, "k", "maint",
+      minSmallFiles = 2, smallFileMB = 1024, targetFileMB = 1,
+      minFiles = 4)
+    assert(r.compactedTo.isDefined,
+      "maintenance after the axis cleared must run key-sorted, not crash")
+    assert(LakeLayout.readLake(spark, t).get.count() == 4000L)
   }
 
   test("shallow clone: O(manifest) fork reads identically; writes diverge; the clone's vacuum never reclaims source files") {

@@ -93,4 +93,26 @@ class LakeSqlSpec extends SparkSuite {
       LakeSql.register(spark, "bad name!", "/tmp/x"))
       .getMessage.contains("identifier"))
   }
+
+  test("names resolve case-insensitively, like every other SQL identifier") {
+    val t = stageTable()
+    LakeSql.register(spark, "SqlSpec_Case", t)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_case VERSION AS OF 0")
+      .collect()(0).getLong(0) == 3000L)
+    assert(LakeSql.sql(spark, "DESCRIBE HISTORY SQLSPEC_CASE")
+      .count() == 2L)
+  }
+
+  test("an AS-OF phrase inside a string literal passes through untouched") {
+    val t = stageTable()
+    LakeSql.register(spark, "sqlspec_lit", t)
+    // 'see VERSION AS OF 3' must not be treated as a table reference —
+    // the unregistered identifier 'see' leaves the literal intact
+    val n = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_lit " +
+        "WHERE 'see VERSION AS OF 3' = 'see VERSION AS OF 3'")
+      .collect()(0).getLong(0)
+    assert(n == 3000L)
+  }
 }
