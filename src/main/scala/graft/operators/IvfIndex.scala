@@ -181,6 +181,32 @@ object IvfIndex {
       fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
   }
 
+  /** What one [[maintainIvf]] pass saw and did. */
+  final case class IvfMaintenanceReport(skew: Double, fit: Double,
+      rebuilt: Boolean)
+
+  /** ONE-CALL measured maintenance — the policy layer over
+    * [[describeIvf]] + [[rebuild]], mirroring the lake's
+    * `maintainLake`: retrain exactly when the measured drift says so
+    * (`occupancy_skew` above `maxSkew` — hot cells make probe costs
+    * lopsided — or `mean_centroid_sim` below `minFit` — the frozen
+    * model no longer represents the corpus and recall erodes), never
+    * on cadence. An idle pass costs one K-row aggregate and one
+    * corpus-pass average; thresholds sit loose by default so only
+    * genuine drift triggers the O(corpus) retrain. */
+  def maintainIvf(s: SparkSession, indexPath: String,
+      maxSkew: Double = 4.0, minFit: Double = 0.15,
+      cells: Int = Similarity.IvfCells,
+      iters: Int = Similarity.IvfIters): IvfMaintenanceReport = {
+    val d = describeIvf(s, indexPath).collect()(0)
+    val skew = d.getAs[Double]("occupancy_skew")
+    val fit = d.getAs[Double]("mean_centroid_sim")
+    val trigger = d.getAs[Long]("n_vectors") > 0 &&
+      (skew > maxSkew || fit < minFit)
+    if (trigger) rebuild(s, indexPath, cells, iters)
+    IvfMaintenanceReport(skew, fit, trigger)
+  }
+
   /** Serve a top-k query from the persisted index: rank cells against
     * the probe on the driver (K rows of model state), then scan ONLY the
     * nprobe nearest cell partitions with exact cosine. `excludeId` drops

@@ -1859,11 +1859,14 @@ object LakeLayout {
           (if (cur.schemaJson.isDefined) 0L else -1L)
         else if (cur.files.forall(f => f.rows.isDefined && f.dv.isEmpty))
           cur.files.flatMap(_.rows).sum
-        else -1L))
+        else -1L,
+        // the persisted cluster axis — operators check it before
+        // relying on two-axis pruning or scheduling OPTIMIZE
+        cur.tsClusterCol.orNull))
         .toDF("version", "n_versions", "n_files", "total_bytes",
           "min_file_bytes", "max_file_bytes", "n_dv_files", "n_dv_sidecars",
           "dv_sidecar_bytes", "n_key_stat_files", "n_ts_stat_files",
-          "n_rows_meta")
+          "n_rows_meta", "ts_cluster")
     } catch {
       // TOCTOU next to live maintenance: a concurrent vacuum can
       // retire the just-resolved version between the manifest read and
@@ -2450,6 +2453,32 @@ object LakeLayout {
     if (dropped.nonEmpty || orphanGraceMs > 0L)
       sweepUnreferencedData(fs, table, kept, orphanGraceMs)
     ()
+  }
+
+  /** TIME-BASED retention over the durable instants surface: keep
+    * every version whose commit instant is within `retainMs` of the
+    * store's own now (plus always the live version), drop the rest —
+    * the "keep 7 days of history" contract operators actually
+    * schedule, riding the same persisted+monotonized instants AS-OF
+    * uses, so "time travel works for the retention window" is true BY
+    * CONSTRUCTION: any instant a reader can name inside the window
+    * resolves to a kept version. Count-based `keep` still applies as
+    * a floor; all other semantics (checkpoint materialization,
+    * consumer low-watermark, orphan grace) are [[vacuumLake]]'s. */
+  def vacuumLakeByAge(spark: SparkSession, tablePath: String,
+      retainMs: Long, keepAtLeast: Int = 1,
+      protectFrom: Option[Long] = None,
+      orphanGraceMs: Long = 0L): Unit = {
+    require(retainMs >= 0, "retainMs must be nonnegative")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val instants = lakeCommitInstants(spark, tablePath)
+    if (instants.isEmpty) return
+    val cutoff = storeNowMillis(fs, table) - retainMs
+    val recent = instants.count { case (_, t) => t >= cutoff }
+    vacuumLake(spark, tablePath,
+      keep = math.max(math.max(1, keepAtLeast), recent),
+      protectFrom, orphanGraceMs)
   }
 
   /** Reclaim crash orphans WITHOUT touching history — the sweep half of

@@ -72,4 +72,32 @@ class IvfDriftSpec extends SparkSuite {
     // (fresh-build serving parity vs the in-query IVF path stays
     // pinned by PipelineOperatorsSpec — the build path is untouched)
   }
+
+  test("maintainIvf: healthy index is a no-op; measured drift triggers the rebuild") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-maint")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    val (_, skew0, fit0) = health(idx)
+    // thresholds pinned just outside the healthy reading: no trigger
+    val r0 = IvfIndex.maintainIvf(spark, idx,
+      maxSkew = skew0 + 1.0, minFit = fit0 - 0.05)
+    assert(!r0.rebuilt, s"a healthy index must not retrain: $r0")
+    // the same drift wave as above: either signal crossing triggers
+    val wave = spark.range(200).select(
+      ($"id" + 800000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (when(pmod(j, lit(2)) === 0, lit(0.125)).otherwise(lit(-0.125)) +
+          (pmod($"id" * 131 + j.cast("long") * 17, lit(11)) - 5)
+            .cast("double") * 0.002).cast("float")).as("embedding"),
+      lit(9).as("label"))
+    IvfIndex.append(spark, idx, wave)
+    val r1 = IvfIndex.maintainIvf(spark, idx,
+      maxSkew = skew0 + 1.0, minFit = fit0 - 0.05)
+    assert(r1.rebuilt,
+      s"drift past the thresholds must trigger the rebuild: $r1 " +
+        s"(baseline skew=$skew0 fit=$fit0)")
+    val (_, _, fit2) = health(idx)
+    assert(fit2 > r1.fit,
+      s"the triggered rebuild must restore fit: ${r1.fit} -> $fit2")
+  }
 }

@@ -258,6 +258,28 @@ class LakeMetadataSpec extends SparkSuite {
       "every key was deleted — the sharded sidecar must apply in full")
   }
 
+  test("time-based vacuum: versions inside the retention window survive and stay AS-OF resolvable; older ones drop") {
+    val t = freshOrders()
+    (1L to 3L).foreach { b =>
+      LakeLayout.upsertIntoLake(spark, t,
+        Seq((b, -b, s"u$b")).toDF("id", "grp", "pay"), "id", "ck", b)
+      Thread.sleep(15)
+    }
+    val instants = LakeLayout.lakeCommitInstants(spark, t)
+    // a generous window keeps everything
+    LakeLayout.vacuumLakeByAge(spark, t, retainMs = 3600000L)
+    assert(LakeLayout.lakeVersions(spark, t) == Seq(0L, 1L, 2L, 3L))
+    // every instant inside the window must still time-travel exactly
+    instants.foreach { case (v, ts) =>
+      assert(LakeLayout.lakeVersionAsOf(spark, t, ts).contains(v))
+    }
+    // a zero window keeps only the live version (the keepAtLeast floor)
+    LakeLayout.vacuumLakeByAge(spark, t, retainMs = 0L)
+    assert(LakeLayout.lakeVersions(spark, t) == Seq(3L),
+      "outside-window history must drop to the floor")
+    assert(LakeLayout.readLake(spark, t).get.count() == 4000L)
+  }
+
   test("qualified and bare path spellings share one manifest cache entry space") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cachekey")
       .toString
