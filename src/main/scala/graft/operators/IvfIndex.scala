@@ -106,14 +106,21 @@ object IvfIndex {
   def describeIvf(s: SparkSession, indexPath: String): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
-    val cents = s.read.parquet(s"$indexPath/centroids")
-    val k = cents.count().toInt
-    val vecs = s.read.parquet(s"$indexPath/vectors")
-    val occ = vecs.groupBy(col("cell").cast("int").as("cell"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // a just-created or emptied index reports a zero-health row — an
-    // observability call must never abort the maintenance pass
+    // a just-created, empty, or partially-built index reports a
+    // zero-health row — an observability call must never abort the
+    // maintenance pass. An EMPTY layout has no parquet files at all
+    // (partitionBy of an empty frame writes no partition dirs), so the
+    // reads themselves can fail schema inference — treat that as zero.
+    def tryRead(path: String) =
+      try Some(s.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val centsOpt = tryRead(s"$indexPath/centroids")
+    val vecsOpt = tryRead(s"$indexPath/vectors")
+    val k = centsOpt.fold(0L)(_.count()).toInt
+    val occ = vecsOpt.fold(Map.empty[Int, Long])(
+      _.groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val counts =
       if (k == 0) IndexedSeq(0L)
       else (0 until k).map(c => occ.getOrElse(c, 0L)).sorted
@@ -123,8 +130,8 @@ object IvfIndex {
       counts(math.max(0, math.min(counts.size - 1, (p * k).toInt)))
     val meanSim =
       if (k == 0 || nVec == 0L) 0.0
-      else Option(vecs
-        .join(broadcast(cents), "cell")
+      else Option(vecsOpt.get
+        .join(broadcast(centsOpt.get), "cell")
         .agg(avg(VectorFunctions.cosine(col("embedding"), col("centroid"))))
         .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
     Seq((k.toLong, nVec, counts.count(_ == 0L).toLong,

@@ -981,11 +981,16 @@ object LakeLayout {
     // the table's persisted cluster axis: set it when the caller
     // declares one, else carry the table property forward so every
     // rewrite keeps recording second-axis bounds (wide bounds beat no
-    // bounds — a stat-less file is ALWAYS a band candidate); the
-    // carried axis must exist in the NEW frame too (a full rewrite
-    // may drop the column — that clears the property)
-    val effTs = tsStatsKey.orElse(cur.flatMap(carriedTsCluster))
-      .filter(df.schema.fieldNames.contains)
+    // bounds — a stat-less file is ALWAYS a band candidate). An
+    // EXPLICITLY declared key must exist (exact case) — silently
+    // dropping a typo here would also erase a valid carried axis via
+    // the orElse; the CARRIED axis filters quietly instead (a full
+    // rewrite may legally drop the column — that clears the property)
+    tsStatsKey.foreach(k => require(df.schema.fieldNames.contains(k),
+      s"tsStatsKey '$k' is not a column of the committed frame " +
+        s"(columns: ${df.schema.fieldNames.mkString(", ")})"))
+    val effTs = tsStatsKey.orElse(cur.flatMap(carriedTsCluster)
+      .filter(df.schema.fieldNames.contains))
     // overwrite: an orphan dir from a crashed previous attempt at this
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
@@ -1861,8 +1866,10 @@ object LakeLayout {
           cur.files.flatMap(_.rows).sum
         else -1L,
         // the persisted cluster axis — operators check it before
-        // relying on two-axis pruning or scheduling OPTIMIZE
-        cur.tsClusterCol.orNull))
+        // relying on two-axis pruning or scheduling OPTIMIZE, so show
+        // the CARRIED view (a dangling legacy axis reads as absent,
+        // matching what every write/maintenance path does)
+        carriedTsCluster(cur).orNull))
         .toDF("version", "n_versions", "n_files", "total_bytes",
           "min_file_bytes", "max_file_bytes", "n_dv_files", "n_dv_sidecars",
           "dv_sidecar_bytes", "n_key_stat_files", "n_ts_stat_files",
@@ -2476,8 +2483,13 @@ object LakeLayout {
     if (instants.isEmpty) return
     val cutoff = storeNowMillis(fs, table) - retainMs
     val recent = instants.count { case (_, t) => t >= cutoff }
+    // the BOUNDARY version also survives: an in-window pin OLDER than
+    // every in-window commit must resolve to the newest version
+    // at-or-before the cutoff — dropping it would make lakeVersionAsOf
+    // return None for instants the window promises to serve
+    val boundary = if (recent < instants.size) 1 else 0
     vacuumLake(spark, tablePath,
-      keep = math.max(math.max(1, keepAtLeast), recent),
+      keep = math.max(math.max(1, keepAtLeast), recent + boundary),
       protectFrom, orphanGraceMs)
   }
 

@@ -35,8 +35,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write time and replay it verbatim in SQL. */
 object LakeSql {
 
+  // lowercased name -> (name as registered, table path): lookups are
+  // case-insensitive like any SQL identifier, but views are always
+  // (re-)registered under the ORIGINAL casing so case-sensitive
+  // sessions (spark.sql.caseSensitive=true) resolve the same view the
+  // registration created
   private val registered =
-    new scala.collection.concurrent.TrieMap[String, String]()
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
 
@@ -46,8 +51,7 @@ object LakeSql {
   def register(spark: SparkSession, name: String, tablePath: String): Unit = {
     require(name.matches(ident),
       s"lake table name must be a plain SQL identifier, got '$name'")
-    // SQL identifiers are case-insensitive — so is this registry
-    registered(name.toLowerCase) = tablePath
+    registered(name.toLowerCase) = (name, tablePath)
     Catalog.registerLakeView(spark, tablePath, name)
   }
 
@@ -55,10 +59,10 @@ object LakeSql {
     registered.contains(name.toLowerCase)
 
   private def pathOf(name: String): String =
-    registered.getOrElse(name.toLowerCase,
-      throw new IllegalArgumentException(
+    registered.get(name.toLowerCase).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
         s"'$name' is not a registered lake table " +
-          s"(registered: ${registered.keys.toSeq.sorted.mkString(", ")})"))
+          s"(registered: ${registered.values.map(_._1).toSeq.sorted.mkString(", ")})"))
 
   private val historyRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($ident)\\s*;?\\s*$$".r
@@ -77,36 +81,55 @@ object LakeSql {
       case detailRe(name) =>
         LakeLayout.describeLake(spark, pathOf(name))
       case _ =>
-        // pin VERSION AS OF references as snapshot views; a match
-        // whose identifier is NOT a registered lake table passes
-        // through untouched — this keeps string literals that happen
-        // to contain the phrase intact and leaves genuinely-misspelled
-        // table references to Spark's own analysis error
+        // pin AS-OF references as snapshot views. Two guards keep the
+        // rewrite from touching text that is not a table reference:
+        // single-quoted STRING LITERALS are masked out entirely, and a
+        // match whose identifier is not a registered lake table passes
+        // through untouched (genuinely-misspelled references get
+        // Spark's own analysis error)
         def quoted(m: scala.util.matching.Regex.Match): String =
           scala.util.matching.Regex.quoteReplacement(m.matched)
-        val afterVersion = versionAsOfRe.replaceAllIn(statement, m => {
-          val (name, v) = (m.group(1), m.group(2).toLong)
-          if (isRegistered(name)) pinnedView(spark, name, v) else quoted(m)
-        })
-        // resolve TIMESTAMP AS OF to a version on the instants surface
-        val rewritten = timestampAsOfRe.replaceAllIn(afterVersion, m => {
-          val (name, ts) = (m.group(1), m.group(2).toLong)
-          if (!isRegistered(name)) quoted(m)
-          else {
-            val v = LakeLayout.lakeVersionAsOf(spark, pathOf(name), ts)
-              .getOrElse(throw new IllegalArgumentException(
-                s"$name has no version committed at or before instant " +
-                  s"$ts (the table did not exist yet)"))
-            pinnedView(spark, name, v)
-          }
-        })
-        // advance the plain current-snapshot views the statement uses
-        registered.foreach { case (name, path) =>
-          if (s"(?i)\\b$name\\b".r.findFirstIn(rewritten).isDefined)
-            Catalog.registerLakeView(spark, path, name)
+        val rewritten = rewriteOutsideLiterals(statement) { seg =>
+          val afterVersion = versionAsOfRe.replaceAllIn(seg, m =>
+            if (isRegistered(m.group(1)))
+              pinnedView(spark, m.group(1), m.group(2).toLong)
+            else quoted(m))
+          timestampAsOfRe.replaceAllIn(afterVersion, m =>
+            if (!isRegistered(m.group(1))) quoted(m)
+            else {
+              val (name, ts) = (m.group(1), m.group(2).toLong)
+              val v = LakeLayout.lakeVersionAsOf(spark, pathOf(name), ts)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"$name has no version committed at or before instant " +
+                    s"$ts (the table did not exist yet)"))
+              pinnedView(spark, name, v)
+            })
+        }
+        // advance the plain current-snapshot views the statement uses,
+        // always under the ORIGINAL registered casing
+        registered.values.foreach { case (orig, path) =>
+          if (s"(?i)\\b$orig\\b".r.findFirstIn(rewritten).isDefined)
+            Catalog.registerLakeView(spark, path, orig)
         }
         spark.sql(rewritten)
     }
+
+  /** Apply `f` to every segment of `stmt` OUTSIDE single-quoted SQL
+    * string literals (doubled '' escapes included), re-assembling the
+    * literals verbatim — the rewrite can then never corrupt data
+    * values that merely mention a table name or an AS-OF phrase. */
+  private val literalRe = "'(?:[^']|'')*'".r
+  private def rewriteOutsideLiterals(stmt: String)(
+      f: String => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    literalRe.findAllMatchIn(stmt).foreach { m =>
+      sb.append(f(stmt.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    sb.append(f(stmt.substring(last)))
+    sb.toString
+  }
 
   /** A view pinned to one committed version — its name encodes the
     * version, so repeated statements reuse the registration and two

@@ -100,4 +100,16 @@ class IvfDriftSpec extends SparkSuite {
     assert(fit2 > r1.fit,
       s"the triggered rebuild must restore fit: ${r1.fit} -> $fit2")
   }
+
+  test("describeIvf on a missing or empty index reports a zero-health row instead of aborting maintenance") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-empty")
+      .toString
+    val r = IvfIndex.describeIvf(spark, idx).collect()(0)
+    assert(r.getAs[Long]("n_cells") == 0L &&
+      r.getAs[Long]("n_vectors") == 0L &&
+      r.getAs[Double]("mean_centroid_sim") == 0.0,
+      s"empty index must zero-health, got $r")
+    val m = IvfIndex.maintainIvf(spark, idx)
+    assert(!m.rebuilt, s"an empty index must never trigger a retrain: $m")
+  }
 }

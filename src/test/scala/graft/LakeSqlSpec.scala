@@ -114,5 +114,11 @@ class LakeSqlSpec extends SparkSuite {
         "WHERE 'see VERSION AS OF 3' = 'see VERSION AS OF 3'")
       .collect()(0).getLong(0)
     assert(n == 3000L)
+    // even a REGISTERED name inside a literal stays data, not a ref
+    val s = LakeSql.sql(spark,
+      "SELECT 'sqlspec_lit VERSION AS OF 0' AS s FROM sqlspec_lit " +
+        "LIMIT 1").collect()(0).getString(0)
+    assert(s == "sqlspec_lit VERSION AS OF 0",
+      s"a literal mentioning a registered table must not be rewritten: $s")
   }
 }
