@@ -7,19 +7,89 @@ import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the production serving shape for ANN at 100 TB.
   * [[Similarity.sIvfTopk]] retrains per query (fine for a benchmark,
-  * wasteful for a serving fleet); here the index is built ONCE as a lake
-  * layout:
+  * wasteful for a serving fleet); here the index is built ONCE as a
+  * GENERATIONAL lake layout:
   *
-  *   <indexPath>/vectors/cell=<c>/...parquet   (vectors partitioned by cell)
-  *   <indexPath>/centroids/...parquet          (K rows of model state)
+  *   <indexPath>/g<N>/vectors/cell=<c>/...parquet  (cell-partitioned)
+  *   <indexPath>/g<N>/centroids/...parquet         (K rows of model state)
+  *   <indexPath>/g<N>/_COMMITTED                   (atomic publish marker)
   *
   * and every probe reads ONLY its `nprobe` nearest cells — partition
   * pruning at the FileIndex, so a probe's scan cost is
   * ~nprobe/cells of the corpus regardless of corpus size, with zero
   * training work on the query path. Centroids are deterministic
   * ([[Similarity.ivfCentroids]]'s fixed-point means), so rebuilding the
-  * index on the same corpus yields byte-identical assignments. */
+  * index on the same corpus yields byte-identical assignments.
+  *
+  * GENERATIONS are what make [[rebuild]] atomic (the manifest-pointer
+  * posture of [[graft.sources.LakeLayout]], scaled down to one marker
+  * file): a generation's vectors and centroids are written fully, then
+  * published by an atomic exclusive CREATE of its `_COMMITTED` marker.
+  * Readers resolve the max committed generation ONCE and read both
+  * dirs from it, so a probe racing a rebuild always pairs vectors with
+  * the centroids that assigned them — never new vectors under old
+  * centroids (the round-16 two-dir-rename hazard). Each publish keeps
+  * the immediately-previous generation as read grace (a probe that
+  * resolved just before the swap still completes) and reclaims older
+  * ones; a crash mid-rebuild leaves an UNCOMMITTED staging dir that
+  * readers never see and the next rebuild overwrites. Pre-generational
+  * flat layouts (`<indexPath>/vectors`, `/centroids`) still resolve
+  * when no committed generation exists. */
 object IvfIndex {
+
+  private def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  private def fsOf(s: SparkSession, path: String) =
+    hp(path).getFileSystem(s.sessionState.newHadoopConf())
+
+  private val GenName = "g(\\d+)".r
+
+  /** Max committed generation, or None for empty/legacy layouts. */
+  private[graft] def committedGen(s: SparkSession,
+      indexPath: String): Option[Long] = {
+    val fs = fsOf(s, indexPath)
+    val root = hp(indexPath)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case GenName(n)
+          if fs.exists(new org.apache.hadoop.fs.Path(
+            st.getPath, "_COMMITTED")) => Some(n.toLong)
+        case _ => None
+      })
+      .foldLeft(Option.empty[Long])((acc, g) =>
+        Some(acc.fold(g)(math.max(_, g))))
+  }
+
+  /** The dir holding the CURRENT consistent (vectors, centroids) pair:
+    * the max committed generation, or the legacy flat root when none
+    * exists. Resolve once per operation — both reads must come from the
+    * same resolution or a racing rebuild can mix generations. */
+  private[graft] def layoutRoot(s: SparkSession, indexPath: String): String =
+    committedGen(s, indexPath).fold(indexPath)(g => s"$indexPath/g$g")
+
+  /** Publish generation `gen`: atomic exclusive create of its marker
+    * (fails, never corrupts, if another maintainer published first —
+    * rebuild is single-writer by contract and this enforces it), then
+    * reclaim everything older than the grace generation. */
+  private def commitGen(s: SparkSession, indexPath: String,
+      gen: Long): Unit = {
+    val fs = fsOf(s, indexPath)
+    fs.create(new org.apache.hadoop.fs.Path(
+      hp(s"$indexPath/g$gen"), "_COMMITTED"), false).close()
+    // keep {gen, gen-1}: one grace generation for in-flight readers
+    fs.listStatus(hp(indexPath)).foreach { st =>
+      val drop = st.getPath.getName match {
+        case GenName(n) => n.toLong < gen - 1
+        // legacy flat dirs are the pre-generational "generation":
+        // grace them until the SECOND generational publish
+        case "vectors" | "centroids" => gen >= 1
+        case _ => false
+      }
+      if (drop) fs.delete(st.getPath, true)
+    }
+  }
 
   /** Nearest-centroid assignment whose PLAN SIZE is independent of K:
     * the model rides in as DATA (one broadcast row holding the packed
@@ -47,7 +117,8 @@ object IvfIndex {
       .drop("cents")
   }
 
-  /** Train centroids and write the cell-partitioned index. */
+  /** Train centroids and write the cell-partitioned index as a fresh
+    * committed generation (atomic publish — see the object doc). */
   def build(s: SparkSession, dir: String, indexPath: String,
       cells: Int = Similarity.IvfCells,
       iters: Int = Similarity.IvfIters): Unit = {
@@ -57,12 +128,14 @@ object IvfIndex {
     val centsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
+    val gen = committedGen(s, indexPath).fold(0L)(_ + 1L)
     assignCells(Tables.load(s, dir, "embeddings"), centsDf)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/vectors")
+      .parquet(s"$indexPath/g$gen/vectors")
     centsDf
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+      .write.mode("overwrite").parquet(s"$indexPath/g$gen/centroids")
+    commitGen(s, indexPath, gen)
   }
 
   /** INCREMENTAL maintenance: assign a batch of new vectors to the
@@ -80,9 +153,14 @@ object IvfIndex {
     * the corpus schema (vec_id, label, embedding). */
   def append(s: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
     VectorFunctions.register(s)
-    assignCells(vectors, s.read.parquet(s"$indexPath/centroids"))
+    // one resolution for both the model read and the vector write: the
+    // wave must land in the SAME generation whose frozen centroids
+    // assigned it (mutating a committed generation is safe exactly
+    // because assignment under its own frozen model stays consistent)
+    val root = layoutRoot(s, indexPath)
+    assignCells(vectors, s.read.parquet(s"$root/centroids"))
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexPath/vectors")
+      .parquet(s"$root/vectors")
   }
 
   /** DRIFT OBSERVABILITY — the measured trigger for the periodic
@@ -114,8 +192,9 @@ object IvfIndex {
     def tryRead(path: String) =
       try Some(s.read.parquet(path))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val centsOpt = tryRead(s"$indexPath/centroids")
-    val vecsOpt = tryRead(s"$indexPath/vectors")
+    val root = layoutRoot(s, indexPath)
+    val centsOpt = tryRead(s"$root/centroids")
+    val vecsOpt = tryRead(s"$root/vectors")
     val k = centsOpt.fold(0L)(_.count()).toInt
     val occ = vecsOpt.fold(Map.empty[Int, Long])(
       _.groupBy(col("cell").cast("int").as("cell"))
@@ -142,50 +221,38 @@ object IvfIndex {
         "p90_occupancy", "occupancy_skew", "mean_centroid_sim")
   }
 
-  /** RETRAIN in place — the IVF analogue of compaction, scheduled when
-    * [[describeIvf]]'s drift metrics say so. Trains fresh centroids on
-    * the index's CURRENT vectors (original corpus + every appended
-    * wave — unlike [[build]], which only sees the corpus table),
-    * re-assigns everything, and swaps the new layout in. Single-writer
-    * maintenance (same contract as [[build]]); probes during the final
-    * swap window should be drained. */
+  /** RETRAIN as a new generation — the IVF analogue of compaction,
+    * scheduled when [[describeIvf]]'s drift metrics say so. Trains
+    * fresh centroids on the index's CURRENT vectors (original corpus +
+    * every appended wave — unlike [[build]], which only sees the
+    * corpus table), re-assigns everything into generation N+1, and
+    * publishes it with one atomic marker create. Probes NEVER need
+    * draining: a racing reader resolved either generation N (still on
+    * disk as grace until the NEXT publish) or N+1, each an internally
+    * consistent (vectors, centroids) pair. A crash before the marker
+    * leaves the live generation untouched and an invisible staging dir
+    * the next rebuild overwrites. Rebuild itself stays single-writer
+    * (the exclusive marker create fails a lost race loudly). */
   def rebuild(s: SparkSession, indexPath: String,
       cells: Int = Similarity.IvfCells,
       iters: Int = Similarity.IvfIters): Unit = {
     VectorFunctions.register(s)
     import s.implicits._
-    val vecs = s.read.parquet(s"$indexPath/vectors")
+    val live = layoutRoot(s, indexPath)
+    val gen = committedGen(s, indexPath).fold(0L)(_ + 1L)
+    val vecs = s.read.parquet(s"$live/vectors")
       .select("vec_id", "label", "embedding")
     val cents = Similarity.trainIvfCentroidsFrom(s,
       vecs.select($"vec_id", $"embedding"), cells, iters)
     val centsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
-    // stage beside the live layout, then swap: the read above is lazy,
-    // so the live dirs must survive until the staged writes finish
     assignCells(vecs, centsDf)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/vectors_rebuild")
+      .parquet(s"$indexPath/g$gen/vectors")
     centsDf.coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/centroids_rebuild")
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    // swap via rename-aside, never delete-first: a crash mid-swap
-    // leaves the old layout recoverable under *_old instead of a
-    // destroyed live index; old dirs are dropped only after the new
-    // layout is fully in place
-    Seq("vectors", "centroids").foreach { d =>
-      val live = new org.apache.hadoop.fs.Path(root, d)
-      val old = new org.apache.hadoop.fs.Path(root, s"${d}_old")
-      fs.delete(old, true)
-      require(!fs.exists(live) || fs.rename(live, old),
-        s"rebuild: setting aside live $d failed on $indexPath")
-      require(fs.rename(
-        new org.apache.hadoop.fs.Path(root, s"${d}_rebuild"), live),
-        s"rebuild: swapping $d failed on $indexPath")
-    }
-    Seq("vectors_old", "centroids_old").foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+      .write.mode("overwrite").parquet(s"$indexPath/g$gen/centroids")
+    commitGen(s, indexPath, gen)
   }
 
   /** What one [[maintainIvf]] pass saw and did. */
@@ -223,7 +290,10 @@ object IvfIndex {
       excludeId: Option[Long] = None): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
-    val cents = s.read.parquet(s"$indexPath/centroids")
+    // one resolution pins the generation for BOTH the model collect
+    // and the cell scan — a rebuild landing mid-probe cannot mix them
+    val root = layoutRoot(s, indexPath)
+    val cents = s.read.parquet(s"$root/centroids")
       .collect()
       .map(r => r.getAs[Int]("cell") ->
         r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
@@ -234,7 +304,7 @@ object IvfIndex {
       .map { case (i, c) => (c.zip(probeU).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
     val pc = array(probe.map(lit): _*)
-    val scanned = s.read.parquet(s"$indexPath/vectors")
+    val scanned = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(probeCells: _*))
     excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
       .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))

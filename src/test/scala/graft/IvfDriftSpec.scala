@@ -101,6 +101,47 @@ class IvfDriftSpec extends SparkSuite {
       s"the triggered rebuild must restore fit: ${r1.fit} -> $fit2")
   }
 
+  test("generational rebuild is atomic: grace generation serves racing readers, crash staging is invisible") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-gen")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def gens = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("g")).sorted.toSeq
+
+    IvfIndex.build(spark, sfDir, idx)
+    assert(IvfIndex.committedGen(spark, idx).contains(0L) &&
+      IvfIndex.layoutRoot(spark, idx) == s"$idx/g0",
+      s"build must publish generation 0, dirs=$gens")
+
+    // a reader that resolved BEFORE the rebuild: its generation must
+    // stay fully readable after one publish (the grace window)
+    val preRoot = IvfIndex.layoutRoot(spark, idx)
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.committedGen(spark, idx).contains(1L),
+      s"rebuild must publish generation 1, dirs=$gens")
+    assert(spark.read.parquet(s"$preRoot/centroids").count() > 0 &&
+      spark.read.parquet(s"$preRoot/vectors").count() > 0,
+      "the pre-rebuild generation must survive one publish as read grace")
+
+    // crash mid-rebuild: a staging dir WITHOUT the marker — readers
+    // never resolve it, health and serving stay on the committed gen
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g2/vectors"))
+    assert(IvfIndex.committedGen(spark, idx).contains(1L),
+      "an uncommitted staging dir must be invisible to resolution")
+    val r = IvfIndex.describeIvf(spark, idx).collect()(0)
+    assert(r.getAs[Long]("n_vectors") > 0L,
+      s"describeIvf must read through the crash leftover, got $r")
+
+    // the next rebuild overwrites the stale staging and publishes g2;
+    // g0 (two generations back) is reclaimed, g1 stays as grace
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.committedGen(spark, idx).contains(2L), s"dirs=$gens")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g0")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g1")),
+      s"publish must keep exactly one grace generation, dirs=$gens")
+  }
+
   test("describeIvf on a missing or empty index reports a zero-health row instead of aborting maintenance") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-empty")
       .toString

@@ -243,8 +243,11 @@ class PipelineOperatorsSpec extends SparkSuite {
     // must serve identically to one whose build assigned everything —
     // copy the model, append the whole corpus in two waves
     val grown = java.nio.file.Files.createTempDirectory("graft-ivf-grown").toString
-    spark.read.parquet(s"$full/centroids").coalesce(1)
-      .write.parquet(s"$grown/centroids")
+    // copy the model flat (no generation dirs): `grown` exercises the
+    // LEGACY pre-generational layout end-to-end — append and probe
+    // must resolve it whenever no committed generation exists
+    spark.read.parquet(s"${IvfIndex.layoutRoot(spark, full)}/centroids")
+      .coalesce(1).write.parquet(s"$grown/centroids")
     val corpus = Tables.load(spark, sfDir, "embeddings")
     IvfIndex.append(spark, grown, corpus.filter($"vec_id" % 2 === 0))
     IvfIndex.append(spark, grown, corpus.filter($"vec_id" % 2 =!= 0))
