@@ -23,18 +23,39 @@ import org.apache.spark.sql.functions._
   *
   * GENERATIONS are what make [[rebuild]] atomic (the manifest-pointer
   * posture of [[graft.sources.LakeLayout]], scaled down to one marker
-  * file): a generation's vectors and centroids are written fully, then
-  * published by an atomic exclusive CREATE of its `_COMMITTED` marker.
-  * Readers resolve the max committed generation ONCE and read both
-  * dirs from it, so a probe racing a rebuild always pairs vectors with
-  * the centroids that assigned them — never new vectors under old
-  * centroids (the round-16 two-dir-rename hazard). Each publish keeps
-  * the immediately-previous generation as read grace (a probe that
+  * file): a generation is staged into a WRITER-TAGGED hidden dir
+  * (`.g<N>-stage-<writer>` — two racing maintainers can never clobber
+  * each other's files), renamed whole into `g<N>`, then published by
+  * an atomic exclusive CREATE of its `_COMMITTED` marker; a maintainer
+  * that loses the rename discards its own staging and fails loudly
+  * with the live index untouched. Readers resolve the max committed
+  * generation ONCE and read both dirs from it, so a probe racing a
+  * rebuild always pairs vectors with the centroids that assigned
+  * them — never new vectors under old centroids. Each publish keeps
+  * the previously-committed generation as read grace (a probe that
   * resolved just before the swap still completes) and reclaims older
   * ones; a crash mid-rebuild leaves an UNCOMMITTED staging dir that
-  * readers never see and the next rebuild overwrites. Pre-generational
-  * flat layouts (`<indexPath>/vectors`, `/centroids`) still resolve
-  * when no committed generation exists. */
+  * readers never see and a later publish sweeps. Crash-leftover bare
+  * `g<N>` dirs without a marker are skipped by numbering (the next
+  * publish takes N+1), never renamed into. Pre-generational flat
+  * layouts (`<indexPath>/vectors`, `/centroids`) still resolve when
+  * no committed generation exists.
+  *
+  * APPEND vs REBUILD concurrency: [[append]] is the normal ingestion
+  * path and may run beside a scheduled [[rebuild]] without losing
+  * data. Rebuild pins its training input to an explicit FILE SNAPSHOT
+  * of the live generation, then before publishing re-lists and folds
+  * any files an overlapping append landed after the snapshot into the
+  * new generation (assigned under the NEW centroids); a `_SOURCE`
+  * manifest in each rebuilt generation records exactly which source
+  * files were incorporated, and both a post-publish sweep and the
+  * START of the next rebuild fold in stragglers that appended to the
+  * grace generation after the cutover. The one residual window: an
+  * append that resolved its generation and then stayed in flight
+  * across an ENTIRE subsequent rebuild cycle can still lose its wave
+  * when that generation is reclaimed two publishes later — appends
+  * should complete within one rebuild period (minutes vs. the
+  * scheduled-maintenance cadence). */
 object IvfIndex {
 
   private def hp(p: String) = new org.apache.hadoop.fs.Path(p)
@@ -69,25 +90,172 @@ object IvfIndex {
   private[graft] def layoutRoot(s: SparkSession, indexPath: String): String =
     committedGen(s, indexPath).fold(indexPath)(g => s"$indexPath/g$g")
 
-  /** Publish generation `gen`: atomic exclusive create of its marker
-    * (fails, never corrupts, if another maintainer published first —
-    * rebuild is single-writer by contract and this enforces it), then
-    * reclaim everything older than the grace generation. */
-  private def commitGen(s: SparkSession, indexPath: String,
-      gen: Long): Unit = {
+  private val StageName = "\\.g(\\d+)-stage-.*".r
+
+  /** The next generation NUMBER: one past the max `g<N>` dir present,
+    * committed or not — a crash-leftover bare dir is skipped by
+    * numbering, never renamed into (renaming onto an existing dir
+    * would NEST the staging inside it on HDFS semantics). */
+  private def nextGen(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Long = {
+    val root = hp(indexPath)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case GenName(n) => Some(n.toLong)
+        case _ => None
+      })
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** Publish a fully-staged generation: rename the writer-tagged
+    * staging dir into `g<gen>` (a lost race — the destination already
+    * claimed by another maintainer — discards OUR staging and fails
+    * loudly; the winner's files are never touched), create the
+    * `_COMMITTED` marker, then reclaim everything older than the
+    * grace generation plus any stale staging dirs at or below `gen`. */
+  private def publishGen(s: SparkSession, indexPath: String, gen: Long,
+      stage: org.apache.hadoop.fs.Path): Unit = {
     val fs = fsOf(s, indexPath)
-    fs.create(new org.apache.hadoop.fs.Path(
-      hp(s"$indexPath/g$gen"), "_COMMITTED"), false).close()
-    // keep {gen, gen-1}: one grace generation for in-flight readers
+    val dest = hp(s"$indexPath/g$gen")
+    val renamed =
+      try fs.rename(stage, dest)
+      catch { case _: java.io.IOException => false }
+    // rename onto an existing dir NESTS src inside dest — detect the
+    // nest (dest/<stageName> exists) as a lost race too
+    val nested = new org.apache.hadoop.fs.Path(dest, stage.getName)
+    if (!renamed || fs.exists(nested)) {
+      fs.delete(if (fs.exists(nested)) nested else stage, true)
+      throw new IllegalStateException(
+        s"ivf publish lost the race for generation $gen of $indexPath " +
+          "— rebuild is single-writer by contract; this writer's " +
+          "staging was discarded and the live index is untouched")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(dest, "_COMMITTED"), false)
+      .close()
+    // keep `gen` and the newest PREVIOUSLY-committed generation as
+    // read grace for in-flight probes; crash-leftover bare dirs and
+    // committed ancestors beyond the grace are reclaimed
+    val grace = fs.listStatus(hp(indexPath)).iterator
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case GenName(n) if n.toLong < gen && fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
+          Some(n.toLong)
+        case _ => None
+      })
+      .foldLeft(Option.empty[Long])((acc, g) =>
+        Some(acc.fold(g)(math.max(_, g))))
     fs.listStatus(hp(indexPath)).foreach { st =>
       val drop = st.getPath.getName match {
-        case GenName(n) => n.toLong < gen - 1
+        case GenName(n) => n.toLong != gen && !grace.contains(n.toLong)
+        // a stale staging at or below `gen` is a crash leftover or a
+        // lost racer; stagings ABOVE `gen` may belong to a live
+        // maintainer that already saw this publish — leave them
+        case StageName(n) => n.toLong <= gen
         // legacy flat dirs are the pre-generational "generation":
-        // grace them until the SECOND generational publish
-        case "vectors" | "centroids" => gen >= 1
+        // grace them until a previously-committed generation exists
+        case "vectors" | "centroids" => grace.isDefined
         case _ => false
       }
       if (drop) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Every data file currently under a vectors dir (qualified path
+    * strings, `_`/`.`-prefixed bookkeeping skipped) — the snapshot
+    * unit the rebuild/append race detection diffs on. */
+  private def listVectorFiles(fs: org.apache.hadoop.fs.FileSystem,
+      vecDir: String): Set[String] = {
+    val p = hp(vecDir)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          b += st.getPath.toString
+      }
+      b.result()
+    }
+  }
+
+  /** Read EXACTLY the given files of a cell-partitioned vectors dir
+    * (basePath keeps the `cell` partition column derivable), projected
+    * to the corpus schema — the pinned-snapshot read that makes
+    * fold-in diffs exact: a file is either in the snapshot (read once)
+    * or in a later diff (folded once), never both. */
+  private def readVectorFiles(s: SparkSession, vecDir: String,
+      files: Iterable[String]): DataFrame =
+    s.read
+      .option("basePath", vecDir)
+      .parquet(files.toSeq.sorted: _*)
+      .select("vec_id", "label", "embedding")
+
+  /** Assign `files` (vectors that landed in `srcVecDir` outside a
+    * rebuild's snapshot) under `centsDf` and append them into
+    * `destVecDir` — the fold-in step of the append/rebuild protocol. */
+  private def foldIn(s: SparkSession, srcVecDir: String,
+      files: Set[String], centsDf: DataFrame, destVecDir: String): Unit =
+    if (files.nonEmpty)
+      assignCells(readVectorFiles(s, srcVecDir, files), centsDf)
+        .write.mode("append").partitionBy("cell").parquet(destVecDir)
+
+  /** `_SOURCE` manifest inside a rebuilt generation: which source
+    * vectors dir it was trained from and exactly which of its files
+    * were incorporated — the next rebuild diffs the source's CURRENT
+    * listing against this to fold in stragglers that appended to the
+    * grace generation after the cutover. */
+  private def writeSource(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path, srcVecDir: String,
+      files: Set[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(genDir, "_SOURCE"), true)
+    try out.write(
+      (s"src $srcVecDir" +: files.toSeq.sorted.map("f " + _))
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSource(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path): Option[(String, Set[String])] = {
+    val p = new org.apache.hadoop.fs.Path(genDir, "_SOURCE")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.linesIterator.toSeq
+      lines.collectFirst { case l if l.startsWith("src ") => l.drop(4) }
+        .map(_ -> lines.collect { case l if l.startsWith("f ") => l.drop(2) }
+          .toSet)
+    }
+  }
+
+  /** Fold into the LIVE generation any files appended to its SOURCE
+    * (grace) generation after the previous rebuild's final sweep —
+    * the backstop that runs at the start of every rebuild, BEFORE the
+    * grace generation can be reclaimed by this rebuild's publish.
+    * Assignment uses the live generation's own frozen centroids
+    * (exactly an [[append]] of those vectors), so it is safe on a
+    * committed generation. */
+  private def sweepSourceStragglers(s: SparkSession,
+      indexPath: String): Unit = {
+    val fs = fsOf(s, indexPath)
+    val live = layoutRoot(s, indexPath)
+    readSource(fs, hp(live)).foreach { case (srcVecDir, incorporated) =>
+      if (srcVecDir != s"$live/vectors" && fs.exists(hp(srcVecDir))) {
+        val extras = listVectorFiles(fs, srcVecDir) -- incorporated
+        if (extras.nonEmpty) {
+          foldIn(s, srcVecDir, extras,
+            s.read.parquet(s"$live/centroids"), s"$live/vectors")
+          writeSource(fs, hp(live), srcVecDir, incorporated ++ extras)
+        }
+      }
     }
   }
 
@@ -117,8 +285,16 @@ object IvfIndex {
       .drop("cents")
   }
 
-  /** Train centroids and write the cell-partitioned index as a fresh
-    * committed generation (atomic publish — see the object doc). */
+  private def newStage(indexPath: String, gen: Long) =
+    hp(s"$indexPath/.g$gen-stage-" +
+      java.util.UUID.randomUUID().toString.take(8))
+
+  /** Train centroids from the CORPUS TABLE and write the
+    * cell-partitioned index as a fresh committed generation (staged +
+    * atomic publish — see the object doc). Build re-derives from the
+    * corpus, so waves [[append]]ed to a previous generation are
+    * intentionally not carried — [[rebuild]] is the wave-preserving
+    * retrain. */
   def build(s: SparkSession, dir: String, indexPath: String,
       cells: Int = Similarity.IvfCells,
       iters: Int = Similarity.IvfIters): Unit = {
@@ -128,14 +304,16 @@ object IvfIndex {
     val centsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
-    val gen = committedGen(s, indexPath).fold(0L)(_ + 1L)
+    val fs = fsOf(s, indexPath)
+    val gen = nextGen(fs, indexPath)
+    val stage = newStage(indexPath, gen)
     assignCells(Tables.load(s, dir, "embeddings"), centsDf)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/g$gen/vectors")
+      .parquet(s"$stage/vectors")
     centsDf
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/g$gen/centroids")
-    commitGen(s, indexPath, gen)
+      .write.mode("overwrite").parquet(s"$stage/centroids")
+    publishGen(s, indexPath, gen, stage)
   }
 
   /** INCREMENTAL maintenance: assign a batch of new vectors to the
@@ -148,9 +326,13 @@ object IvfIndex {
     * build with the same model, spec-pinned); as the data distribution
     * drifts the cell balance degrades gracefully — probes stay exact
     * within scanned cells, recall erodes only as drift moves true
-    * neighbours outside nprobe cells — until a periodic [[build]]
-    * re-trains, the IVF analogue of compaction. `vectors` must carry
-    * the corpus schema (vec_id, label, embedding). */
+    * neighbours outside nprobe cells — until a periodic [[rebuild]]
+    * re-trains, the IVF analogue of compaction. Appends may run beside
+    * a scheduled rebuild: the rebuild's snapshot-diff fold-in (see the
+    * object doc) carries a concurrently-appended wave into the new
+    * generation, so a completed append is never lost to the cutover.
+    * `vectors` must carry the corpus schema (vec_id, label,
+    * embedding). */
   def append(s: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
     VectorFunctions.register(s)
     // one resolution for both the model read and the vector write: the
@@ -229,19 +411,41 @@ object IvfIndex {
     * publishes it with one atomic marker create. Probes NEVER need
     * draining: a racing reader resolved either generation N (still on
     * disk as grace until the NEXT publish) or N+1, each an internally
-    * consistent (vectors, centroids) pair. A crash before the marker
-    * leaves the live generation untouched and an invisible staging dir
-    * the next rebuild overwrites. Rebuild itself stays single-writer
-    * (the exclusive marker create fails a lost race loudly). */
+    * consistent (vectors, centroids) pair; a racing [[append]] is
+    * carried by the snapshot-diff fold-in (object doc). A crash before
+    * the publish leaves the live generation untouched and an invisible
+    * writer-tagged staging dir a later publish sweeps. Rebuild stays
+    * single-writer by contract — a lost publish race discards only the
+    * loser's own staging and fails loudly. */
   def rebuild(s: SparkSession, indexPath: String,
       cells: Int = Similarity.IvfCells,
-      iters: Int = Similarity.IvfIters): Unit = {
+      iters: Int = Similarity.IvfIters): Unit =
+    rebuildImpl(s, indexPath, cells, iters, () => ())
+
+  /** [[rebuild]] with a test seam (`afterStage` fires after the new
+    * generation is staged but before the fold-in diff — the widest
+    * point of the append/rebuild race window). */
+  private[graft] def rebuildImpl(s: SparkSession, indexPath: String,
+      cells: Int, iters: Int, afterStage: () => Unit): Unit = {
     VectorFunctions.register(s)
     import s.implicits._
+    val fs = fsOf(s, indexPath)
+    // backstop first: fold grace-generation stragglers into the live
+    // generation BEFORE this rebuild snapshots it (and before this
+    // rebuild's publish reclaims the grace dir they live in)
+    sweepSourceStragglers(s, indexPath)
     val live = layoutRoot(s, indexPath)
-    val gen = committedGen(s, indexPath).fold(0L)(_ + 1L)
-    val vecs = s.read.parquet(s"$live/vectors")
-      .select("vec_id", "label", "embedding")
+    val liveVecDir = s"$live/vectors"
+    val gen = nextGen(fs, indexPath)
+    val stage = newStage(indexPath, gen)
+    // pin training to an explicit file snapshot: everything in `snap`
+    // is incorporated by the train+assign read below; everything a
+    // concurrent append lands after it shows up as a listing diff and
+    // is folded in exactly once
+    var snap = listVectorFiles(fs, liveVecDir)
+    require(snap.nonEmpty,
+      s"rebuild: $indexPath has no vectors to retrain on")
+    val vecs = readVectorFiles(s, liveVecDir, snap)
     val cents = Similarity.trainIvfCentroidsFrom(s,
       vecs.select($"vec_id", $"embedding"), cells, iters)
     val centsDf = cents.zipWithIndex
@@ -249,10 +453,41 @@ object IvfIndex {
       .toDF("cell", "centroid")
     assignCells(vecs, centsDf)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/g$gen/vectors")
+      .parquet(s"$stage/vectors")
     centsDf.coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/g$gen/centroids")
-    commitGen(s, indexPath, gen)
+      .write.mode("overwrite").parquet(s"$stage/centroids")
+    afterStage()
+    // fold in waves an overlapping append landed since the snapshot —
+    // re-diff until quiet so a publish never drops a completed append
+    var attempts = 0
+    var fresh = listVectorFiles(fs, liveVecDir) -- snap
+    while (fresh.nonEmpty && attempts < 5) {
+      foldIn(s, liveVecDir, fresh, centsDf, s"$stage/vectors")
+      snap ++= fresh
+      attempts += 1
+      fresh = listVectorFiles(fs, liveVecDir) -- snap
+    }
+    if (fresh.nonEmpty) {
+      fs.delete(stage, true)
+      throw new IllegalStateException(
+        s"rebuild of $indexPath: appends are landing faster than " +
+          s"fold-in can absorb them ($attempts rounds) — quiesce the " +
+          "append path during rebuild; staging discarded, live index " +
+          "untouched")
+    }
+    writeSource(fs, stage, liveVecDir, snap)
+    publishGen(s, indexPath, gen, stage)
+    // post-publish sweep: an append that resolved the OLD generation
+    // just before the marker landed may have written after the final
+    // pre-publish diff; appending to the now-committed generation
+    // under its frozen centroids is safe, so fold those in too (the
+    // next rebuild's start-of-run sweep is the backstop for anything
+    // still in flight)
+    val late = listVectorFiles(fs, liveVecDir) -- snap
+    if (late.nonEmpty) {
+      foldIn(s, liveVecDir, late, centsDf, s"$indexPath/g$gen/vectors")
+      writeSource(fs, hp(s"$indexPath/g$gen"), liveVecDir, snap ++ late)
+    }
   }
 
   /** What one [[maintainIvf]] pass saw and did. */

@@ -1772,12 +1772,30 @@ object LakeLayout {
       tablePath: String): Map[Long, Long] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val raw = liveManifestStatuses(fs, table).map { case (v, st) =>
-      val persisted = readRawManifest(fs, table, v) match {
-        case Right(c) => c.instantMs
-        case Left(d) => d.instantMs
+    instantsFrom(fs, table, liveManifestStatuses(fs, table))
+  }
+
+  /** Resolved instants for ONE `_commits` listing snapshot — callers
+    * that also iterate the version set ([[lakeHistory]]) derive both
+    * from the same listing, so a commit or vacuum landing between two
+    * listings can never surface as a missing-instant lookup or a ghost
+    * version. A version whose manifest vanished between the listing
+    * and the content read (concurrent vacuum) is skipped — it is no
+    * longer live, which is exactly what the map promises. */
+  private def instantsFrom(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path,
+      statuses: Seq[(Long, org.apache.hadoop.fs.FileStatus)])
+      : Map[Long, Long] = {
+    val raw = statuses.flatMap { case (v, st) =>
+      try {
+        val persisted = readRawManifest(fs, table, v) match {
+          case Right(c) => c.instantMs
+          case Left(d) => d.instantMs
+        }
+        Some(v -> persisted.getOrElse(st.getModificationTime))
+      } catch {
+        case _: java.io.FileNotFoundException => None
       }
-      v -> persisted.getOrElse(st.getModificationTime)
     }
     var prev = Long.MinValue
     raw.map { case (v, t) =>
@@ -1811,14 +1829,25 @@ object LakeLayout {
     import spark.implicits._
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    // commit_ms = the RESOLVED instant (persisted + monotonized) — the
-    // same value AS-OF resolution uses, so history and time travel can
-    // never disagree about when a version became visible
-    val instants = lakeCommitInstants(spark, tablePath)
-    liveManifestStatuses(fs, table).reverse.map { case (v, _) =>
-      val c = readManifest(fs, table, v)
-      (v, instants(v), c.op, c.checkpoint, c.batchId,
-        c.files.size.toLong, c.files.count(_.dv.isDefined).toLong)
+    // ONE `_commits` listing backs both the version set and the
+    // resolved instants (persisted + monotonized — the same values
+    // AS-OF resolution uses, so history and time travel can never
+    // disagree about when a version became visible); a second listing
+    // here could race a concurrent commit/vacuum into a missing-key
+    // lookup or a ghost row. A version vacuumed between the listing
+    // and its manifest read is skipped the same way instantsFrom
+    // skips it — the row set stays a consistent snapshot.
+    val statuses = liveManifestStatuses(fs, table)
+    val instants = instantsFrom(fs, table, statuses)
+    statuses.reverse.flatMap { case (v, _) =>
+      try {
+        val c = readManifest(fs, table, v)
+        instants.get(v).map(t =>
+          (v, t, c.op, c.checkpoint, c.batchId,
+            c.files.size.toLong, c.files.count(_.dv.isDefined).toLong))
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
     }.toDF("version", "commit_ms", "op", "writer", "batch_id",
       "n_files", "n_dv_files")
   }

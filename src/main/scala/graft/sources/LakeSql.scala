@@ -35,34 +35,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write time and replay it verbatim in SQL. */
 object LakeSql {
 
-  // lowercased name -> (name as registered, table path): lookups are
+  // PER-SESSION registries: the views `register` manages are session
+  // temp views, so the name→path bindings must share their scope — a
+  // JVM-global map would let two sessions (parallel tests, two
+  // notebook users on one driver) registering the same name silently
+  // redirect each other's AS-OF resolution and view refreshes. Weak
+  // keying ties each registry's lifetime to its session's, exactly
+  // like the temp views themselves. Within one registry: lowercased
+  // name -> (name as registered, table path) — lookups are
   // case-insensitive like any SQL identifier, but views are always
   // (re-)registered under the ORIGINAL casing so case-sensitive
   // sessions (spark.sql.caseSensitive=true) resolve the same view the
-  // registration created
-  private val registered =
-    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  // registration created.
+  private val bySession = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (String, String)]]()
+
+  private def registryOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, (String, String)] =
+    bySession.synchronized {
+      bySession.computeIfAbsent(spark,
+        _ => new scala.collection.concurrent.TrieMap[String, (String, String)]())
+    }
 
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
 
   /** Bind `name` to a lake table and publish its current snapshot as a
     * session view. Re-register (or just call [[sql]] again) to advance
-    * the plain view to a newer commit. */
+    * the plain view to a newer commit. The binding is scoped to
+    * `spark` — sibling sessions (`spark.newSession()`) neither see it
+    * nor can overwrite it. */
   def register(spark: SparkSession, name: String, tablePath: String): Unit = {
     require(name.matches(ident),
       s"lake table name must be a plain SQL identifier, got '$name'")
-    registered(name.toLowerCase) = (name, tablePath)
+    registryOf(spark)(name.toLowerCase) = (name, tablePath)
     Catalog.registerLakeView(spark, tablePath, name)
   }
 
-  private def isRegistered(name: String): Boolean =
-    registered.contains(name.toLowerCase)
+  private def isRegistered(spark: SparkSession, name: String): Boolean =
+    registryOf(spark).contains(name.toLowerCase)
 
-  private def pathOf(name: String): String =
+  private def pathOf(spark: SparkSession, name: String): String = {
+    val registered = registryOf(spark)
     registered.get(name.toLowerCase).map(_._2)
       .getOrElse(throw new IllegalArgumentException(
-        s"'$name' is not a registered lake table " +
+        s"'$name' is not a registered lake table in this session " +
           s"(registered: ${registered.values.map(_._1).toSeq.sorted.mkString(", ")})"))
+  }
 
   private val historyRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($ident)\\s*;?\\s*$$".r
@@ -77,28 +95,28 @@ object LakeSql {
   def sql(spark: SparkSession, statement: String): DataFrame =
     statement match {
       case historyRe(name) =>
-        LakeLayout.lakeHistory(spark, pathOf(name))
+        LakeLayout.lakeHistory(spark, pathOf(spark, name))
       case detailRe(name) =>
-        LakeLayout.describeLake(spark, pathOf(name))
+        LakeLayout.describeLake(spark, pathOf(spark, name))
       case _ =>
         // pin AS-OF references as snapshot views. Two guards keep the
         // rewrite from touching text that is not a table reference:
-        // single-quoted STRING LITERALS are masked out entirely, and a
-        // match whose identifier is not a registered lake table passes
-        // through untouched (genuinely-misspelled references get
-        // Spark's own analysis error)
+        // STRING LITERALS and backquoted identifiers are masked out
+        // entirely, and a match whose identifier is not a registered
+        // lake table passes through untouched (genuinely-misspelled
+        // references get Spark's own analysis error)
         def quoted(m: scala.util.matching.Regex.Match): String =
           scala.util.matching.Regex.quoteReplacement(m.matched)
         val rewritten = rewriteOutsideLiterals(statement) { seg =>
           val afterVersion = versionAsOfRe.replaceAllIn(seg, m =>
-            if (isRegistered(m.group(1)))
+            if (isRegistered(spark, m.group(1)))
               pinnedView(spark, m.group(1), m.group(2).toLong)
             else quoted(m))
           timestampAsOfRe.replaceAllIn(afterVersion, m =>
-            if (!isRegistered(m.group(1))) quoted(m)
+            if (!isRegistered(spark, m.group(1))) quoted(m)
             else {
               val (name, ts) = (m.group(1), m.group(2).toLong)
-              val v = LakeLayout.lakeVersionAsOf(spark, pathOf(name), ts)
+              val v = LakeLayout.lakeVersionAsOf(spark, pathOf(spark, name), ts)
                 .getOrElse(throw new IllegalArgumentException(
                   s"$name has no version committed at or before instant " +
                     s"$ts (the table did not exist yet)"))
@@ -107,18 +125,25 @@ object LakeSql {
         }
         // advance the plain current-snapshot views the statement uses,
         // always under the ORIGINAL registered casing
-        registered.values.foreach { case (orig, path) =>
+        registryOf(spark).values.foreach { case (orig, path) =>
           if (s"(?i)\\b$orig\\b".r.findFirstIn(rewritten).isDefined)
             Catalog.registerLakeView(spark, path, orig)
         }
         spark.sql(rewritten)
     }
 
-  /** Apply `f` to every segment of `stmt` OUTSIDE single-quoted SQL
-    * string literals (doubled '' escapes included), re-assembling the
-    * literals verbatim — the rewrite can then never corrupt data
-    * values that merely mention a table name or an AS-OF phrase. */
-  private val literalRe = "'(?:[^']|'')*'".r
+  /** Apply `f` to every segment of `stmt` OUTSIDE quoted regions,
+    * re-assembling the quoted text verbatim — the rewrite can then
+    * never corrupt data values or identifiers that merely mention a
+    * table name or an AS-OF phrase. Three quote forms, matching
+    * Spark's default (non-ANSI) lexer: single- AND double-quoted
+    * string literals (doubled-quote '' / "" escapes and backslash
+    * escapes included — the default parser processes \' and \" inside
+    * both), and backquoted identifiers (doubled `` escape). */
+  private val literalRe =
+    ("'(?:\\\\.|''|[^'\\\\])*'" +      // '...'  with \x and '' escapes
+      "|\"(?:\\\\.|\"\"|[^\"\\\\])*\"" + // "..."  with \x and "" escapes
+      "|`(?:``|[^`])*`").r             // `...`  with `` escape
   private def rewriteOutsideLiterals(stmt: String)(
       f: String => String): String = {
     val sb = new StringBuilder
@@ -137,7 +162,8 @@ object LakeSql {
   private def pinnedView(spark: SparkSession, name: String,
       version: Long): String = {
     val viewName = s"${name}__asof_v$version"
-    Catalog.registerLakeVersionView(spark, pathOf(name), version, viewName)
+    Catalog.registerLakeVersionView(spark, pathOf(spark, name), version,
+      viewName)
     viewName
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The append/rebuild concurrency contract of the generational IVF
+  * layout: [[IvfIndex.append]] is the normal ingestion path and may
+  * overlap a scheduled [[IvfIndex.rebuild]] without losing a completed
+  * wave. Three windows are pinned:
+  *  (a) a wave appended AFTER rebuild's training snapshot but before
+  *      its publish is detected by the pre-publish listing diff and
+  *      folded into the new generation under the NEW centroids;
+  *  (b) a wave that landed in the GRACE generation after the cutover
+  *      (a stale append that resolved the old generation) is folded in
+  *      by the next rebuild's start-of-run straggler sweep — before
+  *      the grace dir it lives in can be reclaimed;
+  *  (c) a lost publish race discards only the loser's writer-tagged
+  *      staging and fails loudly — the live index is untouched and a
+  *      retry succeeds (no shared staging dir to clobber). */
+class IvfConcurrencySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def wave(from: Long, n: Int): DataFrame =
+    spark.range(n).select(
+      ($"id" + from).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (when(pmod(j, lit(2)) === 0, lit(0.125)).otherwise(lit(-0.125)) +
+          (pmod(($"id" + from) * 131 + j.cast("long") * 17, lit(11)) - 5)
+            .cast("double") * 0.002).cast("float")).as("embedding"),
+      lit(9).as("label"))
+
+  private def nVectors(idx: String): Long =
+    IvfIndex.describeIvf(spark, idx).collect()(0).getAs[Long]("n_vectors")
+
+  test("a wave appended during rebuild is folded into the published generation") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-race")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    val n0 = nVectors(idx)
+
+    // the race, deterministically: the append fires after the new
+    // generation is fully staged (the widest window — training never
+    // saw these vectors), resolving the OLD generation because no new
+    // marker exists yet
+    IvfIndex.rebuildImpl(spark, idx, 16, 4,
+      () => IvfIndex.append(spark, idx, wave(900000L, 120)))
+
+    assert(nVectors(idx) == n0 + 120,
+      s"the concurrently-appended wave must survive the cutover: " +
+        s"$n0 + 120 != ${nVectors(idx)}")
+    // and it must be SERVABLE — assigned under the published model,
+    // not just present on disk
+    val probe = wave(900000L, 1).select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    val top = IvfIndex.probeTopK(spark, idx, probe, k = 3)
+      .collect().map(_.getLong(0))
+    assert(top.nonEmpty && top.head >= 900000L,
+      s"the folded wave must serve through cell pruning: ${top.toSeq}")
+  }
+
+  test("a stale append into the grace generation is swept in by the next rebuild") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-late")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.rebuild(spark, idx)
+    val n1 = nVectors(idx)
+
+    // simulate an append whose writer resolved g0 BEFORE g1's marker
+    // landed and completed after the post-publish sweep: write the
+    // wave straight into the grace generation under ITS centroids
+    // (exactly what that stale append would have done)
+    val graceRoot = s"$idx/g0"
+    IvfIndex.assignCells(wave(950000L, 80),
+        spark.read.parquet(s"$graceRoot/centroids"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$graceRoot/vectors")
+    assert(nVectors(idx) == n1,
+      "a stale wave in the grace generation is not yet visible")
+
+    // the next rebuild's start-of-run sweep folds it into the live
+    // generation before anything else — so the retrain sees it and
+    // the published generation carries it
+    IvfIndex.rebuild(spark, idx)
+    assert(nVectors(idx) == n1 + 80,
+      s"the straggler sweep must carry the stale wave: " +
+        s"$n1 + 80 != ${nVectors(idx)}")
+  }
+
+  test("a lost publish race discards only the loser's staging, fails loudly, and a retry succeeds") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-lost")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    IvfIndex.build(spark, sfDir, idx)
+    val n0 = nVectors(idx)
+
+    // the "winner": a competing maintainer claims g1 between this
+    // writer's staging and its publish rename
+    val err = intercept[IllegalStateException] {
+      IvfIndex.rebuildImpl(spark, idx, 16, 4,
+        () => fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g1/vectors")))
+    }
+    assert(err.getMessage.contains("lost the race"), err.getMessage)
+    // live index untouched, loser's staging cleaned up, the winner's
+    // (unmarked) claim not resolved
+    assert(IvfIndex.committedGen(spark, idx).contains(0L) &&
+      nVectors(idx) == n0, "the live generation must be untouched")
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.contains("-stage-")).toSeq
+    assert(stray.isEmpty, s"the loser must remove its staging: $stray")
+
+    // a retry publishes cleanly past the abandoned claim
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.committedGen(spark, idx).exists(_ >= 2L) &&
+      nVectors(idx) == n0,
+      s"retry must publish a fresh generation: ${IvfIndex.committedGen(spark, idx)}")
+  }
+}

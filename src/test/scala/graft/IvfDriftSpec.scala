@@ -124,22 +124,30 @@ class IvfDriftSpec extends SparkSuite {
       spark.read.parquet(s"$preRoot/vectors").count() > 0,
       "the pre-rebuild generation must survive one publish as read grace")
 
-    // crash mid-rebuild: a staging dir WITHOUT the marker — readers
-    // never resolve it, health and serving stay on the committed gen
+    // crash leftover: a bare generation dir WITHOUT the marker —
+    // readers never resolve it, health and serving stay on the
+    // committed gen
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g2/vectors"))
     assert(IvfIndex.committedGen(spark, idx).contains(1L),
-      "an uncommitted staging dir must be invisible to resolution")
+      "an unmarked generation dir must be invisible to resolution")
     val r = IvfIndex.describeIvf(spark, idx).collect()(0)
     assert(r.getAs[Long]("n_vectors") > 0L,
       s"describeIvf must read through the crash leftover, got $r")
 
-    // the next rebuild overwrites the stale staging and publishes g2;
-    // g0 (two generations back) is reclaimed, g1 stays as grace
+    // the next rebuild SKIPS the leftover's number (renaming onto an
+    // existing dir would nest) and publishes g3; its reclaim sweeps
+    // both the leftover g2 and the beyond-grace g0, keeping g1 as
+    // grace — and leaves no writer staging dirs behind
     IvfIndex.rebuild(spark, idx)
-    assert(IvfIndex.committedGen(spark, idx).contains(2L), s"dirs=$gens")
+    assert(IvfIndex.committedGen(spark, idx).contains(3L), s"dirs=$gens")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g2")) &&
       fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g1")),
-      s"publish must keep exactly one grace generation, dirs=$gens")
+      s"publish must sweep leftovers and keep one grace generation, " +
+        s"dirs=$gens")
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.contains("-stage-")).toSeq
+    assert(stray.isEmpty, s"no staging dirs may survive a publish: $stray")
   }
 
   test("describeIvf on a missing or empty index reports a zero-health row instead of aborting maintenance") {

@@ -120,5 +120,53 @@ class LakeSqlSpec extends SparkSuite {
         "LIMIT 1").collect()(0).getString(0)
     assert(s == "sqlspec_lit VERSION AS OF 0",
       s"a literal mentioning a registered table must not be rewritten: $s")
+    // Spark's default lexer also accepts DOUBLE-QUOTED string
+    // literals and backslash escapes — both masked the same way
+    val d = LakeSql.sql(spark,
+      "SELECT \"sqlspec_lit VERSION AS OF 0\" AS s FROM sqlspec_lit " +
+        "LIMIT 1").collect()(0).getString(0)
+    assert(d == "sqlspec_lit VERSION AS OF 0",
+      s"a double-quoted literal must not be rewritten: $d")
+    val e = LakeSql.sql(spark,
+      "SELECT 'it\\'s sqlspec_lit VERSION AS OF 0' AS s " +
+        "FROM sqlspec_lit LIMIT 1").collect()(0).getString(0)
+    assert(e == "it's sqlspec_lit VERSION AS OF 0",
+      s"backslash escapes must not terminate the mask early: $e")
+    // a backquoted IDENTIFIER mentioning the phrase is never data to
+    // rewrite either — alias text comes back verbatim
+    val b = LakeSql.sql(spark,
+      "SELECT count(*) AS `sqlspec_lit VERSION AS OF 0` " +
+        "FROM sqlspec_lit").columns.head
+    assert(b == "sqlspec_lit VERSION AS OF 0",
+      s"a backquoted identifier must not be rewritten: $b")
+  }
+
+  test("registrations are session-scoped: sibling sessions neither see nor overwrite each other's names") {
+    val tA = stageTable()
+    val tB = stageTable()
+    // make B's table distinguishable: one extra delete commit
+    LakeLayout.deleteFromLake(spark, tB,
+      (0L until 3000L by 2).toDF("id"), "id", "ck", 2L)
+    val sessionB = spark.newSession()
+    LakeSql.register(spark, "sqlspec_scope", tA)
+    // B registering the SAME name must not redirect A's resolution
+    LakeSql.register(sessionB, "sqlspec_scope", tB)
+    val nA = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_scope").collect()(0).getLong(0)
+    val nB = LakeSql.sql(sessionB,
+      "SELECT count(*) AS n FROM sqlspec_scope").collect()(0).getLong(0)
+    assert(nA == LakeLayout.readLake(spark, tA).get.count() &&
+      nB == LakeLayout.readLake(sessionB, tB).get.count() && nA != nB,
+      s"each session must resolve its own binding: A=$nA B=$nB")
+    // AS-OF pins route through the session's own path too
+    assert(LakeSql.sql(sessionB,
+      "SELECT count(*) AS n FROM sqlspec_scope VERSION AS OF 2")
+      .collect()(0).getLong(0) ==
+      LakeLayout.readLakeVersion(sessionB, tB, 2L).count())
+    // a name registered ONLY in B is unknown to A — DESCRIBE fails
+    // loudly there instead of silently using B's binding
+    LakeSql.register(sessionB, "sqlspec_b_only", tB)
+    intercept[IllegalArgumentException](
+      LakeSql.sql(spark, "DESCRIBE HISTORY sqlspec_b_only"))
   }
 }
