@@ -1817,6 +1817,40 @@ object LakeLayout {
     lakeVersionAsOf(spark, tablePath, tsMillis)
       .map(readLakeVersion(spark, tablePath, _))
 
+  /** RESTORE — roll the table back to a live earlier version by
+    * publishing a NEW commit whose file list (and schema, and cluster
+    * axis) equal that version's resolved state (Delta's `RESTORE
+    * TABLE ... TO VERSION AS OF`). Pure metadata: zero data bytes
+    * move — the old version's files are still on disk because its
+    * manifest is live, and the restore manifest referencing them
+    * keeps them live even after vacuum later drops the restored-from
+    * version itself (the orphan sweep sees references from ALL live
+    * manifests). History is preserved, not rewritten: the bad commits
+    * stay inspectable (`DESCRIBE HISTORY` shows the `restore` op on
+    * top) and time travel across them still resolves. CDF consumers
+    * see the restore as a row-changing commit — the op is typed
+    * `restore`, not one of the provably-byte-moving types, so an
+    * incremental reader replays the rollback instead of skipping it.
+    * Single-writer like every non-OCC commit: a lost race fails
+    * loudly. Returns the NEW version number. */
+  def restoreLake(spark: SparkSession, tablePath: String,
+      version: Long): Long = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = lakeCommitAt(spark, tablePath, version)
+    val cur = latestLakeCommit(spark, tablePath).get
+    val v = cur.version + 1
+    // dataDir carries the TARGET's dir so a legacy dir-pointer target
+    // (empty file list = "read the dir") restores with the same
+    // semantics it was committed under
+    publishManifest(fs, table, v, target.dataDir,
+      checkpoint = "restore", batchId = version,
+      files = target.files, schemaJson = target.schemaJson,
+      op = "restore", parentFiles = cur.files,
+      tsClusterCol = target.tsClusterCol)
+    v
+  }
+
   /** DESCRIBE HISTORY — one row per live version, newest first: the
     * audit surface operators and pipelines read before time travel,
     * vacuum-retention, or incident forensics (what wrote v17, when,
@@ -2985,6 +3019,28 @@ object LakeLayout {
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** Oracle-checked drive of [[restoreLake]]: a bad wave lands on the
+    * staged base (every 4th order's priority clobbered), then RESTORE
+    * rolls the table back to v0 as a metadata-only commit and the
+    * CURRENT snapshot is aggregated — so the oracle is the plain
+    * orders aggregate, same truth as the time-travel drive. A restore
+    * that no-ops, under- or over-rolls leaves '9-RB' keys in the
+    * wrong group and breaks the hash. */
+  def qLakeRestore(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = cloneLake(s, stagedOrders(s, dir, 4))
+    upsertIntoLake(s, lake,
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        .withColumn("o_orderpriority", lit("9-RB")),
+      "o_orderkey", "registry", 1L)
+    restoreLake(s, lake, 0L)
+    readLake(s, lake).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** The MERGE-ON-READ twin of [[qLakeDelete]]: the SAME delete (every
     * key ≡ 3 mod 10 — maximally scattered, the copy-on-write worst
     * case where every file is touched) via [[deleteFromLakeDv]], which
@@ -3280,6 +3336,7 @@ object LakeLayout {
     "q_lake_meta_count" -> (qLakeMetaCount _),
     "q_lake_time_travel" -> (qLakeTimeTravel _),
     "q_lake_sql_asof" -> (qLakeSqlAsof _),
+    "q_lake_restore" -> (qLakeRestore _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
     "q_lake_zorder_opt" -> (qLakeZorderOpt _),
@@ -3297,6 +3354,8 @@ object LakeLayout {
     "q_lake_time_travel" -> qLakeTimeTravelSql,
     // the SQL face resolves to the same pinned snapshot → same truth
     "q_lake_sql_asof" -> qLakeTimeTravelSql,
+    // a correct rollback restores exactly the plain-orders truth
+    "q_lake_restore" -> qLakeTimeTravelSql,
     "q_lake_range_read" -> qLakeRangeReadSql,
     "q_lake_ts_read" -> qLakeTsReadSql,
     "q_lake_zorder_opt" -> qLakeZorderOptSql,

@@ -13,13 +13,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   LakeSql.sql(spark, "SELECT ... FROM orders_lake TIMESTAMP AS OF 1755...")
   *   LakeSql.sql(spark, "DESCRIBE HISTORY orders_lake")
   *   LakeSql.sql(spark, "DESCRIBE DETAIL orders_lake")
+  *   LakeSql.sql(spark, "RESTORE orders_lake TO VERSION AS OF 2")
+  *   LakeSql.sql(spark, "RESTORE orders_lake TO TIMESTAMP AS OF 1755...")
+  *   LakeSql.sql(spark, "OPTIMIZE orders_lake BY o_orderkey")
+  *   LakeSql.sql(spark, "OPTIMIZE orders_lake ZORDER BY (user_id, ts)")
+  *   LakeSql.sql(spark, "VACUUM orders_lake RETAIN 3 VERSIONS")
   *
   * Mechanics: `register` binds a logical name to a table path and
   * publishes the CURRENT snapshot as a session view (works on a plain
   * session and on the Hive-metastore session alike — views resolve
-  * through whichever catalog the session runs). `sql` first answers the
-  * two DESCRIBE commands directly ([[LakeLayout.lakeHistory]] /
-  * [[LakeLayout.describeLake]]), then rewrites every
+  * through whichever catalog the session runs). `sql` first answers
+  * the COMMAND forms directly — DESCRIBE HISTORY/DETAIL
+  * ([[LakeLayout.lakeHistory]] / [[LakeLayout.describeLake]]), RESTORE
+  * ([[LakeLayout.restoreLake]] — rollback as a new metadata-only
+  * commit), OPTIMIZE ([[LakeLayout.compactLakeOcc]] /
+  * [[LakeLayout.optimizeLakeZOrderOcc]]), and VACUUM
+  * ([[LakeLayout.vacuumLake]]) — then rewrites every
   * `<name> VERSION AS OF <v>` / `<name> TIMESTAMP AS OF <millis>`
   * table reference to a pinned snapshot view
   * ([[LakeLayout.readLakeVersion]] — the exact file list of that
@@ -86,6 +95,16 @@ object LakeSql {
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($ident)\\s*;?\\s*$$".r
   private val detailRe =
     s"(?is)^\\s*DESCRIBE\\s+DETAIL\\s+($ident)\\s*;?\\s*$$".r
+  private val restoreVersionRe =
+    s"(?is)^\\s*RESTORE\\s+($ident)\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+  private val restoreTimestampRe =
+    s"(?is)^\\s*RESTORE\\s+($ident)\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+  private val optimizeRe =
+    s"(?is)^\\s*OPTIMIZE\\s+($ident)\\s+BY\\s+($ident)\\s*;?\\s*$$".r
+  private val optimizeZorderRe =
+    s"(?is)^\\s*OPTIMIZE\\s+($ident)\\s+ZORDER\\s+BY\\s*\\(\\s*($ident)\\s*,\\s*($ident)\\s*\\)\\s*;?\\s*$$".r
+  private val vacuumRe =
+    s"(?is)^\\s*VACUUM\\s+($ident)(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$".r
   private val versionAsOfRe =
     s"(?is)\\b($ident)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
   private val timestampAsOfRe =
@@ -98,6 +117,32 @@ object LakeSql {
         LakeLayout.lakeHistory(spark, pathOf(spark, name))
       case detailRe(name) =>
         LakeLayout.describeLake(spark, pathOf(spark, name))
+      case restoreVersionRe(name, v) =>
+        restoreResult(spark, name, v.toLong)
+      case restoreTimestampRe(name, ts) =>
+        val path = pathOf(spark, name)
+        val v = LakeLayout.lakeVersionAsOf(spark, path, ts.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name has no version committed at or before instant $ts " +
+              "(the table did not exist yet)"))
+        restoreResult(spark, name, v)
+      case optimizeRe(name, key) =>
+        import spark.implicits._
+        val v = LakeLayout.compactLakeOcc(spark, pathOf(spark, name),
+          key, writerId = "sql")
+        Seq((name, v)).toDF("table_name", "version")
+      case optimizeZorderRe(name, key, tsKey) =>
+        import spark.implicits._
+        val v = LakeLayout.optimizeLakeZOrderOcc(spark,
+          pathOf(spark, name), key, tsKey, writerId = "sql")
+        Seq((name, v)).toDF("table_name", "version")
+      case vacuumRe(name, retain) =>
+        import spark.implicits._
+        val path = pathOf(spark, name)
+        LakeLayout.vacuumLake(spark, path,
+          keep = Option(retain).map(_.toInt).getOrElse(2))
+        Seq((name, LakeLayout.lakeVersions(spark, path).size.toLong))
+          .toDF("table_name", "versions_retained")
       case _ =>
         // pin AS-OF references as snapshot views. Two guards keep the
         // rewrite from touching text that is not a table reference:
@@ -154,6 +199,19 @@ object LakeSql {
     }
     sb.append(f(stmt.substring(last)))
     sb.toString
+  }
+
+  private def restoreResult(spark: SparkSession, name: String,
+      version: Long): DataFrame = {
+    import spark.implicits._
+    val path = pathOf(spark, name)
+    val v = LakeLayout.restoreLake(spark, path, version)
+    // advance the plain view (under the ORIGINAL registered casing) so
+    // the next SELECT sees the rolled-back state
+    val orig = registryOf(spark)(name.toLowerCase)._1
+    Catalog.registerLakeView(spark, path, orig)
+    Seq((orig, version, v))
+      .toDF("table_name", "restored_version", "version")
   }
 
   /** A view pinned to one committed version — its name encodes the

@@ -311,4 +311,43 @@ class LakeMetadataSpec extends SparkSuite {
     assert(LakeLayout.readLake(spark, qualified).get.count() == 2L,
       "a bare-path invalidation must evict the qualified-path parse")
   }
+
+  test("restore rolls back as a metadata-only commit; history survives and vacuum keeps the restored files live") {
+    val t = freshOrders()
+    val v0Rows = LakeLayout.readLake(spark, t).get
+      .orderBy($"id").collect().toSeq
+    // a bad wave lands (v1), then restore to v0 — the rollback is a
+    // NEW version on top, not a history rewrite
+    LakeLayout.upsertIntoLake(spark, t,
+      (0L until 4000L by 2).map(k => (k, -1L, "bad")).toDF("id", "grp", "pay"),
+      "id", "ck", 1L)
+    val dataBytesBefore = fsOf(t).getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$t/data")).getLength
+    val v2 = LakeLayout.restoreLake(spark, t, 0L)
+    assert(v2 == 2L, s"restore must publish the next version, got $v2")
+    assert(fsOf(t).getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$t/data")).getLength
+      == dataBytesBefore,
+      "restore must move ZERO data bytes")
+    assert(LakeLayout.readLake(spark, t).get
+      .orderBy($"id").collect().toSeq == v0Rows,
+      "the restored snapshot must equal the restored-from version")
+    // history keeps the bad commit inspectable, typed on top
+    val hist = LakeLayout.lakeHistory(spark, t).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("op"))).toSeq
+    assert(hist.take(1) == Seq((2L, "restore")) && hist.size == 3,
+      s"history must show the restore op on top of the bad wave: $hist")
+    assert(LakeLayout.readLakeVersion(spark, t, 1L)
+      .filter($"grp" === -1L).count() == 2000L,
+      "time travel must still reach the bad commit across the restore")
+    // vacuum to the restore + one: v0 (the restored-FROM version) is
+    // dropped, but its files stay live because the restore manifest
+    // references them — the read must not dangle
+    LakeLayout.vacuumLake(spark, t, keep = 2)
+    assert(LakeLayout.lakeVersions(spark, t) == Seq(1L, 2L))
+    assert(LakeLayout.readLake(spark, t).get
+      .orderBy($"id").collect().toSeq == v0Rows,
+      "restored files must survive vacuum dropping the version they " +
+        "were restored from")
+  }
 }

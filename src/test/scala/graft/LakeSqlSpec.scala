@@ -141,6 +141,48 @@ class LakeSqlSpec extends SparkSuite {
       s"a backquoted identifier must not be rewritten: $b")
   }
 
+  test("RESTORE / OPTIMIZE / VACUUM commands drive the API maintenance surface") {
+    val t = stageTable()
+    LakeSql.register(spark, "sqlspec_cmd", t)
+    // RESTORE TO VERSION AS OF: rollback of the v1 update wave; the
+    // plain view advances to the rolled-back state in-statement
+    val r = LakeSql.sql(spark,
+      "RESTORE sqlspec_cmd TO VERSION AS OF 0").collect()(0)
+    assert(r.getAs[Long]("restored_version") == 0L &&
+      r.getAs[Long]("version") == 2L, s"unexpected restore row: $r")
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_cmd WHERE pay = 'upd'")
+      .collect()(0).getLong(0) == 0L,
+      "the view must serve the rolled-back state after RESTORE")
+    assert(LakeSql.sql(spark, "DESCRIBE HISTORY sqlspec_cmd")
+      .collect()(0).getAs[String]("op") == "restore")
+    // RESTORE TO TIMESTAMP AS OF resolves through the same instants
+    // as the API and re-publishes the pinned version
+    val pin = LakeLayout.lakeCommitInstants(spark, t)(1L)
+    val rt = LakeSql.sql(spark,
+      s"RESTORE sqlspec_cmd TO TIMESTAMP AS OF $pin").collect()(0)
+    assert(rt.getAs[Long]("restored_version") == 1L &&
+      rt.getAs[Long]("version") == 3L, s"unexpected restore row: $rt")
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_cmd WHERE pay = 'upd'")
+      .collect()(0).getLong(0) == 1000L)
+    // OPTIMIZE compacts small files under OCC; the row count is
+    // untouched and the result row reports the committed version
+    val o = LakeSql.sql(spark, "OPTIMIZE sqlspec_cmd BY id").collect()(0)
+    assert(o.getAs[Long]("version") >= 3L, s"unexpected optimize row: $o")
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_cmd").collect()(0).getLong(0)
+      == 3000L)
+    // VACUUM RETAIN n VERSIONS trims history through the same API path
+    val k = LakeSql.sql(spark, "VACUUM sqlspec_cmd RETAIN 2 VERSIONS")
+      .collect()(0)
+    assert(k.getAs[Long]("versions_retained") == 2L &&
+      LakeLayout.lakeVersions(spark, t).size == 2, s"vacuum row: $k")
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_cmd").collect()(0).getLong(0)
+      == 3000L, "the current snapshot must survive the SQL vacuum")
+  }
+
   test("registrations are session-scoped: sibling sessions neither see nor overwrite each other's names") {
     val tA = stageTable()
     val tB = stageTable()
