@@ -507,6 +507,10 @@ object IvfIndex {
       maxSkew: Double = 4.0, minFit: Double = 0.15,
       cells: Int = Similarity.IvfCells,
       iters: Int = Similarity.IvfIters): IvfMaintenanceReport = {
+    // fold grace-generation stragglers in FIRST (one listing + a diff
+    // when quiet) so the health reading — and any triggered retrain —
+    // sees every wave, including one stranded by a cutover race
+    sweepSourceStragglers(s, indexPath)
     val d = describeIvf(s, indexPath).collect()(0)
     val skew = d.getAs[Double]("occupancy_skew")
     val fit = d.getAs[Double]("mean_centroid_sim")
@@ -547,5 +551,72 @@ object IvfIndex {
       .select($"vec_id", $"label", $"sim")
       .orderBy($"sim".desc, $"vec_id")
       .limit(k)
+  }
+
+  /** BATCH serving from the persisted index — one distributed pass for
+    * a whole frame of probes (the offline-inference shape: score a
+    * query table against the corpus, not one vector at a time from the
+    * driver). `probes` must carry (probe_id: long, embedding); returns
+    * (probe_id, vec_id, label, sim, rank) with `rank` 1..k per probe.
+    *
+    * The plan keeps both IVF economies at batch scale:
+    *  - cell RANKING rides the packed 1-row broadcast model (plan size
+    *    independent of K, same argmax shape as [[assignCells]]), and
+    *    per-probe tie-breaks match [[probeTopK]] exactly (max sim,
+    *    then min cell — the struct sort is position-independent);
+    *  - the vectors SCAN reads only the UNION of probed cells — the
+    *    probed-cell set (≤ K values, collected like every other
+    *    bounded model state) lands as a partition filter, so the scan
+    *    cost is ~|cells probed|/K of the corpus, not the corpus;
+    *  - the probe side (|probes| × nprobe rows) BROADCASTS onto the
+    *    pruned scan — no shuffle of corpus vectors; the only shuffle
+    *    is the per-probe top-k window over candidate hits. For probe
+    *    batches too big to broadcast, shard the probe frame and union
+    *    — each shard keeps this plan.
+    * `excludeSelf` drops vec_id == probe_id hits (corpus-vs-itself
+    * queries, parity with [[probeTopK]]'s excludeId). */
+  def probeTopKBatch(s: SparkSession, indexPath: String, probes: DataFrame,
+      k: Int = 10, nprobe: Int = Similarity.IvfProbes,
+      excludeSelf: Boolean = false): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    // one resolution pins the generation for model, pruning, and scan
+    val root = layoutRoot(s, indexPath)
+    val packed = broadcast(s.read.parquet(s"$root/centroids").agg(
+      collect_list(struct(col("cell"), col("centroid"))).as("cents")))
+    // rank cells per probe: sort ascending on (-dot, cell) ≡ probeTopK's
+    // (max sim, min cell); scaling by the probe's norm cannot change a
+    // per-probe ordering, so the raw dot ranks identically to cosine
+    val ranked = probes
+      .select($"probe_id", $"embedding".as("probe_emb"))
+      .crossJoin(packed)
+      .withColumn("pcell",
+        explode(transform(
+          slice(array_sort(transform($"cents", c =>
+            struct(
+              (-VectorFunctions.dot($"probe_emb", c.getField("centroid")))
+                .as("negsim"),
+              c.getField("cell").as("cell")))), 1, nprobe),
+          s => s.getField("cell"))))
+      .drop("cents")
+    // the probed-cell union is bounded by K — collect it so the scan
+    // carries a LITERAL partition filter (file pruning at the index)
+    val cellsNeeded = ranked.select($"pcell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = s.read.parquet(s"$root/vectors")
+      .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+    val hits = cand
+      .join(broadcast(ranked), $"cell" === $"pcell")
+      .withColumn("sim",
+        round(VectorFunctions.cosine($"embedding", $"probe_emb"), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
+    val kept = if (excludeSelf) hits.filter($"vec_id" =!= $"probe_id")
+      else hits
+    import org.apache.spark.sql.expressions.Window
+    kept
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Batch serving from the persisted IVF index
+  * ([[IvfIndex.probeTopKBatch]]): one distributed pass for a probe
+  * FRAME must return, per probe, exactly what the per-probe
+  * [[IvfIndex.probeTopK]] serving path returns (same cell ranking,
+  * same tie-breaks, same rounding) — and its vectors scan must carry
+  * the probed-cell union as a PARTITION filter, so batch cost stays
+  * ~|cells probed|/K of the corpus instead of the corpus. */
+class IvfBatchProbeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("batch probe equals per-probe serving for every probe, and the scan prunes to the probed cells") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-batch")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+
+    val probeRows = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(5)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val batch = IvfIndex.probeTopKBatch(spark, idx, probeRows,
+      k = 5, nprobe = 4, excludeSelf = true)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(3), r.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+
+    val probes = probeRows.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray))
+    assert(got.keySet == probes.map(_._1).toSet,
+      s"every probe must answer: ${got.keySet}")
+    probes.foreach { case (id, emb) =>
+      val single = IvfIndex.probeTopK(spark, idx, emb, k = 5, nprobe = 4,
+        excludeId = Some(id)).collect()
+        .zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(2), i + 1) }.toSeq
+      assert(got(id) == single,
+        s"probe $id: batch ${got(id)} != per-probe $single")
+    }
+
+    // the executed vectors scan must prune partitions by the probed
+    // cells — a full-corpus scan per batch is the plan this API exists
+    // to avoid
+    // (string form: the final AQE plan nests scans inside query
+    // stages, out of reach of a plain collect)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[cell#\d+ IN""".r
+      .findFirstIn(plan).isDefined,
+      s"the vectors scan must carry the probed-cell partition filter:\n" +
+        plan.linesIterator.filter(_.contains("FileScan"))
+          .mkString("\n"))
+  }
+}
