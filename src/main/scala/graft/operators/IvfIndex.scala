@@ -619,4 +619,53 @@ object IvfIndex {
       .filter($"rank" <= k)
       .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
   }
+
+  // ------------------------------------------------- registry drive
+  /** Process-lifetime staged PERSISTED index per (sfDir, corpus
+    * fingerprint) — the same staging pattern as the lake registry
+    * drives (LakeLayout.stagedBase): the timed registry span measures
+    * SERVING from an existing index, not the one-time build it serves
+    * from (warmup/fill runs absorb staging). Fingerprint-keyed so a
+    * re-generated sfDir re-stages automatically. */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private def corpusFingerprint(s: SparkSession, dir: String): Long = {
+    val path = hp(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(path)
+    val files = if (st.isDirectory) fs.listStatus(path) else Array(st)
+    files.foldLeft(17L) { (acc, f) =>
+      acc ^ (f.getPath.getName.hashCode.toLong * 31L +
+        f.getLen * 1000003L + f.getModificationTime)
+    }
+  }
+
+  private def stagedIndex(s: SparkSession, dir: String): String =
+    stageCache.computeIfAbsent((dir, corpusFingerprint(s, dir)), { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-reg").toString
+      build(s, dir, root)
+      root
+    })
+
+  /** Registry drive: BATCH ANN serving from the persisted index — a
+    * 25-probe frame against the staged corpus index at the production
+    * probe width. Rows-only by design: the centroids are engine-local
+    * model state (no DuckDB twin ranks the same cells); correctness is
+    * pinned by the batch-vs-per-probe parity spec (IvfBatchProbeSpec)
+    * and the serving path's recall spec. */
+  def sIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < 25)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    probeTopKBatch(s, stagedIndex(s, dir), probes,
+      k = 5, nprobe = Similarity.IvfProbes, excludeSelf = true)
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("s_ivf_batch" -> (sIvfBatch _))
+  val oracle: Map[String, String] = Map.empty
 }

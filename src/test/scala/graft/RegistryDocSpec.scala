@@ -41,7 +41,8 @@ class RegistryDocSpec extends AnyFunSuite {
       "d_minhash_lsh_x64", "d_simhash_pairs_x64",
       "q_approx_distinct", "q_value_percentiles",
       "r12_envelope_per_source",
-      "s_ann_lsh_buckets", "s_ann_topk", "s_ivf_topk", "s_semantic_dedup")
+      "s_ann_lsh_buckets", "s_ann_topk", "s_ivf_topk", "s_ivf_batch",
+      "s_semantic_dedup")
     val undocumented = noOracle -- documented
     assert(undocumented.isEmpty,
       s"oracle-less queries not on the documented rows-only list: " +
