@@ -1501,6 +1501,25 @@ object LakeLayout {
     }
   }
 
+  /** All (checkpoint, batchId) provenance pairs carried by LIVE
+    * versions — the bulk form of [[lakeHasCommit]] for a consumer that
+    * replays MANY candidate batches (CDC replication re-syncing a long
+    * source history): one raw-manifest read per live version total,
+    * instead of one full scan of the live set PER candidate. Raw reads
+    * only — provenance lives in every manifest, delta or full, so no
+    * file-list resolution happens. */
+  def lakeProvenance(spark: SparkSession,
+      tablePath: String): Set[(String, Long)] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    lakeVersions(spark, tablePath).map { v =>
+      readRawManifest(fs, table, v) match {
+        case Right(c) => (c.checkpoint, c.batchId)
+        case Left(d) => (d.checkpoint, d.batchId)
+      }
+    }.toSet
+  }
+
   /** FILE-GRANULAR delete — the removal operation a training-data
     * pipeline needs for takedowns and decontamination: rows whose key
     * appears in `deletes` vanish from the table. Only the files whose

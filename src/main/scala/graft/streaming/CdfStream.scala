@@ -188,21 +188,91 @@ object CdfStream {
     q
   }
 
-  /** Registry drive: a deterministic commit history on an orders lake
-    * — an update wave (priority rewritten for every key ≡ 0 mod 4), a
-    * takedown (every key ≡ 3 mod 10 deleted), an insert wave (fresh
-    * keys offset by 10M) — and the change-data feed summarized per
-    * (version, change). The oracle recomputes each version's expected
-    * change set directly from plain orders, so a hash match proves the
-    * feed emits EXACTLY the changed rows: carried neighbors inside
-    * rewritten files (same file, unchanged bytes-of-row) must not
-    * surface. */
-  def qLakeCdf(s: SparkSession, dir: String): DataFrame = {
+  /** CDC REPLICATION: converge a downstream lake table to a source
+    * lake table by applying the change-data feed version by version —
+    * the table-mirror shape (read replicas, cross-region copies,
+    * downstream materializations that must track a canonical table
+    * without ever re-copying it). Cost per sync is
+    * O(changed rows + touched replica files), never O(table); a sync
+    * with nothing new is pure metadata (one raw-manifest provenance
+    * read per live version of each side, no data files opened).
+    *
+    * Each source version lands as AT MOST two replica commits — an
+    * upsert of the version's insert/update postimages and a delete of
+    * its delete keys (one source version never both deletes and
+    * upserts the same key, so their order is immaterial) — carrying
+    * ("cdf-upsert", v) / ("cdf-delete", v) provenance. Replays are
+    * detected in bulk through [[LakeLayout.lakeProvenance]]: a re-run
+    * after a crash BETWEEN the two commits applies exactly the missing
+    * half, and a fully-applied sync re-runs as a no-op (versions at or
+    * below the replica's provenance high-water mark are skipped
+    * without even computing their change set). Versions with an empty
+    * change set (compaction, Z-order maintenance) publish nothing.
+    *
+    * Contracts (both standard for any CDC consumer): the replica is
+    * PASSIVE — replication must be its only writer — and the source's
+    * vacuum grace must cover replication lag. Source schema evolution
+    * flows through (the upsert side evolves the replica). Returns the
+    * number of source versions that applied at least one commit this
+    * call. */
+  def replicateLake(spark: SparkSession, srcPath: String, key: String,
+      dstPath: String): Int = {
+    val applied = LakeLayout.lakeProvenance(spark, dstPath)
+    val appliedV = applied.collect {
+      case (c, v) if c == "cdf-upsert" || c == "cdf-delete" => v
+    }
+    // versions strictly below the high-water mark are fully applied
+    // (syncs process ascending, so a crash leaves at most the MAX
+    // applied version half-done); empty versions below it were
+    // correctly skipped and never need re-diffing
+    val hwm = if (appliedV.isEmpty) Long.MinValue else appliedV.max
+    var n = 0
+    LakeLayout.lakeVersions(spark, srcPath).sorted
+      .dropWhile(_ < hwm)
+      .foreach { v =>
+        val needUp = !applied.contains(("cdf-upsert", v))
+        val needDel = !applied.contains(("cdf-delete", v))
+        if (needUp || needDel) {
+          val changes = changesForVersion(spark, srcPath, v, key).persist()
+          try {
+            val dataCols = changes.columns
+              .filterNot(c => c == "_change" || c == "_version")
+              .toIndexedSeq
+            val ups = changes
+              .filter(col("_change").isin("insert", "update"))
+              .select(dataCols.map(col): _*)
+            val dels = changes.filter(col("_change") === "delete")
+              .select(col(key))
+            var any = false
+            if (needUp && !ups.isEmpty) {
+              LakeLayout.upsertIntoLake(spark, dstPath, ups, key,
+                "cdf-upsert", v, evolveSchema = true)
+              any = true
+            }
+            if (needDel && !dels.isEmpty) {
+              LakeLayout.deleteFromLake(spark, dstPath, dels, key,
+                "cdf-delete", v)
+              any = true
+            }
+            if (any) n += 1
+          } finally changes.unpersist()
+        }
+      }
+    n
+  }
+
+  /** The deterministic 5-commit mutation chain shared by the CDF and
+    * replication drives: an update wave (priority rewritten for every
+    * key ≡ 0 mod 4), a takedown (every key ≡ 3 mod 10 deleted), an
+    * insert wave (fresh keys offset by 10M), a compaction (change set
+    * empty BY MANIFEST TYPE — exercises the op-typed short-circuit;
+    * proof in OpTypedSkipSpec), and a MERGE-ON-READ delete (every key
+    * ≡ 1 mod 25 — never ≡ 3 mod 10, and disjoint from the ≡ 7 mod 25
+    * inserts, so the oracle stays a plain predicate over base orders;
+    * the feed takes the dvdelete fast path). */
+  private def mutationChain(s: SparkSession, dir: String,
+      lake: String): Unit = {
     val orders = Tables.load(s, dir, "orders")
-    // base v0 from the process-lifetime staged orders-6 lake (cloned —
-    // this drive mutates): the timed span is the commit chain + feed,
-    // not the one-time base staging write
-    val lake = LakeLayout.cloneLake(s, LakeLayout.stagedOrders(s, dir, 6))
     LakeLayout.upsertIntoLake(s, lake,
       orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
         .withColumn("o_orderpriority", lit("9-UPD")),
@@ -215,22 +285,28 @@ object CdfStream {
       orders.filter(pmod(col("o_orderkey"), lit(100)) === 7)
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)),
       "o_orderkey", "registry", 3L)
-    // v4: compact — its change set must be empty BY MANIFEST TYPE, so
-    // the timed feed exercises the op-typed short-circuit (zero rows,
-    // zero data files opened; proof in OpTypedSkipSpec)
     val v4 = LakeLayout.compactLake(s, lake, "o_orderkey")
     require(v4 == 4L, s"expected compact to publish v4, got $v4")
-    // v5: MERGE-ON-READ delete — the feed takes the dvdelete fast path
-    // (one old-dv-applied read of the affected files + a broadcast
-    // semi-join against the commit's sidecar). Keys ≡ 1 (mod 25) never
-    // end in 3 (last digit is 1 or 6), so none were deleted at v2, and
-    // the v3 inserts sit at ≡ 7 (mod 25) — the oracle is a plain
-    // predicate over the base table.
     val v5 = LakeLayout.deleteFromLakeDv(s, lake,
       orders.filter(pmod(col("o_orderkey"), lit(25)) === 1)
         .select(col("o_orderkey")),
       "o_orderkey", "registry", 4L)
     require(v5 == 5L, s"expected dv delete to publish v5, got $v5")
+  }
+
+  /** Registry drive: a deterministic commit history on an orders lake
+    * ([[mutationChain]]) and the change-data feed summarized per
+    * (version, change). The oracle recomputes each version's expected
+    * change set directly from plain orders, so a hash match proves the
+    * feed emits EXACTLY the changed rows: carried neighbors inside
+    * rewritten files (same file, unchanged bytes-of-row) must not
+    * surface. */
+  def qLakeCdf(s: SparkSession, dir: String): DataFrame = {
+    // base v0 from the process-lifetime staged orders-6 lake (cloned —
+    // this drive mutates): the timed span is the commit chain + feed,
+    // not the one-time base staging write
+    val lake = LakeLayout.cloneLake(s, LakeLayout.stagedOrders(s, dir, 6))
+    mutationChain(s, dir, lake)
     (1L to 5L).map(v => changesForVersion(s, lake, v, "o_orderkey"))
       .reduce(_ unionByName _)
       .groupBy(col("_version"), col("_change"))
@@ -256,9 +332,60 @@ object CdfStream {
          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
        FROM changes GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Process-lifetime staged SOURCE chain for the replication drive —
+    * keyed by the staged-orders base path (itself fingerprint-keyed,
+    * so a re-generated sfDir re-stages automatically): the timed
+    * registry span measures REPLICATION of the 5-version history into
+    * a fresh replica, not the one-time source mutation chain. */
+  private val chainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedChain(s: SparkSession, dir: String): String =
+    chainCache.computeIfAbsent(LakeLayout.stagedOrders(s, dir, 6), {
+      base =>
+        val lake = LakeLayout.cloneLake(s, base)
+        mutationChain(s, dir, lake)
+        lake
+    })
+
+  /** Registry drive for [[replicateLake]]: replicate the staged
+    * 5-version source history (bootstrap snapshot + update wave +
+    * takedown + insert wave + compaction no-op + merge-on-read delete)
+    * into a FRESH replica, then aggregate the REPLICA's snapshot. The
+    * oracle reproduces the source's final state relationally over
+    * plain orders, so a hash match proves the replica converged to the
+    * source through every change type the feed emits. */
+  def qLakeReplicate(s: SparkSession, dir: String): DataFrame = {
+    val src = stagedChain(s, dir)
+    val dst = LakeLayout.registryLakeRoot(s)
+    val applied = replicateLake(s, src, "o_orderkey", dst)
+    require(applied >= 1, s"replication applied $applied source versions")
+    LakeLayout.readLake(s, dst).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qLakeReplicateSql: String =
+    """WITH rep AS (
+         SELECT CASE WHEN o_orderkey % 4 = 0 THEN '9-UPD'
+                     ELSE o_orderpriority END AS o_orderpriority,
+           o_orderkey
+         FROM orders
+         WHERE o_orderkey % 10 <> 3 AND o_orderkey % 25 <> 1
+         UNION ALL
+         SELECT o_orderpriority, o_orderkey + 10000000
+         FROM orders WHERE o_orderkey % 100 = 7)
+       SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       FROM rep GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_lake_cdf" -> (qLakeCdf _))
+    "q_lake_cdf" -> (qLakeCdf _),
+    "q_lake_replicate" -> (qLakeReplicate _))
 
   val oracle: Map[String, String] = Map(
-    "q_lake_cdf" -> qLakeCdfSql)
+    "q_lake_cdf" -> qLakeCdfSql,
+    "q_lake_replicate" -> qLakeReplicateSql)
 }

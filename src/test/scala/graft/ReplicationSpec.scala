@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.LakeLayout
+import graft.streaming.CdfStream
+import org.apache.spark.sql.functions._
+
+/** CDC replication ([[CdfStream.replicateLake]]): a passive replica
+  * must CONVERGE to the source snapshot through every change type the
+  * feed emits (bootstrap, update, file-granular delete, compaction
+  * no-op, merge-on-read delete, insert), syncs must be incremental
+  * (only unapplied source versions do work) and idempotent (a no-new-
+  * versions sync publishes nothing), and a crash between a version's
+  * two replica commits must re-apply exactly the missing half. */
+class ReplicationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def snapshot(path: String): Set[Seq[Any]] =
+    LakeLayout.readLake(spark, path).get.collect().map(_.toSeq).toSet
+
+  test("replica converges through every change type, incrementally and idempotently") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-repl-src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-repl-dst").toString + "/replica"
+    LakeLayout.commitLakeVersion(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      src, "seed", 0L, statsKey = Some("id"))
+    LakeLayout.upsertIntoLake(spark, src,
+      (0L until 100L by 10).map(k => (k, "UPD")).toDF("id", "v"),
+      "id", "w", 1L)
+    LakeLayout.deleteFromLake(spark, src,
+      Seq(3L, 13L, 23L).toDF("id"), "id", "w", 2L)
+
+    val n1 = CdfStream.replicateLake(spark, src, "id", dst)
+    assert(n1 == 3, s"bootstrap + update + delete must apply, got $n1")
+    assert(snapshot(dst) == snapshot(src), "replica == source after sync 1")
+    assert(LakeLayout.readLake(spark, dst).get.columns.toSeq ==
+      Seq("id", "v"), "feed meta columns must never leak into the replica")
+
+    // incremental: compaction (change set empty BY MANIFEST TYPE),
+    // a merge-on-read delete, an insert wave
+    LakeLayout.compactLake(spark, src, "id")
+    LakeLayout.deleteFromLakeDv(spark, src,
+      Seq(7L, 17L).toDF("id"), "id", "w", 3L)
+    LakeLayout.upsertIntoLake(spark, src,
+      Seq((200L, "NEW"), (201L, "NEW")).toDF("id", "v"), "id", "w", 4L)
+    val dstBefore = LakeLayout.lakeVersions(spark, dst).size
+    val n2 = CdfStream.replicateLake(spark, src, "id", dst)
+    assert(n2 == 2, s"compaction applies nothing; dv delete + insert do, got $n2")
+    assert(LakeLayout.lakeVersions(spark, dst).size == dstBefore + 2,
+      "exactly one replica commit per non-empty source version here")
+    assert(snapshot(dst) == snapshot(src), "replica == source after sync 2")
+
+    // idempotence: nothing new on the source → nothing on the replica
+    val versions = LakeLayout.lakeVersions(spark, dst)
+    assert(CdfStream.replicateLake(spark, src, "id", dst) == 0,
+      "a fully-applied sync must be a no-op")
+    assert(LakeLayout.lakeVersions(spark, dst) == versions,
+      "a no-op sync must publish no replica versions")
+  }
+
+  test("a crash between a version's two commits re-applies exactly the missing half") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-repl-crash-src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-repl-crash-dst").toString + "/replica"
+    LakeLayout.commitLakeVersion(
+      (0L until 10L).map(k => (k, s"v$k", false)).toDF("id", "v", "del")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      src, "seed", 0L, statsKey = Some("id"))
+    assert(CdfStream.replicateLake(spark, src, "id", dst) == 1)
+
+    // v1 carries BOTH kinds: update id 1, insert id 100, delete id 2
+    LakeLayout.mergeIntoLake(spark, src,
+      Seq((1L, "UPD", false), (100L, "INS", false), (2L, "gone", true))
+        .toDF("id", "v", "del"),
+      "id", deleteWhen = col("del"), "w", 1L)
+
+    // simulate the crash: apply only the upsert half with replication's
+    // own provenance, as if the process died before the delete commit
+    val changes = CdfStream.changesForVersion(spark, src, 1L, "id")
+    LakeLayout.upsertIntoLake(spark, dst,
+      changes.filter(col("_change").isin("insert", "update"))
+        .select(col("id"), col("v"), col("del")),
+      "id", "cdf-upsert", 1L)
+    assert(snapshot(dst) != snapshot(src), "half-applied by construction")
+
+    val before = LakeLayout.lakeVersions(spark, dst).size
+    assert(CdfStream.replicateLake(spark, src, "id", dst) == 1,
+      "the re-sync must apply version 1's missing half")
+    assert(LakeLayout.lakeVersions(spark, dst).size == before + 1,
+      "exactly ONE commit — the delete half; the upsert must not replay")
+    assert(snapshot(dst) == snapshot(src), "replica converged after recovery")
+  }
+}
