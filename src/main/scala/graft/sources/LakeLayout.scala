@@ -991,6 +991,7 @@ object LakeLayout {
         s"(columns: ${df.schema.fieldNames.mkString(", ")})"))
     val effTs = tsStatsKey.orElse(cur.flatMap(carriedTsCluster)
       .filter(df.schema.fieldNames.contains))
+    enforceLakeConstraints(s, tablePath, df)
     // overwrite: an orphan dir from a crashed previous attempt at this
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
@@ -1081,6 +1082,7 @@ object LakeLayout {
     val dataRel = s"data/${versionName(v)}-app"
     val effTs = cur.flatMap(carriedTsCluster)
       .filter(rows.schema.fieldNames.contains)
+    enforceLakeConstraints(spark, tablePath, rows)
     rows.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     val newFiles = fileStats(spark, tablePath, dataRel, statsKey, effTs)
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
@@ -1168,12 +1170,14 @@ object LakeLayout {
     * caller to assert/record. */
   def upsertIntoLake(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String, checkpoint: String,
-      batchId: Long, evolveSchema: Boolean = false): LakeUpsertResult =
+      batchId: Long, evolveSchema: Boolean = false): LakeUpsertResult = {
+    enforceLakeConstraints(spark, tablePath, updates)
     upsertAttempt(spark, tablePath, updates, key, checkpoint, batchId, "",
         evolveSchema)
       .getOrElse(throw new IllegalStateException(
         s"upsertIntoLake lost a commit race on $tablePath (single-writer " +
           "contract); concurrent writers must use upsertIntoLakeOcc"))
+  }
 
   /** What a failed claim leaves behind when the caller asked to keep
     * the attempt's files for a possible rebase: everything needed to
@@ -1354,6 +1358,12 @@ object LakeLayout {
       deleteWhen: Option[Column] = None): LakeUpsertResult = {
     require(writerId.nonEmpty && !writerId.contains("/"),
       "writerId must be a non-empty path-safe token")
+    // once per batch, not per attempt: constraints gate the ROWS, and
+    // the rows don't change across OCC retries (delete-marked rows are
+    // removals, not stored rows — exempt)
+    enforceLakeConstraints(spark, tablePath,
+      deleteWhen.map(c => updates.filter(!coalesce(c, lit(false))))
+        .getOrElse(updates))
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     // jittered backoff before a recompute breaks the livelock two
@@ -1458,12 +1468,15 @@ object LakeLayout {
   def mergeIntoLake(spark: SparkSession, tablePath: String,
       source: DataFrame, key: String, deleteWhen: Column,
       checkpoint: String, batchId: Long,
-      evolveSchema: Boolean = false): LakeUpsertResult =
+      evolveSchema: Boolean = false): LakeUpsertResult = {
+    enforceLakeConstraints(spark, tablePath,
+      source.filter(!coalesce(deleteWhen, lit(false))))
     upsertAttempt(spark, tablePath, source, key, checkpoint, batchId, "",
         evolveSchema, Some(deleteWhen))
       .getOrElse(throw new IllegalStateException(
         s"mergeIntoLake lost a commit race on $tablePath (single-writer " +
           "contract)"))
+  }
 
   /** [[mergeIntoLake]] under the OCC multi-writer protocol: the same
     * three-clause merge (update / insert / `deleteWhen` removal), each
@@ -1518,6 +1531,132 @@ object LakeLayout {
         case Left(d) => (d.checkpoint, d.batchId)
       }
     }.toSet
+  }
+
+  // ------------------------------------------------------ constraints
+  private def constraintsFile(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_constraints/constraints.tsv")
+
+  /** Named CHECK constraints (Delta's table constraints, a pipeline's
+    * "expectations"): SQL predicates every row of the table must
+    * satisfy — the data-quality gate a training corpus needs so a bad
+    * ingest FAILS instead of silently poisoning downstream epochs.
+    * Enforcement is WRITE-TIME and O(batch): each ingest path validates
+    * only its incoming rows (resident rows were validated by the write
+    * that created them), so the gate costs one extra pass over the
+    * batch — never a table scan — and maintenance ops that only MOVE
+    * resident rows (compaction, Z-order, restore, deletes) skip it
+    * entirely. NULL follows SQL CHECK semantics: a row violates only
+    * when the predicate is definitely FALSE.
+    *
+    * [[setLakeConstraints]] first validates the CURRENT snapshot (the
+    * one-time O(table) price of a new invariant), so "every live row
+    * satisfies every constraint" holds from the moment it returns.
+    * Constraint admin is a single-administrator operation (the file
+    * swap is not OCC-protected); writers racing an admin swap see
+    * either the old or the new constraint set. */
+  def setLakeConstraints(spark: SparkSession, tablePath: String,
+      constraints: Map[String, String]): Unit = {
+    constraints.foreach { case (n, e) =>
+      require(!(n + e).exists(c => c == '\t' || c == '\n'),
+        s"constraint '$n': names and expressions must not contain " +
+          "tabs or newlines")
+    }
+    readLake(spark, tablePath).foreach { snap =>
+      val bad = violationCounts(snap, constraints)
+      require(bad.isEmpty,
+        s"setLakeConstraints: existing rows violate " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    }
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = constraintsFile(table)
+    fs.mkdirs(target.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(constraints.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n\t$e\n" }.mkString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target),
+      s"setLakeConstraints: failed to publish $target")
+  }
+
+  /** The table's current constraint set (empty = unconstrained). */
+  def lakeConstraints(spark: SparkSession,
+      tablePath: String): Map[String, String] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val f = constraintsFile(table)
+    if (!fs.exists(f)) Map.empty
+    else {
+      val in = fs.open(f)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"malformed constraint line in $f: $line")
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
+  }
+
+  /** Remove one named constraint (a no-op if absent). */
+  def dropLakeConstraint(spark: SparkSession, tablePath: String,
+      name: String): Unit = {
+    val cur = lakeConstraints(spark, tablePath)
+    if (cur.contains(name)) {
+      val rest = cur - name
+      val table = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+      if (rest.isEmpty) fs.delete(constraintsFile(table), false)
+      else setLakeConstraints(spark, tablePath, rest)
+    }
+  }
+
+  /** Per-constraint violation counts over `df`, one aggregate pass for
+    * ALL constraints. SQL CHECK nulls: only definite FALSE counts. */
+  private def violationCounts(df: DataFrame,
+      cons: Map[String, String]): Seq[(String, Long)] = {
+    if (cons.isEmpty) return Seq.empty
+    val checks = cons.toSeq.sortBy(_._1)
+    val row = df.select(checks.map { case (n, e) =>
+      sum(when(coalesce(expr(e).cast("boolean"), lit(true)) === false,
+        1L).otherwise(0L)).as(n)
+    }: _*).head()
+    checks.indices
+      .map(i => (checks(i)._1, if (row.isNullAt(i)) 0L else row.getLong(i)))
+      .filter(_._2 > 0)
+  }
+
+  /** The write-path gate: throws (before anything is written) when any
+    * incoming row definitely violates a constraint. The batch is
+    * aligned to the UNION of its own and the table's committed columns
+    * (missing side null-filled) — the same alignment the evolving
+    * upsert applies — so a batch that OMITS a constrained column is
+    * judged on the null the merge would store for it: `x IS NOT NULL`
+    * rejects the omission; a plain range check passes it. */
+  private def enforceLakeConstraints(spark: SparkSession,
+      tablePath: String, batch: DataFrame): Unit = {
+    val cons = lakeConstraints(spark, tablePath)
+    if (cons.nonEmpty) {
+      val committed = latestLakeCommit(spark, tablePath)
+        .flatMap(_.schemaJson)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val missing = committed.map(_.fields.toSeq).getOrElse(Seq.empty)
+        .filterNot(f => batch.columns.contains(f.name))
+      val aligned = batch.select(batch.columns.map(col).toIndexedSeq ++
+        missing.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      val bad = violationCounts(aligned, cons)
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          "lake constraint violation — batch rejected, nothing written: " +
+            bad.map { case (n, c) =>
+              s"$n [${cons(n)}] ($c rows)" }.mkString(", "))
+    }
   }
 
   /** FILE-GRANULAR delete — the removal operation a training-data

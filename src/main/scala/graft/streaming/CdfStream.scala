@@ -261,6 +261,27 @@ object CdfStream {
     n
   }
 
+  /** LIVE replication: tail the source's commit log and keep the
+    * replica converged continuously. The manifest stream is only the
+    * TRIGGER — each micro-batch hands off to [[replicateLake]], which
+    * re-derives the unapplied set from replica provenance, so the
+    * stream needs no state of its own: a restart from (or without) the
+    * checkpoint, a crash mid-sync, or a duplicate trigger all land on
+    * the same idempotent sync. Blocks until the current log drains. */
+  def runReplication(spark: SparkSession, srcPath: String, key: String,
+      dstPath: String, checkpoint: String): StreamingQuery = {
+    val q = versionStream(spark, srcPath).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          replicateLake(batch.sparkSession, srcPath, key, dstPath)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** The deterministic 5-commit mutation chain shared by the CDF and
     * replication drives: an update wave (priority rewritten for every
     * key ≡ 0 mod 4), a takedown (every key ≡ 3 mod 10 deleted), an

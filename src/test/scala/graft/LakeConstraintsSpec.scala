@@ -1,0 +1,107 @@
+package graft
+
+import graft.sources.LakeLayout
+import org.apache.spark.sql.functions._
+
+/** CHECK constraints on lake tables ([[LakeLayout.setLakeConstraints]]):
+  * the write-time data-quality gate. Every ingest path must reject a
+  * violating batch BEFORE publishing (table state unchanged), resident
+  * rows are validated once at constraint-set time, SQL CHECK null
+  * semantics hold (only definite FALSE violates), delete-marked merge
+  * rows are exempt, and an evolving batch that omits a constrained
+  * column is judged on the null the merge would store. */
+class LakeConstraintsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def seed(table: String): Unit =
+    LakeLayout.commitLakeVersion(
+      (1L to 8L).map(k => (k, k * 10, s"v$k")).toDF("id", "score", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      table, "seed", 0L, statsKey = Some("id"))
+
+  test("setLakeConstraints validates resident rows; violating batches are rejected with no new version") {
+    val table = freshTable("graft-cons")
+    seed(table)
+    // resident rows all have score >= 10 — a tighter invariant fails fast
+    val ex = intercept[IllegalArgumentException] {
+      LakeLayout.setLakeConstraints(spark, table,
+        Map("score_high" -> "score >= 50"))
+    }
+    assert(ex.getMessage.contains("score_high"))
+    assert(LakeLayout.lakeConstraints(spark, table).isEmpty,
+      "a failed set must not publish the constraint file")
+
+    LakeLayout.setLakeConstraints(spark, table,
+      Map("score_pos" -> "score > 0", "id_set" -> "id IS NOT NULL"))
+    assert(LakeLayout.lakeConstraints(spark, table).keySet ==
+      Set("score_pos", "id_set"))
+
+    val before = LakeLayout.lakeVersions(spark, table)
+    val up = intercept[IllegalArgumentException] {
+      LakeLayout.upsertIntoLake(spark, table,
+        Seq((9L, -5L, "bad"), (10L, 7L, "ok")).toDF("id", "score", "v"),
+        "id", "w", 1L)
+    }
+    assert(up.getMessage.contains("score_pos") &&
+      up.getMessage.contains("1 rows"),
+      s"violation must name the constraint and count: ${up.getMessage}")
+    assert(LakeLayout.lakeVersions(spark, table) == before,
+      "a rejected batch must publish nothing")
+    intercept[IllegalArgumentException] {
+      LakeLayout.appendToLake(spark, table,
+        Seq((11L, 0L, "zero")).toDF("id", "score", "v"), "w", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      LakeLayout.upsertIntoLakeOcc(spark, table,
+        Seq((12L, -1L, "bad")).toDF("id", "score", "v"), "id", "wr", 3L)
+    }
+    assert(LakeLayout.lakeVersions(spark, table) == before)
+
+    // a clean batch flows through, and NULL passes a plain CHECK
+    // (SQL semantics: only definite FALSE violates)
+    LakeLayout.upsertIntoLake(spark, table,
+      Seq((13L, Some(70L), "ok"), (14L, None, "nullish"))
+        .toDF("id", "score", "v"),
+      "id", "w", 4L)
+    val rows = LakeLayout.readLake(spark, table).get
+      .filter(col("id") >= 13L).collect()
+    assert(rows.length == 2, "null score passes 'score > 0' per SQL CHECK")
+  }
+
+  test("merge exempts delete-marked rows; an omitted constrained column is judged as null; drop re-opens the gate") {
+    val table = freshTable("graft-cons-merge")
+    seed(table)
+    LakeLayout.setLakeConstraints(spark, table,
+      Map("v_set" -> "v IS NOT NULL"))
+
+    // the delete-marked row (marker: v IS NULL) would violate `v_set`
+    // as a stored row — as a removal it must not trip the gate; the
+    // kept row is valid
+    LakeLayout.mergeIntoLake(spark, table,
+      Seq((2L, 0L, null.asInstanceOf[String]),
+        (9L, 90L, "ins")).toDF("id", "score", "v"),
+      "id", deleteWhen = col("v").isNull, "w", 1L)
+    val ids = LakeLayout.readLake(spark, table).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && ids.contains(9L))
+
+    // an evolving batch that OMITS v stores null for it — `v IS NOT
+    // NULL` must reject the omission before anything lands
+    intercept[IllegalArgumentException] {
+      LakeLayout.upsertIntoLake(spark, table,
+        Seq((20L, 5L)).toDF("id", "score"), "id", "w", 2L,
+        evolveSchema = true)
+    }
+
+    LakeLayout.dropLakeConstraint(spark, table, "v_set")
+    assert(LakeLayout.lakeConstraints(spark, table).isEmpty)
+    LakeLayout.upsertIntoLake(spark, table,
+      Seq((20L, 5L)).toDF("id", "score"), "id", "w", 3L,
+      evolveSchema = true)
+    assert(LakeLayout.readLake(spark, table).get
+      .filter(col("id") === 20L).count() == 1)
+  }
+}

@@ -60,6 +60,34 @@ class ReplicationSpec extends SparkSuite {
       "a no-op sync must publish no replica versions")
   }
 
+  test("live replication tails the commit log and survives a restart") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-repl-live-src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-repl-live-dst").toString + "/replica"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-repl-live-ck").toString
+    LakeLayout.commitLakeVersion(
+      (0L until 50L).map(k => (k, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      src, "seed", 0L, statsKey = Some("id"))
+    val q1 = CdfStream.runReplication(spark, src, "id", dst, ckpt)
+    q1.stop()
+    assert(snapshot(dst) == snapshot(src), "bootstrap replicated live")
+
+    // new commits while the stream is DOWN, then a restart from the
+    // same checkpoint must catch the replica up exactly once
+    LakeLayout.upsertIntoLake(spark, src,
+      Seq((1L, "UPD"), (60L, "NEW")).toDF("id", "v"), "id", "w", 1L)
+    LakeLayout.deleteFromLake(spark, src, Seq(2L).toDF("id"), "id", "w", 2L)
+    val q2 = CdfStream.runReplication(spark, src, "id", dst, ckpt)
+    q2.stop()
+    assert(snapshot(dst) == snapshot(src), "restart caught up")
+    // bootstrap(1) + upsert(1) + delete(1) = exactly 3 replica commits
+    assert(LakeLayout.lakeVersions(spark, dst).size == 3,
+      "no duplicate applies across the restart")
+  }
+
   test("a crash between a version's two commits re-applies exactly the missing half") {
     val src = java.nio.file.Files
       .createTempDirectory("graft-repl-crash-src").toString
