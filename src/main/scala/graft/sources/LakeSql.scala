@@ -18,6 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   LakeSql.sql(spark, "OPTIMIZE orders_lake BY o_orderkey")
   *   LakeSql.sql(spark, "OPTIMIZE orders_lake ZORDER BY (user_id, ts)")
   *   LakeSql.sql(spark, "VACUUM orders_lake RETAIN 3 VERSIONS")
+  *   LakeSql.sql(spark, "ALTER TABLE orders_lake ADD CONSTRAINT c CHECK (o_totalprice > 0)")
+  *   LakeSql.sql(spark, "ALTER TABLE orders_lake DROP CONSTRAINT c")
+  *   LakeSql.sql(spark, "SHOW CONSTRAINTS orders_lake")
   *
   * Mechanics: `register` binds a logical name to a table path and
   * publishes the CURRENT snapshot as a session view (works on a plain
@@ -105,6 +108,12 @@ object LakeSql {
     s"(?is)^\\s*OPTIMIZE\\s+($ident)\\s+ZORDER\\s+BY\\s*\\(\\s*($ident)\\s*,\\s*($ident)\\s*\\)\\s*;?\\s*$$".r
   private val vacuumRe =
     s"(?is)^\\s*VACUUM\\s+($ident)(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$".r
+  private val addConstraintRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+($ident)\\s+ADD\\s+CONSTRAINT\\s+($ident)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$".r
+  private val dropConstraintRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+($ident)\\s+DROP\\s+CONSTRAINT\\s+($ident)\\s*;?\\s*$$".r
+  private val showConstraintsRe =
+    s"(?is)^\\s*SHOW\\s+CONSTRAINTS\\s+($ident)\\s*;?\\s*$$".r
   private val versionAsOfRe =
     s"(?is)\\b($ident)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
   private val timestampAsOfRe =
@@ -136,6 +145,21 @@ object LakeSql {
         val v = LakeLayout.optimizeLakeZOrderOcc(spark,
           pathOf(spark, name), key, tsKey, writerId = "sql")
         Seq((name, v)).toDF("table_name", "version")
+      case addConstraintRe(name, cname, check) =>
+        import spark.implicits._
+        val path = pathOf(spark, name)
+        LakeLayout.setLakeConstraints(spark, path,
+          LakeLayout.lakeConstraints(spark, path) + (cname -> check.trim))
+        Seq((name, cname, check.trim))
+          .toDF("table_name", "constraint_name", "check_expr")
+      case dropConstraintRe(name, cname) =>
+        import spark.implicits._
+        LakeLayout.dropLakeConstraint(spark, pathOf(spark, name), cname)
+        Seq((name, cname)).toDF("table_name", "constraint_name")
+      case showConstraintsRe(name) =>
+        import spark.implicits._
+        LakeLayout.lakeConstraints(spark, pathOf(spark, name))
+          .toSeq.sortBy(_._1).toDF("constraint_name", "check_expr")
       case vacuumRe(name, retain) =>
         import spark.implicits._
         val path = pathOf(spark, name)

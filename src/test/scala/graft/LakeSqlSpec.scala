@@ -183,6 +183,41 @@ class LakeSqlSpec extends SparkSuite {
       == 3000L, "the current snapshot must survive the SQL vacuum")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT and SHOW CONSTRAINTS drive the API constraint surface") {
+    val t = stageTable()
+    LakeSql.register(spark, "sqlspec_cons", t)
+    val a = LakeSql.sql(spark,
+      "ALTER TABLE sqlspec_cons ADD CONSTRAINT id_set CHECK (id IS NOT NULL)")
+      .collect()(0)
+    assert(a.getString(1) == "id_set" && a.getString(2) == "id IS NOT NULL")
+    assert(LakeLayout.lakeConstraints(spark, t) ==
+      Map("id_set" -> "id IS NOT NULL"),
+      "the SQL form must land in the same store the API reads")
+    // nested parens survive the CHECK capture
+    LakeSql.sql(spark,
+      "ALTER TABLE sqlspec_cons ADD CONSTRAINT grp_ok " +
+        "CHECK ((grp >= -1 AND grp < 5) OR grp IS NULL)")
+    val shown = LakeSql.sql(spark, "SHOW CONSTRAINTS sqlspec_cons")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(shown == Seq(
+      ("grp_ok", "(grp >= -1 AND grp < 5) OR grp IS NULL"),
+      ("id_set", "id IS NOT NULL")), s"unexpected SHOW result: $shown")
+    // the gate is live: a violating write through the API is rejected
+    intercept[IllegalArgumentException] {
+      LakeLayout.upsertIntoLake(spark, t,
+        Seq((java.lang.Long.valueOf(5000L), java.lang.Long.valueOf(9L),
+          "bad")).toDF("id", "grp", "pay"),
+        "id", "ck", 90L)
+    }
+    // adding a constraint the RESIDENT rows violate fails the ALTER
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "ALTER TABLE sqlspec_cons ADD CONSTRAINT no_upd CHECK (pay <> 'upd')")
+    }
+    LakeSql.sql(spark, "ALTER TABLE sqlspec_cons DROP CONSTRAINT grp_ok")
+    assert(LakeLayout.lakeConstraints(spark, t).keySet == Set("id_set"))
+  }
+
   test("registrations are session-scoped: sibling sessions neither see nor overwrite each other's names") {
     val tA = stageTable()
     val tB = stageTable()
