@@ -198,7 +198,8 @@ object LakeLayout {
   final case class LakeFile(path: String, minKey: Option[KeyBound],
       maxKey: Option[KeyBound], minTs: Option[KeyBound] = None,
       maxTs: Option[KeyBound] = None, dv: Option[String] = None,
-      rows: Option[Long] = None, bytes: Option[Long] = None)
+      rows: Option[Long] = None, bytes: Option[Long] = None,
+      bloom: Option[String] = None)
 
   /** Resolve a manifest entry's path against the table root. Entries
     * written by this engine are RELATIVE (`data/v…/part-….parquet`);
@@ -343,7 +344,8 @@ object LakeLayout {
     // fields 5/6, when present, are the optional second-dimension
     // (time) bounds — older manifests simply lack them
     // field 7, when present, is the deletion-vector dir reference;
-    // field 8 the exact row count; field 9 the file's byte length
+    // field 8 the exact row count; field 9 the file's byte length;
+    // field 10 the key bloom filter (base64 bitset)
     def fileLines(tag: String) = tagged(tag).map { ln =>
       val p = ln.split("\t")
       LakeFile(p(1), KeyBound.decode(p(2)), KeyBound.decode(p(3)),
@@ -351,7 +353,8 @@ object LakeLayout {
         if (p.length > 5) KeyBound.decode(p(5)) else None,
         if (p.length > 6 && p(6) != "-") Some(p(6)) else None,
         if (p.length > 7 && p(7) != "-") Some(p(7).toLong) else None,
-        if (p.length > 8 && p(8) != "-") Some(p(8).toLong) else None)
+        if (p.length > 8 && p(8) != "-") Some(p(8).toLong) else None,
+        if (p.length > 9 && p(9) != "-") Some(p(9)) else None)
     }.toSeq
     val schema = lines.drop(4).find(_.startsWith("s\t")).map(_.drop(2))
     val op = lines.drop(4).find(_.startsWith("o\t")).map(_.drop(2))
@@ -527,14 +530,17 @@ object LakeLayout {
     b.append(tag).append('\t').append(f.path).append('\t')
       .append(f.minKey.map(_.enc).getOrElse("-")).append('\t')
       .append(f.maxKey.map(_.enc).getOrElse("-"))
-    val hasLater = f.dv.isDefined || f.rows.isDefined || f.bytes.isDefined
+    val hasLater = f.dv.isDefined || f.rows.isDefined ||
+      f.bytes.isDefined || f.bloom.isDefined
     if (f.minTs.isDefined || f.maxTs.isDefined || hasLater)
       b.append('\t').append(f.minTs.map(_.enc).getOrElse("-"))
         .append('\t').append(f.maxTs.map(_.enc).getOrElse("-"))
     if (hasLater) b.append('\t').append(f.dv.getOrElse("-"))
-    if (f.rows.isDefined || f.bytes.isDefined)
+    if (f.rows.isDefined || f.bytes.isDefined || f.bloom.isDefined)
       b.append('\t').append(f.rows.map(_.toString).getOrElse("-"))
-    f.bytes.foreach(n => b.append('\t').append(n))
+    if (f.bytes.isDefined || f.bloom.isDefined)
+      b.append('\t').append(f.bytes.map(_.toString).getOrElse("-"))
+    f.bloom.foreach(s => b.append('\t').append(s))
     b.append('\n')
   }
 
@@ -971,7 +977,7 @@ object LakeLayout {
   def commitLakeVersion(df: DataFrame, tablePath: String,
       checkpoint: String, batchId: Long,
       statsKey: Option[String] = None, op: String = "data",
-      tsStatsKey: Option[String] = None): Long = {
+      tsStatsKey: Option[String] = None, bloomBits: Int = 0): Long = {
     val s = df.sparkSession
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())
@@ -998,9 +1004,14 @@ object LakeLayout {
     // a full rewrite's delta is adds+removes ≥ the full list, so the
     // publisher self-selects the full form; passing the parent is
     // still correct and keeps the decision in one place
+    val stats0 = fileStats(s, tablePath, dataRel, statsKey, effTs)
+    val stats =
+      if (bloomBits > 0 && statsKey.isDefined)
+        attachKeyBlooms(s, tablePath, dataRel, statsKey.get, stats0,
+          bloomBits)
+      else stats0
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
-      fileStats(s, tablePath, dataRel, statsKey, effTs),
-      Some(df.schema.json), op,
+      stats, Some(df.schema.json), op,
       parentFiles = cur.map(_.files).getOrElse(Seq.empty),
       tsClusterCol = effTs)
     v
@@ -1065,7 +1076,8 @@ object LakeLayout {
     * schema by name and type — an append log never evolves silently. */
   def appendToLake(spark: SparkSession, tablePath: String,
       rows: DataFrame, checkpoint: String, batchId: Long,
-      statsKey: Option[String] = None): LakeUpsertResult = {
+      statsKey: Option[String] = None,
+      bloomBits: Int = 0): LakeUpsertResult = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = latestLakeCommit(spark, tablePath)
@@ -1084,7 +1096,12 @@ object LakeLayout {
       .filter(rows.schema.fieldNames.contains)
     enforceLakeConstraints(spark, tablePath, rows)
     rows.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-    val newFiles = fileStats(spark, tablePath, dataRel, statsKey, effTs)
+    val newFiles0 = fileStats(spark, tablePath, dataRel, statsKey, effTs)
+    val newFiles =
+      if (bloomBits > 0 && statsKey.isDefined)
+        attachKeyBlooms(spark, tablePath, dataRel, statsKey.get,
+          newFiles0, bloomBits)
+      else newFiles0
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
       carried ++ newFiles, Some(rows.schema.json),
       parentFiles = cur.map(_.files).getOrElse(Seq.empty),
@@ -1119,11 +1136,11 @@ object LakeLayout {
     // computed under. Mixed/absent bounds → conservatively touched.
     val longRanges = files.collect {
       case LakeFile(p, Some(LongKey(a)), Some(LongKey(b)),
-          _, _, _, _, _) => (p, a, b)
+          _, _, _, _, _, _) => (p, a, b)
     }
     val strRanges = files.collect {
       case LakeFile(p, Some(StrKey(a)), Some(StrKey(b)),
-          _, _, _, _, _) => (p, a, b)
+          _, _, _, _, _, _) => (p, a, b)
     }
     val typed = (longRanges.map(_._1) ++ strRanges.map(_._1)).toSet
     val statless = files.map(_.path).filterNot(typed).toSet
@@ -1657,6 +1674,142 @@ object LakeLayout {
             bad.map { case (n, c) =>
               s"$n [${cons(n)}] ($c rows)" }.mkString(", "))
     }
+  }
+
+  // --------------------------------------------- bloom data skipping
+  /** Probes per bloom membership test (Kirsch–Mitzenmacher double
+    * hashing: position_i = h1 + i·h2 mod bits — two xxhash64
+    * evaluations per row regardless of probe count). */
+  private val BloomHashes = 4
+
+  /** (h1, h2) per key, computed THROUGH Spark's own xxhash64 so the
+    * lookup side can never drift from what the builder hashed (same
+    * codegen, same seed, same string cast). One 1-row job per call —
+    * point-lookup key sets are driver-bounded by definition. */
+  private def keyHashPairs(spark: SparkSession,
+      keys: Seq[Any]): Seq[(Long, Long)] =
+    spark.range(1)
+      .select(explode(array(keys.map(k =>
+        lit(k).cast("string")): _*)).as("__kv"))
+      .select(xxhash64(col("__kv")), xxhash64(col("__kv"), lit(1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private def bloomMayContain(b64: String, h: (Long, Long)): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val words = bytes.length / 8
+    val bits = words * 64L
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val arr = Array.fill(words)(bb.getLong())
+    // mod-first double hashing: every intermediate stays < 4·bits, so
+    // the arithmetic is overflow-free on BOTH the ANSI-mode builder
+    // and this driver-side test (they must agree bit for bit)
+    val r1 = ((h._1 % bits) + bits) % bits
+    val r2 = ((h._2 % bits) + bits) % bits
+    (0 until BloomHashes).forall { i =>
+      val pos = ((r1 + i.toLong * r2) % bits).toInt
+      (arr(pos / 64) & (1L << (pos % 64))) != 0L
+    }
+  }
+
+  /** Attach a per-file KEY BLOOM to freshly-written manifest entries —
+    * the manifest-level data-skipping index for POINT LOOKUPS. Min/max
+    * bounds prune range reads, but on an append-mostly table every
+    * file's range soon spans the key domain and a key probe degrades
+    * to opening all N files; a bloom answers "definitely not here" per
+    * file from the manifest alone. One distributed pass over the just-
+    * written dir (explode to probe positions, `bit_or` per (file,
+    * word), ≤ files × words rows to the driver); a file with no
+    * non-null keys carries an all-zero bloom (prunes every probe).
+    * Size the bits (~8-10 per expected row per file) at write time;
+    * the cost is manifest bytes per file — the delta protocol
+    * amortizes steady-state commits, checkpoints pay it in full. */
+  private def attachKeyBlooms(spark: SparkSession, tablePath: String,
+      dataRel: String, key: String, files: Seq[LakeFile],
+      bits: Int): Seq[LakeFile] = {
+    require(bits > 0 && bits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bits")
+    if (files.isEmpty) return files
+    val words = bits / 64
+    val rows = spark.read.parquet(s"$tablePath/$dataRel")
+      .select(input_file_name().as("__fn"),
+        col(key).cast("string").as("__kv"))
+      .filter(col("__kv").isNotNull)
+    // mod-first (see bloomMayContain): ANSI mode throws on long
+    // overflow, so reduce each hash into [0, bits) before combining
+    val h1 = pmod(xxhash64(col("__kv")), lit(bits.toLong))
+    val h2 = pmod(xxhash64(col("__kv"), lit(1L)), lit(bits.toLong))
+    val probes = (0 until BloomHashes).map(i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(bits.toLong)).cast("int"))
+    val collected = rows
+      .select(col("__fn"), explode(array(probes: _*)).as("__pos"))
+      .select(col("__fn"), (col("__pos") / 64).cast("int").as("__w"),
+        expr("shiftleft(1L, __pos % 64)").as("__m"))
+      .groupBy(col("__fn"), col("__w"))
+      .agg(bit_or(col("__m")).as("__bits"))
+      .collect()
+    val byName = collected.groupBy(r =>
+      new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+    def enc(rs: Array[org.apache.spark.sql.Row]): String = {
+      val arr = new Array[Long](words)
+      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      val bb = java.nio.ByteBuffer.allocate(words * 8)
+      arr.foreach(bb.putLong)
+      java.util.Base64.getEncoder.withoutPadding.encodeToString(bb.array)
+    }
+    files.map { f =>
+      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+      f.copy(bloom = Some(enc(byName.getOrElse(name,
+        Array.empty[org.apache.spark.sql.Row]))))
+    }
+  }
+
+  /** The manifest-pruned candidate file set for a point lookup:
+    * range-incompatible files drop first (free when bounds exist),
+    * then any file whose bloom rejects every key. Files without
+    * stats/bloom stay candidates — skipping is an optimization, never
+    * a correctness gate. Package-private so specs can assert the
+    * strict-subset scan. */
+  private[graft] def lakeFilesForKeys(spark: SparkSession,
+      tablePath: String, keys: Seq[Any]): Seq[LakeFile] = {
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tablePath has no committed version"))
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val hashes = keyHashPairs(spark, keys)
+    def inRange(f: LakeFile, k: Any): Boolean =
+      (f.minKey, f.maxKey, k) match {
+        case (Some(LongKey(lo)), Some(LongKey(hi)), n: Long) =>
+          n >= lo && n <= hi
+        case (Some(LongKey(lo)), Some(LongKey(hi)), n: Int) =>
+          n >= lo && n <= hi
+        case (Some(StrKey(lo)), Some(StrKey(hi)), s: String) =>
+          KeyBound.strLeq(lo, s) && KeyBound.strLeq(s, hi)
+        case _ => true
+      }
+    resolveFiles(fs, table, cur).filter { f =>
+      keys.zip(hashes).exists { case (k, h) =>
+        inRange(f, k) && f.bloom.forall(b => bloomMayContain(b, h))
+      }
+    }
+  }
+
+  /** POINT LOOKUP through manifest-level data skipping: rows of the
+    * CURRENT snapshot whose `key` equals one of `keys`, reading only
+    * the files that range bounds + per-file blooms cannot rule out —
+    * O(candidate files), never O(table), with deletion vectors
+    * applied. The GDPR/audit shape: "show me these ids" against an
+    * 800 k-file table should open a handful of files, not 800 k. */
+  def readLakeForKeys(spark: SparkSession, tablePath: String,
+      key: String, keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "readLakeForKeys needs at least one key")
+    val cur = latestLakeCommit(spark, tablePath).get
+    val candidates = lakeFilesForKeys(spark, tablePath, keys)
+    val base =
+      if (candidates.isEmpty)
+        readLake(spark, tablePath).get.limit(0)
+      else filesFrame(spark, tablePath, candidates, commitSchema(cur))
+    base.filter(col(key).isin(keys: _*))
   }
 
   /** FILE-GRANULAR delete — the removal operation a training-data
