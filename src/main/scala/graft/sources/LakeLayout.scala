@@ -3640,7 +3640,50 @@ object LakeLayout {
        FROM keyed WHERE doc_key >= '4' AND doc_key <= '8'
        GROUP BY source ORDER BY source"""
 
+  /** Registry drive for BLOOM DATA SKIPPING: orders staged HASH-SPREAD
+    * across 8 files (every file's key range spans the domain — min/max
+    * pruning is structurally useless, exactly the append-mostly shape
+    * the bloom index exists for) with per-file key blooms, then a
+    * 5-key point lookup through [[readLakeForKeys]]. The in-drive
+    * `require` pins the skip: the candidate set must be a strict
+    * subset of the table's files. The five probe keys share one hash
+    * bucket (o_orderkey % 8 == 0) so they co-locate in a single file
+    * even if AQE coalesces the stage shuffle — the skip assertion is
+    * then deterministic at any SF. Oracle is the plain IN-list over
+    * base orders. */
+  def qLakePointLookup(s: SparkSession, dir: String): DataFrame = {
+    val lake = stagedBase(s, dir, "orders", "ordersbloom8") { root =>
+      commitLakeVersion(
+        Tables.load(s, dir, "orders")
+          .repartition(8, pmod(col("o_orderkey"), lit(8))),
+        root, "stage", 0L, statsKey = Some("o_orderkey"),
+        bloomBits = 1 << 18)
+    }
+    val keys = Tables.load(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val cand = lakeFilesForKeys(s, lake, keys)
+    val total = latestLakeCommit(s, lake).get.files.size
+    require(cand.size < total,
+      s"bloom skipping must prune a hash-spread table: " +
+        s"${cand.size} of $total files became candidates")
+    readLakeForKeys(s, lake, "o_orderkey", keys)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qLakePointLookupSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority
+       FROM orders
+       WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                            WHERE o_orderkey % 8 = 0
+                            ORDER BY o_orderkey LIMIT 5)
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lake_point_lookup" -> (qLakePointLookup _),
     "q_zorder_key_stats" -> (qZorderKeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_dv_delete" -> (qLakeDvDelete _),
@@ -3657,6 +3700,7 @@ object LakeLayout {
     "q_lake_str_range" -> (qLakeStrRange _))
 
   val oracle: Map[String, String] = Map(
+    "q_lake_point_lookup" -> qLakePointLookupSql,
     "q_zorder_key_stats" -> qZorderKeyStatsSql,
     "q_lake_delete" -> qLakeDeleteSql,
     // merge-on-read twin shares the copy-on-write delete's truth
