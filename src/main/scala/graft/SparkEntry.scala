@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RecallQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Components.queries ++
-      Similarity.queries ++ IvfIndex.queries ++
+      Similarity.queries ++ IvfIndex.queries ++ ProductQuant.queries ++
       Multimodal.queries ++ HybridRetrieval.queries ++
       GraphTraversal.queries ++ AdvancedQueries.queries ++
       AsOfJoin.queries ++ Sampling.queries ++
@@ -30,7 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ RecallQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Components.oracle ++
-      Similarity.oracle ++ IvfIndex.oracle ++
+      Similarity.oracle ++ IvfIndex.oracle ++ ProductQuant.oracle ++
       Multimodal.oracle ++ HybridRetrieval.oracle ++
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
       AsOfJoin.oracle ++ Sampling.oracle ++
