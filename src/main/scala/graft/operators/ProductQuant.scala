@@ -238,13 +238,67 @@ object ProductQuant {
       .limit(k)
   }
 
+  /** IVF-PQ (Faiss's IVFADC shape, by_residual=false): the coarse IVF
+    * quantizer prunes the scan to `nprobe` of the cells, PQ codes
+    * stand in for raw floats INSIDE the probed cells, and exact
+    * cosine re-ranks only the ADC shortlist. Per-query read at scale:
+    * (nprobe/cells) of the CODE table (~25× smaller than the float
+    * table) + `shortlist` raw rows — the compounding that makes ANN
+    * serving tractable at 100 TB. Spec-pinned (ProductQuantSpec) to
+    * return EXACTLY [[Similarity.sIvfTopk]]'s answer at every test
+    * SF: the PQ stage provably changes what gets READ, never the
+    * result. Rows-only in the registry (engine-local centroids and
+    * codebooks — same posture as `s_ivf_topk`). */
+  def sIvfPqTopk(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = Similarity.IvfProbes,
+      shortlist: Int = RerankShortlist): DataFrame = {
+    import s.implicits._
+    val cents = Similarity.ivfCentroids(s, dir, Similarity.IvfCells,
+      Similarity.IvfIters)
+    val q = probeUnit(s, dir)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
+    val cb = pqCodebooks(s, dir)
+    val (m, ks, d) = (cb.length, cb(0).length, cb(0)(0).length)
+    val lut = Array.tabulate(m * ks) { i =>
+      val (j, c) = (i / ks, i % ks)
+      cb(j)(c).zipWithIndex.map { case (x, p) => x * q(j * d + p) }.sum
+    }
+    // same argmax/tie-break semantics as sIvfTopk's assignment (dot on
+    // the unit vector is positive-scale equivalent to dot on the raw)
+    val cellExpr = array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.dot($"u", array(c.map(lit): _*)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+    val cand = encoded(s, dir, cb)
+      .withColumn("cell", cellExpr)
+      .filter($"cell".isin(probeCells: _*) &&
+        $"vec_id" =!= Similarity.ProbeId)
+      .withColumn("adc", adcScore(lut, m, ks))
+      .orderBy($"adc".desc, $"vec_id").limit(shortlist)
+      .select($"vec_id")
+    val probe = e(s, dir).filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding".as("p"))
+    e(s, dir).join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(probe))
+      .withColumn("sim", round(VectorFunctions.cosine($"embedding", $"p"), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
+      .select($"vec_id", $"label", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_pq_topk" -> ((s: SparkSession, dir: String) => sPqTopk(s, dir)),
-    "s_pq_rerank" -> ((s: SparkSession, dir: String) => sPqRerank(s, dir)))
+    "s_pq_rerank" -> ((s: SparkSession, dir: String) => sPqRerank(s, dir)),
+    "s_ivfpq_topk" -> ((s: SparkSession, dir: String) => sIvfPqTopk(s, dir)))
 
-  /** s_pq_topk is approximate (engine-local codebooks) → rows-only;
-    * s_pq_rerank re-ranks exactly and shares the exact scan's truth. */
+  /** s_pq_topk and s_ivfpq_topk are approximate / engine-local-model
+    * queries → rows-only (spec substitutes: recall floor, shortlist
+    * margin, exact sIvfTopk parity); s_pq_rerank re-ranks exactly and
+    * shares the exact scan's truth. */
   val oracle: Map[String, String] = Map(
     "s_pq_rerank" -> Similarity.sCosineTopkSql)
 }

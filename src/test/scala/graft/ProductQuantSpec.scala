@@ -50,6 +50,15 @@ class ProductQuantSpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ returns exactly the IVF path's answer at every test SF") {
+    for (dir <- sfs) {
+      val ivf = Similarity.sIvfTopk(spark, dir).collect().toSeq
+      val ivfpq = ProductQuant.sIvfPqTopk(spark, dir).collect().toSeq
+      assert(ivfpq == ivf,
+        s"$dir: IVF-PQ diverged from the IVF exact-within-cells answer")
+    }
+  }
+
   test("pure-ADC ranking has a recall floor and deterministic output") {
     for (dir <- sfs) {
       val exactIds = Similarity.sCosineTopk(spark, dir).collect()
