@@ -621,6 +621,152 @@ object IvfIndex {
   }
 
   // ------------------------------------------------- registry drive
+  // ------------------------------------------------- PQ codes sidecar
+  /** PQ CODES SIDECAR — generation-pinned compression for serving
+    * ([[ProductQuant]]'s codes, persisted next to the vectors they
+    * encode):
+    *
+    *   <root>/pqcodes/cell=<c>/...parquet   (vec_id, codes) per cell
+    *   <root>/pqbooks/...parquet            (sub, code, cvec)
+    *   <root>/_PQSNAPSHOT                   (encoded-file manifest, LAST)
+    *
+    * Trains codebooks on the INDEX's own vectors (a pinned file
+    * snapshot of the live generation — same posture as [[rebuild]]'s
+    * training input) and encodes that snapshot cell-partitioned.
+    * Vectors [[append]]ed AFTER the sidecar are served as a raw
+    * UNCOMPACTED TAIL by [[probeTopKAdc]] (the snapshot diff is exact
+    * by file identity — a vector is either coded or in the tail,
+    * never both, never neither); re-running buildPqSidecar absorbs
+    * the tail, the same compaction cadence as [[rebuild]]. The
+    * `_PQSNAPSHOT` marker is written LAST, so a crash mid-build
+    * leaves no readable sidecar (probes keep raw-scanning); a rebuild
+    * publishes a NEW generation with no sidecar, so a stale sidecar
+    * can never pair with centroids that didn't assign it.
+    * Maintenance posture: single sidecar maintainer per index, like
+    * [[rebuild]]'s contract. */
+  def buildPqSidecar(s: SparkSession, indexPath: String,
+      m: Int = ProductQuant.Subspaces,
+      ks: Int = ProductQuant.CodebookSize,
+      iters: Int = ProductQuant.TrainIters): Unit = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, root)
+    val files = listVectorFiles(fs, s"$root/vectors")
+    require(files.nonEmpty, s"buildPqSidecar: no vectors under $root")
+    val marker = hp(s"$root/_PQSNAPSHOT")
+    if (fs.exists(marker)) fs.delete(marker, false) // invalidate first
+    val snap = s.read.option("basePath", s"$root/vectors")
+      .parquet(files.toSeq.sorted: _*)
+      .select($"vec_id", $"embedding", $"cell")
+    val uv = ProductQuant.withUnit(snap)
+    val cb = ProductQuant.trainCodebooksFrom(s,
+      uv.select($"vec_id", $"u"), m, ks, iters)
+    val d = cb(0)(0).length
+    uv.crossJoin(broadcast(ProductQuant.packedBooks(s, cb)))
+      .withColumn("codes", ProductQuant.codesCol(m, d))
+      .select($"vec_id", $"cell", $"codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/pqcodes")
+    cb.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c) }
+    }.toSeq.toDF("sub", "code", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/pqbooks")
+    val out = fs.create(marker, true)
+    try out.write(files.toSeq.sorted.map("f " + _)
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readPqSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[Set[String]] = {
+    val p = hp(s"$root/_PQSNAPSHOT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.linesIterator.collect {
+        case l if l.startsWith("f ") => l.drop(2)
+      }.toSet)
+    }
+  }
+
+  /** Serving from the COMPRESSED index: the ADC stage scans only
+    * (vec_id, codes) of the probed cells — at [[ProductQuant]]'s 10
+    * bytes/vector that read is ~25× smaller than the float scan
+    * [[probeTopK]] pays, on top of the same nprobe/cells partition
+    * pruning (spec asserts the executed plan's pqcodes scan reads no
+    * embedding column). Exact cosine then re-ranks ONLY the ADC
+    * shortlist plus the uncompacted tail (files appended after the
+    * sidecar snapshot — read raw, always candidates), so the result
+    * matches [[probeTopK]] whenever the true top-k survives the
+    * shortlist cut (the same spec-gated margin contract as
+    * [[ProductQuant.sPqRerank]]). Fails loudly if no committed
+    * sidecar exists. */
+  def probeTopKAdc(s: SparkSession, indexPath: String,
+      probe: Array[Double], k: Int = 10,
+      nprobe: Int = Similarity.IvfProbes,
+      shortlist: Int = ProductQuant.RerankShortlist,
+      excludeId: Option[Long] = None): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    // one resolution pins generation + sidecar + tail diff together
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, root)
+    val snapshot = readPqSnapshot(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"probeTopKAdc: no committed PQ sidecar under $root — run " +
+          "buildPqSidecar first"))
+    val cents = s.read.parquet(s"$root/centroids")
+      .collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      .toMap
+    val n = math.sqrt(probe.map(x => x * x).sum)
+    val probeU = if (n > 0) probe.map(_ / n) else probe
+    val probeCells = cents.toSeq
+      .map { case (i, c) => (c.zip(probeU).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
+    val books = s.read.parquet(s"$root/pqbooks").collect()
+    val m = books.map(_.getAs[Int]("sub")).max + 1
+    val ks = books.map(_.getAs[Int]("code")).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ks)
+    books.foreach { r =>
+      cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Double]]("cvec").toArray
+    }
+    val lut = ProductQuant.lutFor(cb.map(_.toArray), probeU)
+    val adcBase = s.read.parquet(s"$root/pqcodes")
+      .filter($"cell".isin(probeCells: _*))
+    val adcCand = excludeId.fold(adcBase)(id => adcBase.filter($"vec_id" =!= id))
+      .withColumn("adc", ProductQuant.adcScore(lut, m, ks))
+      .orderBy($"adc".desc, $"vec_id").limit(shortlist)
+      .select($"vec_id")
+    // uncompacted tail: appended after the sidecar — always candidates
+    val tail = listVectorFiles(fs, s"$root/vectors") -- snapshot
+    val cand =
+      if (tail.isEmpty) adcCand
+      else adcCand.union(
+        s.read.option("basePath", s"$root/vectors")
+          .parquet(tail.toSeq.sorted: _*)
+          .filter($"cell".isin(probeCells: _*))
+          .select($"vec_id"))
+    val pc = array(probe.map(lit): _*)
+    val scanned = s.read.parquet(s"$root/vectors")
+      .filter($"cell".isin(probeCells: _*))
+      .join(broadcast(cand.distinct()), Seq("vec_id"), "left_semi")
+    excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
+      .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
+      .select($"vec_id", $"label", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** Process-lifetime staged PERSISTED index per (sfDir, corpus
     * fingerprint) — the same staging pattern as the lake registry
     * drives (LakeLayout.stagedBase): the timed registry span measures
@@ -665,7 +811,34 @@ object IvfIndex {
       .orderBy($"probe_id", $"rank")
   }
 
+  // sidecar staged at most once per staged index root
+  private val pqStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def stagedPqIndex(s: SparkSession, dir: String): String = {
+    val root = stagedIndex(s, dir)
+    pqStaged.computeIfAbsent(root, { _ => buildPqSidecar(s, root); true })
+    root
+  }
+
+  /** Registry drive: serving from the COMPRESSED persisted index —
+    * [[probeTopKAdc]] against the staged corpus index with its PQ
+    * sidecar. Rows-only by design (engine-local centroids and
+    * codebooks); correctness is pinned by IvfPqSidecarSpec's exact
+    * parity with raw serving plus the no-floats plan assertion. */
+  def sIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    probeTopKAdc(s, stagedPqIndex(s, dir), probe,
+      excludeId = Some(Similarity.ProbeId))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("s_ivf_batch" -> (sIvfBatch _))
+    Map("s_ivf_batch" -> (sIvfBatch _),
+      "s_ivfpq_serve" -> (sIvfPqServe _))
   val oracle: Map[String, String] = Map.empty
 }

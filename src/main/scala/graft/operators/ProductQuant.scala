@@ -79,11 +79,22 @@ object ProductQuant {
         transform($"embedding", x => x.cast("double") / $"nrm").as("u"))
   }
 
+  /** Adds the unit-vector column `u` to any frame carrying an
+    * `embedding` column, dropping zero-norm rows — the normalization
+    * contract every PQ surface (corpus drives and the persisted-index
+    * sidecar) shares. */
+  private[graft] def withUnit(df: DataFrame): DataFrame =
+    df.withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      .filter(col("nrm") > 0.0)
+      .withColumn("u",
+        transform(col("embedding"), x => x.cast("double") / col("nrm")))
+      .drop("nrm")
+
   /** One-row broadcastable frame holding the whole codebook as
     * `books: Array[Array[struct(code, cvec, half)]]` indexed by
     * subspace — entry arrays sorted by code, outer array by subspace
     * (array_sort on structs orders by the leading field). */
-  private def packedBooks(s: SparkSession,
+  private[graft] def packedBooks(s: SparkSession,
       cb: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
     cb.zipWithIndex.flatMap { case (book, j) =>
@@ -103,7 +114,7 @@ object ProductQuant {
     * ‖c‖²/2); half-norms ride the packed entries, the struct compare
     * tie-breaks equal scores on the higher code index. Plan size is
     * O(1) in m·ks. */
-  private def codesCol(m: Int, d: Int): Column =
+  private[graft] def codesCol(m: Int, d: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), j =>
       array_max(transform(element_at(col("books"), j + lit(1)), en =>
         struct(
@@ -127,7 +138,19 @@ object ProductQuant {
   private def trainCodebooks(s: SparkSession, dir: String,
       m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
     import s.implicits._
-    val uv = unitVecs(s, dir).select($"vec_id", $"u").cache()
+    trainCodebooksFrom(s, unitVecs(s, dir).select($"vec_id", $"u"),
+      m, ks, iters)
+  }
+
+  /** Lloyd training over an arbitrary (vec_id, u) unit-vector frame —
+    * the corpus-table path above and the persisted-index PQ sidecar
+    * ([[IvfIndex.buildPqSidecar]], which trains on the INDEX's own
+    * vectors) share it. */
+  private[graft] def trainCodebooksFrom(s: SparkSession,
+      unitFrame: DataFrame,
+      m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val uv = unitFrame.cache()
     val dim = uv.select(size($"u")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
@@ -184,10 +207,22 @@ object ProductQuant {
     v.map(_ / n)
   }
 
+  /** Per-query ADC lookup table: LUT[j·ks + c] = <q_j, codebook_j[c]>
+    * for a UNIT query vector — m·ks doubles of driver-side model
+    * state. */
+  private[graft] def lutFor(cb: Array[Array[Array[Double]]],
+      qUnit: Array[Double]): Array[Double] = {
+    val (ks, d) = (cb(0).length, cb(0)(0).length)
+    Array.tabulate(cb.length * ks) { i =>
+      val (j, c) = (i / ks, i % ks)
+      cb(j)(c).zipWithIndex.map { case (x, p) => x * qUnit(j * d + p) }.sum
+    }
+  }
+
   /** ADC score over `codes` for a prepared LUT: m 1-based array
     * lookups + adds — nothing per-row but integer indexing. The LUT
     * is m·ks doubles, a flat literal. */
-  private def adcScore(lut: Array[Double], m: Int, ks: Int): Column = {
+  private[graft] def adcScore(lut: Array[Double], m: Int, ks: Int): Column = {
     val lutCol = array(lut.map(lit): _*)
     (0 until m).map(j =>
       element_at(lutCol, col("codes")(j) + j * ks + lit(1))).reduce(_ + _)
@@ -196,12 +231,8 @@ object ProductQuant {
   private[graft] def adcRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cb = pqCodebooks(s, dir)
-    val (m, ks, d) = (cb.length, cb(0).length, cb(0)(0).length)
-    val q = probeUnit(s, dir)
-    val lut = Array.tabulate(m * ks) { i =>
-      val (j, c) = (i / ks, i % ks)
-      cb(j)(c).zipWithIndex.map { case (x, p) => x * q(j * d + p) }.sum
-    }
+    val (m, ks) = (cb.length, cb(0).length)
+    val lut = lutFor(cb, probeUnit(s, dir))
     encoded(s, dir, cb)
       .filter($"vec_id" =!= Similarity.ProbeId)
       .withColumn("adc", round(adcScore(lut, m, ks), 3))
@@ -260,11 +291,8 @@ object ProductQuant {
       .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
     val cb = pqCodebooks(s, dir)
-    val (m, ks, d) = (cb.length, cb(0).length, cb(0)(0).length)
-    val lut = Array.tabulate(m * ks) { i =>
-      val (j, c) = (i / ks, i % ks)
-      cb(j)(c).zipWithIndex.map { case (x, p) => x * q(j * d + p) }.sum
-    }
+    val (m, ks) = (cb.length, cb(0).length)
+    val lut = lutFor(cb, q)
     // same argmax/tie-break semantics as sIvfTopk's assignment (dot on
     // the unit vector is positive-scale equivalent to dot on the raw)
     val cellExpr = array_max(array(cents.zipWithIndex.map { case (c, i) =>

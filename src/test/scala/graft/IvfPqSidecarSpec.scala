@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+
+/** The PQ codes sidecar over the persisted IVF index
+  * ([[IvfIndex.buildPqSidecar]] / [[IvfIndex.probeTopKAdc]]):
+  * compressed serving must return EXACTLY what the raw-float serving
+  * path returns, the ADC stage must read codes (never the embedding
+  * column), and vectors appended after the sidecar must be served
+  * through the uncompacted-tail path until a sidecar rebuild absorbs
+  * them. */
+class IvfPqSidecarSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def probesOf(n: Int): Array[(Long, Array[Double])] =
+    graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(n).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray))
+
+  private def assertParity(idx: String, label: String): Unit =
+    probesOf(5).foreach { case (id, emb) =>
+      val raw = IvfIndex.probeTopK(spark, idx, emb, k = 5,
+        excludeId = Some(id)).collect().toSeq
+      val adc = IvfIndex.probeTopKAdc(spark, idx, emb, k = 5,
+        excludeId = Some(id)).collect().toSeq
+      assert(adc == raw, s"$label: probe $id compressed serving " +
+        s"diverged from raw serving\nraw: $raw\nadc: $adc")
+    }
+
+  test("compressed serving equals raw serving; ADC scan never reads floats; appends ride the tail") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-pq")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+
+    // no sidecar yet → loud failure, not a silent raw fallback
+    val (pid, pemb) = probesOf(1).head
+    intercept[IllegalStateException] {
+      IvfIndex.probeTopKAdc(spark, idx, pemb, excludeId = Some(pid))
+    }
+
+    IvfIndex.buildPqSidecar(spark, idx)
+    assertParity(idx, "after sidecar")
+
+    // the ADC stage reads (vec_id, codes) from pqcodes — the scan that
+    // replaces the float read must not materialize embeddings
+    val df = IvfIndex.probeTopKAdc(spark, idx, pemb, excludeId = Some(pid))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pqScans = plan.linesIterator.filter(_.contains("pqcodes")).toSeq
+    assert(pqScans.nonEmpty, s"expected a pqcodes scan in:\n$plan")
+    assert(pqScans.forall(!_.contains("embedding")),
+      s"the pqcodes scan must not read embeddings:\n${pqScans.mkString("\n")}")
+
+    // append a wave AFTER the sidecar: shifted twins of the first 50
+    // corpus vectors — served through the raw tail, so an exact twin
+    // must surface at sim 1.0 through the COMPRESSED path
+    val wave = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"label", $"embedding")
+    IvfIndex.append(spark, idx, wave)
+    assertParity(idx, "after append (tail path)")
+    val twin = IvfIndex.probeTopKAdc(spark, idx, pemb, k = 1,
+      excludeId = Some(pid)).collect().head
+    assert(twin.getAs[Long]("vec_id") == pid + 1000000L &&
+      twin.getAs[Double]("sim") == 1.0,
+      s"appended exact twin must rank first through the tail: $twin")
+
+    // sidecar rebuild absorbs the tail: snapshot == current listing,
+    // and parity holds with every vector now served from codes
+    IvfIndex.buildPqSidecar(spark, idx)
+    assertParity(idx, "after sidecar rebuild")
+    val twin2 = IvfIndex.probeTopKAdc(spark, idx, pemb, k = 1,
+      excludeId = Some(pid)).collect().head
+    assert(twin2.getAs[Long]("vec_id") == pid + 1000000L,
+      s"absorbed twin must still rank first from codes: $twin2")
+  }
+}
