@@ -114,9 +114,21 @@ object IvfIndex {
     * claimed by another maintainer — discards OUR staging and fails
     * loudly; the winner's files are never touched), create the
     * `_COMMITTED` marker, then reclaim everything older than the
-    * grace generation plus any stale staging dirs at or below `gen`. */
+    * grace generation plus any stale staging dirs at or below `gen`.
+    *
+    * `expectLive` (set by [[rebuild]]) pins the committed generation
+    * this writer derived from: if another maintainer committed in the
+    * meantime, OUR generation would silently shadow theirs — and any
+    * appends folded into it — so the publish re-checks the live
+    * committed generation after the rename and discards itself loudly
+    * on a mismatch (the dest carries no marker yet, so no probe ever
+    * resolved it). This detects overlapping rebuilds even when their
+    * generation NUMBERS differ; the residual window is the instants
+    * between this check and the marker create, covered by the
+    * single-writer contract. */
   private def publishGen(s: SparkSession, indexPath: String, gen: Long,
-      stage: org.apache.hadoop.fs.Path): Unit = {
+      stage: org.apache.hadoop.fs.Path,
+      expectLive: Option[Option[Long]] = None): Unit = {
     val fs = fsOf(s, indexPath)
     val dest = hp(s"$indexPath/g$gen")
     val renamed =
@@ -131,6 +143,19 @@ object IvfIndex {
         s"ivf publish lost the race for generation $gen of $indexPath " +
           "— rebuild is single-writer by contract; this writer's " +
           "staging was discarded and the live index is untouched")
+    }
+    expectLive.foreach { expected =>
+      val nowLive = committedGen(s, indexPath)
+      if (nowLive != expected) {
+        fs.delete(dest, true)
+        throw new IllegalStateException(
+          s"ivf publish of generation $gen of $indexPath aborted: the " +
+            s"live committed generation moved $expected -> $nowLive " +
+            "since this rebuild snapshotted its source — publishing " +
+            "would shadow the newer generation (and any waves folded " +
+            "into it); this writer's staging was discarded and the " +
+            "live index is untouched")
+      }
     }
     fs.create(new org.apache.hadoop.fs.Path(dest, "_COMMITTED"), false)
       .close()
@@ -171,13 +196,28 @@ object IvfIndex {
     val p = hp(vecDir)
     if (!fs.exists(p)) Set.empty
     else {
+      val base = fs.makeQualified(p)
       val it = fs.listFiles(p, true)
       val b = Set.newBuilder[String]
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
-        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-          b += st.getPath.toString
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          // the recursive listing also descends into bookkeeping trees
+          // (an in-flight Spark write's _temporary/attempt dirs hold
+          // files already named part-*) — a snapshot/diff that admits
+          // them reads half-written footers or double-counts a wave
+          // whose files reappear under their committed path, so only
+          // files with no hidden ANCESTOR dir count
+          var anc = st.getPath.getParent
+          var hidden = false
+          while (anc != null && anc != base && !hidden) {
+            val an = anc.getName
+            hidden = an.startsWith("_") || an.startsWith(".")
+            anc = anc.getParent
+          }
+          if (!hidden) b += st.getPath.toString
+        }
       }
       b.result()
     }
@@ -434,7 +474,11 @@ object IvfIndex {
     // generation BEFORE this rebuild snapshots it (and before this
     // rebuild's publish reclaims the grace dir they live in)
     sweepSourceStragglers(s, indexPath)
-    val live = layoutRoot(s, indexPath)
+    // resolve the source generation ONCE and pin the publish to it:
+    // an overlapping rebuild that commits first moves the live gen,
+    // and our publish must then fail loudly instead of shadowing it
+    val srcGen = committedGen(s, indexPath)
+    val live = srcGen.fold(indexPath)(g => s"$indexPath/g$g")
     val liveVecDir = s"$live/vectors"
     val gen = nextGen(fs, indexPath)
     val stage = newStage(indexPath, gen)
@@ -476,7 +520,7 @@ object IvfIndex {
           "untouched")
     }
     writeSource(fs, stage, liveVecDir, snap)
-    publishGen(s, indexPath, gen, stage)
+    publishGen(s, indexPath, gen, stage, expectLive = Some(srcGen))
     // post-publish sweep: an append that resolved the OLD generation
     // just before the marker landed may have written after the final
     // pre-publish diff; appending to the now-committed generation
@@ -776,24 +820,21 @@ object IvfIndex {
   private val stageCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
-  private def corpusFingerprint(s: SparkSession, dir: String): Long = {
-    val path = hp(s"$dir/embeddings.parquet")
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(path)
-    val files = if (st.isDirectory) fs.listStatus(path) else Array(st)
-    files.foldLeft(17L) { (acc, f) =>
-      acc ^ (f.getPath.getName.hashCode.toLong * 31L +
-        f.getLen * 1000003L + f.getModificationTime)
-    }
-  }
-
   private def stagedIndex(s: SparkSession, dir: String): String =
-    stageCache.computeIfAbsent((dir, corpusFingerprint(s, dir)), { _ =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivf-reg").toString
-      build(s, dir, root)
-      root
-    })
+    stageCache.computeIfAbsent(
+      (dir, Similarity.corpusFingerprint(s, dir)), { _ =>
+        // driver-local temp staging is a LOCAL-master-only drive
+        // convenience (same posture as the lake registry staging):
+        // executors on a real cluster can't see the driver's disk
+        require(s.sparkContext.master.startsWith("local"),
+          "staged registry IVF index uses driver-local temp storage — " +
+            "point build() at shared storage (HDFS/S3) on a non-local " +
+            "master")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivf-reg").toString
+        build(s, dir, root)
+        root
+      })
 
   /** Registry drive: BATCH ANN serving from the persisted index — a
     * 25-probe frame against the staged corpus index at the production

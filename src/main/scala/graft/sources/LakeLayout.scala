@@ -1562,8 +1562,10 @@ object LakeLayout {
     * only its incoming rows (resident rows were validated by the write
     * that created them), so the gate costs one extra pass over the
     * batch — never a table scan — and maintenance ops that only MOVE
-    * resident rows (compaction, Z-order, restore, deletes) skip it
-    * entirely. NULL follows SQL CHECK semantics: a row violates only
+    * resident rows (compaction, Z-order, deletes) skip it entirely.
+    * [[restoreLake]] is the one op that can RESURRECT pre-constraint
+    * rows, so it validates its target snapshot before publishing.
+    * NULL follows SQL CHECK semantics: a row violates only
     * when the predicate is definitely FALSE.
     *
     * [[setLakeConstraints]] first validates the CURRENT snapshot (the
@@ -1585,9 +1587,20 @@ object LakeLayout {
         s"setLakeConstraints: existing rows violate " +
           bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
     }
+    writeConstraintsFile(spark, tablePath, constraints)
+  }
+
+  /** Publish the constraint file via tmp-write + OVERWRITE rename
+    * (FileContext — one atomic replace), so a writer reading
+    * [[lakeConstraints]] mid-swap sees the old set or the new set,
+    * NEVER a missing file: a delete-then-rename gap would read as
+    * "unconstrained" and admit a violating batch unvalidated. */
+  private def writeConstraintsFile(spark: SparkSession, tablePath: String,
+      constraints: Map[String, String]): Unit = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val target = constraintsFile(table)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val target = fs.makeQualified(constraintsFile(table))
     fs.mkdirs(target.getParent)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
@@ -1596,9 +1609,9 @@ object LakeLayout {
       .map { case (n, e) => s"$n\t$e\n" }.mkString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(target, false)
-    require(fs.rename(tmp, target),
-      s"setLakeConstraints: failed to publish $target")
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(fs.makeQualified(tmp), target,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The table's current constraint set (empty = unconstrained). */
@@ -1620,7 +1633,10 @@ object LakeLayout {
     }
   }
 
-  /** Remove one named constraint (a no-op if absent). */
+  /** Remove one named constraint (a no-op if absent). Metadata-only:
+    * every resident row already passed the REMAINING constraints at
+    * write time, so no re-validation scan is ever needed — the reduced
+    * file is published directly. */
   def dropLakeConstraint(spark: SparkSession, tablePath: String,
       name: String): Unit = {
     val cur = lakeConstraints(spark, tablePath)
@@ -1629,7 +1645,7 @@ object LakeLayout {
       val table = new org.apache.hadoop.fs.Path(tablePath)
       val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
       if (rest.isEmpty) fs.delete(constraintsFile(table), false)
-      else setLakeConstraints(spark, tablePath, rest)
+      else writeConstraintsFile(spark, tablePath, rest)
     }
   }
 
@@ -1684,13 +1700,19 @@ object LakeLayout {
 
   /** (h1, h2) per key, computed THROUGH Spark's own xxhash64 so the
     * lookup side can never drift from what the builder hashed (same
-    * codegen, same seed, same string cast). One 1-row job per call —
+    * codegen, same seed, same string cast). `castTo` is the stored
+    * COLUMN's type: the builder hashed the column's OWN string cast
+    * (a double renders 42.0 as "42.0"), so a probe literal must pass
+    * through the column type first or it hashes a different string
+    * and wrongly prunes the owning file. One 1-row job per call —
     * point-lookup key sets are driver-bounded by definition. */
-  private def keyHashPairs(spark: SparkSession,
-      keys: Seq[Any]): Seq[(Long, Long)] =
+  private def keyHashPairs(spark: SparkSession, keys: Seq[Any],
+      castTo: Option[org.apache.spark.sql.types.DataType]):
+      Seq[(Long, Long)] =
     spark.range(1)
-      .select(explode(array(keys.map(k =>
-        lit(k).cast("string")): _*)).as("__kv"))
+      .select(explode(array(keys.map { k =>
+        castTo.fold(lit(k))(t => lit(k).cast(t)).cast("string")
+      }: _*)).as("__kv"))
       .select(xxhash64(col("__kv")), xxhash64(col("__kv"), lit(1L)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
@@ -1770,13 +1792,15 @@ object LakeLayout {
     * a correctness gate. Package-private so specs can assert the
     * strict-subset scan. */
   private[graft] def lakeFilesForKeys(spark: SparkSession,
-      tablePath: String, keys: Seq[Any]): Seq[LakeFile] = {
+      tablePath: String, keys: Seq[Any],
+      castTo: Option[org.apache.spark.sql.types.DataType] = None):
+      Seq[LakeFile] = {
     val cur = latestLakeCommit(spark, tablePath)
       .getOrElse(throw new IllegalArgumentException(
         s"$tablePath has no committed version"))
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val hashes = keyHashPairs(spark, keys)
+    val hashes = keyHashPairs(spark, keys, castTo)
     def inRange(f: LakeFile, k: Any): Boolean =
       (f.minKey, f.maxKey, k) match {
         case (Some(LongKey(lo)), Some(LongKey(hi)), n: Long) =>
@@ -1804,7 +1828,11 @@ object LakeLayout {
       key: String, keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "readLakeForKeys needs at least one key")
     val cur = latestLakeCommit(spark, tablePath).get
-    val candidates = lakeFilesForKeys(spark, tablePath, keys)
+    // hash probe literals through the stored column's type so their
+    // string cast agrees with what the bloom builder hashed
+    val colType = commitSchema(cur)
+      .flatMap(_.fields.find(_.name == key)).map(_.dataType)
+    val candidates = lakeFilesForKeys(spark, tablePath, keys, colType)
     val base =
       if (candidates.isEmpty)
         readLake(spark, tablePath).get.limit(0)
@@ -2149,6 +2177,22 @@ object LakeLayout {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val target = lakeCommitAt(spark, tablePath, version)
+    // a restore target may PREDATE the current constraints — its rows
+    // were never validated against them, so publishing it unchecked
+    // would silently break "every live row satisfies every
+    // constraint"; restore is a rare admin op, so the O(snapshot)
+    // validation is the honest price (drop the constraint first to
+    // restore to a pre-constraint state deliberately)
+    val cons = lakeConstraints(spark, tablePath)
+    if (cons.nonEmpty) {
+      val bad = violationCounts(readLakeVersion(spark, tablePath, version),
+        cons)
+      require(bad.isEmpty,
+        s"restoreLake: version $version violates the table's current " +
+          "constraints — " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+          "; drop the constraint first to restore deliberately")
+    }
     val cur = latestLakeCommit(spark, tablePath).get
     val v = cur.version + 1
     // dataDir carries the TARGET's dir so a legacy dir-pointer target
@@ -3652,12 +3696,19 @@ object LakeLayout {
     * then deterministic at any SF. Oracle is the plain IN-list over
     * base orders. */
   def qLakePointLookup(s: SparkSession, dir: String): DataFrame = {
+    // size the blooms from the ACTUAL corpus (~10 bits per expected
+    // row per file, the sizing the bloom doc prescribes): a hardcoded
+    // width saturates as rows/file grow with SF and saturated blooms
+    // pass every probe — the skip require below would abort the drive
+    val rows = Tables.load(s, dir, "orders").count()
+    val sized = ((math.max(1L, rows / 8L) * 10L + 63L) / 64L) * 64L
+    val bits = math.min(1L << 26, math.max(1L << 18, sized)).toInt
     val lake = stagedBase(s, dir, "orders", "ordersbloom8") { root =>
       commitLakeVersion(
         Tables.load(s, dir, "orders")
           .repartition(8, pmod(col("o_orderkey"), lit(8))),
         root, "stage", 0L, statsKey = Some("o_orderkey"),
-        bloomBits = 1 << 18)
+        bloomBits = bits)
     }
     val keys = Tables.load(s, dir, "orders")
       .filter(pmod(col("o_orderkey"), lit(8)) === 0)

@@ -201,13 +201,19 @@ object CdfStream {
     * upsert of the version's insert/update postimages and a delete of
     * its delete keys (one source version never both deletes and
     * upserts the same key, so their order is immaterial) — carrying
-    * ("cdf-upsert", v) / ("cdf-delete", v) provenance. Replays are
-    * detected in bulk through [[LakeLayout.lakeProvenance]]: a re-run
-    * after a crash BETWEEN the two commits applies exactly the missing
-    * half, and a fully-applied sync re-runs as a no-op (versions at or
-    * below the replica's provenance high-water mark are skipped
-    * without even computing their change set). Versions with an empty
-    * change set (compaction, Z-order maintenance) publish nothing.
+    * ("cdf-upsert", v) / ("cdf-delete", v) provenance. A version whose
+    * OTHER half is empty commits exactly once with a `-final` mark
+    * ("cdf-upsert-final" / "cdf-delete-final"): the mark records that
+    * the version is fully applied by its single commit, so an
+    * upsert-only version sitting at the provenance high-water mark is
+    * skipped outright on later syncs instead of being re-diffed on
+    * every trigger forever. Replays are detected in bulk through
+    * [[LakeLayout.lakeProvenance]]: a re-run after a crash BETWEEN the
+    * two commits applies exactly the missing half, and a
+    * fully-applied sync re-runs as a no-op (versions at or below the
+    * high-water mark are skipped without even computing their change
+    * set). Versions with an empty change set (compaction, Z-order
+    * maintenance) publish nothing.
     *
     * Contracts (both standard for any CDC consumer): the replica is
     * PASSIVE — replication must be its only writer — and the source's
@@ -219,7 +225,13 @@ object CdfStream {
       dstPath: String): Int = {
     val applied = LakeLayout.lakeProvenance(spark, dstPath)
     val appliedV = applied.collect {
-      case (c, v) if c == "cdf-upsert" || c == "cdf-delete" => v
+      case (c, v) if c.startsWith("cdf-") => v
+    }
+    // a `-final` mark records that its commit was the version's ONLY
+    // one (the other half's change set was empty at apply time) — the
+    // version is fully applied with a single provenance entry
+    val fullV = applied.collect {
+      case (c, v) if c.endsWith("-final") => v
     }
     // versions strictly below the high-water mark are fully applied
     // (syncs process ascending, so a crash leaves at most the MAX
@@ -230,8 +242,10 @@ object CdfStream {
     LakeLayout.lakeVersions(spark, srcPath).sorted
       .dropWhile(_ < hwm)
       .foreach { v =>
-        val needUp = !applied.contains(("cdf-upsert", v))
-        val needDel = !applied.contains(("cdf-delete", v))
+        val needUp = !fullV.contains(v) &&
+          !applied.contains(("cdf-upsert", v))
+        val needDel = !fullV.contains(v) &&
+          !applied.contains(("cdf-delete", v))
         if (needUp || needDel) {
           val changes = changesForVersion(spark, srcPath, v, key).persist()
           try {
@@ -245,13 +259,21 @@ object CdfStream {
               .select(col(key))
             var any = false
             if (needUp && !ups.isEmpty) {
+              // a version whose delete half is EMPTY commits exactly
+              // once — mark that commit FINAL so later syncs read the
+              // version as fully applied instead of re-diffing it
+              // forever while it sits at the high-water mark
+              val mark = if (needDel && dels.isEmpty) "cdf-upsert-final"
+                else "cdf-upsert"
               LakeLayout.upsertIntoLake(spark, dstPath, ups, key,
-                "cdf-upsert", v, evolveSchema = true)
+                mark, v, evolveSchema = true)
               any = true
             }
             if (needDel && !dels.isEmpty) {
+              val mark = if (needUp && ups.isEmpty) "cdf-delete-final"
+                else "cdf-delete"
               LakeLayout.deleteFromLake(spark, dstPath, dels, key,
-                "cdf-delete", v)
+                mark, v)
               any = true
             }
             if (any) n += 1

@@ -117,4 +117,31 @@ class IvfConcurrencySpec extends SparkSuite {
       nVectors(idx) == n0,
       s"retry must publish a fresh generation: ${IvfIndex.committedGen(spark, idx)}")
   }
+
+  test("an overlapping rebuild that commits FIRST aborts this one even when generation numbers differ") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-pin")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    IvfIndex.build(spark, sfDir, idx)
+
+    // the overlapping maintainer COMMITS a higher generation while
+    // this rebuild is staged: generation numbers no longer collide
+    // (this writer staged g1, the other committed g5), so the rename
+    // succeeds — publishing would silently SHADOW g5 and any waves
+    // folded into it. The source-generation pin must catch it.
+    val err = intercept[IllegalStateException] {
+      IvfIndex.rebuildImpl(spark, idx, 16, 4, () => {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g5/vectors"))
+        fs.create(
+          new org.apache.hadoop.fs.Path(s"$idx/g5/_COMMITTED"),
+          false).close()
+      })
+    }
+    assert(err.getMessage.contains("moved"), err.getMessage)
+    assert(IvfIndex.committedGen(spark, idx).contains(5L),
+      "the overlapping maintainer's commit must stay live")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g1")),
+      "the aborted writer must discard its unmarked generation dir")
+  }
 }

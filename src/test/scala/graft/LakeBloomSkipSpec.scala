@@ -84,4 +84,25 @@ class LakeBloomSkipSpec extends SparkSuite {
     assert(LakeLayout.readLakeForKeys(spark, plain, "doc_id",
       Seq("doc-0042")).count() == 1)
   }
+
+  test("probe literals hash through the stored column's type — a double key never wrongly prunes its owning file") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-bloom-typed").toString + "/t"
+    // DOUBLE key column: the builder blooms the column's own string
+    // cast ("42.0"); a probe literal 42 must hash the same string or
+    // the bloom rejects the owning file and the lookup silently
+    // returns nothing (range bounds don't exist for doubles, so the
+    // bloom is the sole decider)
+    LakeLayout.commitLakeVersion(
+      (1L to 200L).map(k => (k.toDouble, s"r$k")).toDF("dk", "v")
+        .repartition(4, col("dk")),
+      table, "seed", 0L, statsKey = Some("dk"), bloomBits = 1 << 12)
+    val got = LakeLayout.readLakeForKeys(spark, table, "dk",
+      Seq(42, 143L))
+    assert(got.count() == 2,
+      "int/long probe literals must find rows stored under a double key")
+    assert(got.select("v").collect().map(_.getString(0)).toSet ==
+      Set("r42", "r143"))
+  }
 }

@@ -104,4 +104,32 @@ class LakeConstraintsSpec extends SparkSuite {
     assert(LakeLayout.readLake(spark, table).get
       .filter(col("id") === 20L).count() == 1)
   }
+
+  test("restore validates its target against current constraints — pre-constraint rows cannot resurrect silently") {
+    val table = freshTable("graft-cons-restore")
+    // v0 carries a row that a LATER constraint forbids; v1 fixes it
+    LakeLayout.commitLakeVersion(
+      Seq((1L, -5L, "bad"), (2L, 20L, "ok")).toDF("id", "score", "v"),
+      table, "seed", 0L, statsKey = Some("id"))
+    LakeLayout.upsertIntoLake(spark, table,
+      Seq((1L, 15L, "fixed")).toDF("id", "score", "v"), "id", "w", 1L)
+    LakeLayout.setLakeConstraints(spark, table,
+      Map("score_pos" -> "score > 0")) // current snapshot (v1) passes
+
+    val versions = LakeLayout.lakeVersions(spark, table)
+    val ex = intercept[IllegalArgumentException] {
+      LakeLayout.restoreLake(spark, table, 0L)
+    }
+    assert(ex.getMessage.contains("score_pos"),
+      s"restore must name the violated constraint: ${ex.getMessage}")
+    assert(LakeLayout.lakeVersions(spark, table) == versions,
+      "a rejected restore must publish nothing")
+
+    // the deliberate path: drop the constraint, then restore
+    LakeLayout.dropLakeConstraint(spark, table, "score_pos")
+    LakeLayout.restoreLake(spark, table, 0L)
+    assert(LakeLayout.readLake(spark, table).get
+      .filter(col("score") < 0).count() == 1,
+      "after an explicit drop the pre-constraint snapshot restores")
+  }
 }

@@ -52,6 +52,16 @@ class ReplicationSpec extends SparkSuite {
       "exactly one replica commit per non-empty source version here")
     assert(snapshot(dst) == snapshot(src), "replica == source after sync 2")
 
+    // single-half versions must self-seal with a FINAL mark: without
+    // it the tail version pins the high-water mark and every later
+    // sync re-diffs it — an unbounded stream of redundant change-set
+    // jobs on a live replication trigger
+    val prov = LakeLayout.lakeProvenance(spark, dst)
+    assert(prov.contains(("cdf-upsert-final", 5L)),
+      s"the upsert-only insert wave must carry a final mark, got $prov")
+    assert(prov.contains(("cdf-delete-final", 4L)),
+      s"the delete-only dv wave must carry a final mark, got $prov")
+
     // idempotence: nothing new on the source → nothing on the replica
     val versions = LakeLayout.lakeVersions(spark, dst)
     assert(CdfStream.replicateLake(spark, src, "id", dst) == 0,
