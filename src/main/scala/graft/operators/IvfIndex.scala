@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * wasteful for a serving fleet); here the index is built ONCE as a
   * GENERATIONAL lake layout:
   *
-  *   <indexPath>/g<N>/vectors/cell=<c>/...parquet  (cell-partitioned)
-  *   <indexPath>/g<N>/centroids/...parquet         (K rows of model state)
-  *   <indexPath>/g<N>/_COMMITTED                   (atomic publish marker)
+  *   <indexPath>/g<N>-<tag>/vectors/cell=<c>/...parquet  (cell-partitioned)
+  *   <indexPath>/g<N>-<tag>/centroids/...parquet   (K rows of model state)
+  *   <indexPath>/_gen/<N>                          (atomic commit claim)
   *
   * and every probe reads ONLY its `nprobe` nearest cells — partition
   * pruning at the FileIndex, so a probe's scan cost is
@@ -21,25 +21,31 @@ import org.apache.spark.sql.functions._
   * ([[Similarity.ivfCentroids]]'s fixed-point means), so rebuilding the
   * index on the same corpus yields byte-identical assignments.
   *
-  * GENERATIONS are what make [[rebuild]] atomic (the manifest-pointer
-  * posture of [[graft.sources.LakeLayout]], scaled down to one marker
-  * file): a generation is staged into a WRITER-TAGGED hidden dir
-  * (`.g<N>-stage-<writer>` — two racing maintainers can never clobber
-  * each other's files), renamed whole into `g<N>`, then published by
-  * an atomic exclusive CREATE of its `_COMMITTED` marker; a maintainer
-  * that loses the rename discards its own staging and fails loudly
-  * with the live index untouched. Readers resolve the max committed
-  * generation ONCE and read both dirs from it, so a probe racing a
-  * rebuild always pairs vectors with the centroids that assigned
-  * them — never new vectors under old centroids. Each publish keeps
-  * the previously-committed generation as read grace (a probe that
-  * resolved just before the swap still completes) and reclaims older
-  * ones; a crash mid-rebuild leaves an UNCOMMITTED staging dir that
-  * readers never see and a later publish sweeps. Crash-leftover bare
-  * `g<N>` dirs without a marker are skipped by numbering (the next
-  * publish takes N+1), never renamed into. Pre-generational flat
-  * layouts (`<indexPath>/vectors`, `/centroids`) still resolve when
-  * no committed generation exists.
+  * GENERATIONS are what make [[rebuild]] atomic — the SAME
+  * exclusive-create commit point as [[graft.sources.LakeLayout]]'s
+  * manifest claim, so two overlapping maintainers are mutually
+  * excluded BY CONSTRUCTION, not by detection. A generation is staged
+  * into a writer-tagged hidden dir (`.g<N>-stage-<tag>`), renamed
+  * whole into the equally writer-tagged `g<N>-<tag>` (tag-unique —
+  * renames can never contend), and committed by ONE atomic
+  * exclusive CREATE of the claim file `_gen/<N>` whose content names
+  * the winning dir. Generation numbers are strictly sequential
+  * (`N = live + 1`, derived from the claim log, never from dirs), so
+  * that single create is simultaneously the mutual-exclusion point
+  * (two maintainers that derived from the same live generation race
+  * for the same claim name — exactly one can ever win) and the
+  * staleness pin (a maintainer whose source generation moved finds
+  * its claim already taken and aborts loudly, its own dir discarded,
+  * the live index untouched). Readers resolve the max claim ONCE and
+  * read both dirs from the dir it names, so a probe racing a rebuild
+  * always pairs vectors with the centroids that assigned them. Each
+  * publish keeps the previously-committed generation as read grace
+  * (a probe that resolved just before the swap still completes) and
+  * reclaims older ones; a crash before the claim leaves an orphan
+  * dir that readers never see (no claim names it), consumes NO
+  * generation number, and a later publish sweeps it. Legacy layouts —
+  * `g<N>/_COMMITTED` marker dirs and pre-generational flat
+  * `<indexPath>/vectors` — still resolve when no claim exists.
   *
   * APPEND vs REBUILD concurrency: [[append]] is the normal ingestion
   * path and may run beside a scheduled [[rebuild]] without losing
@@ -64,14 +70,47 @@ object IvfIndex {
     hp(path).getFileSystem(s.sessionState.newHadoopConf())
 
   private val GenName = "g(\\d+)".r
+  private val TaggedGenName = "g(\\d+)-[0-9a-f]+".r
+  private val StageName = "\\.g(\\d+)-stage-.*".r
 
-  /** Max committed generation, or None for empty/legacy layouts. */
-  private[graft] def committedGen(s: SparkSession,
-      indexPath: String): Option[Long] = {
+  private def claimsDir(indexPath: String) = hp(s"$indexPath/_gen")
+
+  /** Parse a claim file name to its generation number. */
+  private def claimGen(name: String): Option[Long] =
+    if (name.forall(_.isDigit) && name.nonEmpty) Some(name.toLong) else None
+
+  /** List the claim log: (gen → claimed dir name). A claim is created
+    * AFTER its dir's rename completes, so every listed claim names a
+    * complete generation dir (reclamation deletes a claim BEFORE its
+    * dir, preserving the invariant from the other side). */
+  private def listClaims(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Map[Long, String] = {
+    val d = claimsDir(indexPath)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).iterator
+      .filter(_.isFile)
+      .flatMap(st => claimGen(st.getPath.getName).map { g =>
+        val in = fs.open(st.getPath)
+        val dir =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        g -> dir
+      })
+      .toMap
+  }
+
+  /** Resolve the live generation ONCE: (gen, root dir). Claim-log
+    * layouts win; legacy `g<N>/_COMMITTED` marker dirs (pre-claim
+    * indexes) resolve when no claim exists. None = flat/empty layout. */
+  private def resolveLive(s: SparkSession,
+      indexPath: String): Option[(Long, String)] = {
     val fs = fsOf(s, indexPath)
-    val root = hp(indexPath)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).iterator
+    if (!fs.exists(hp(indexPath))) return None
+    val claims = listClaims(fs, indexPath)
+    if (claims.nonEmpty) {
+      val g = claims.keys.max
+      Some(g -> s"$indexPath/${claims(g)}")
+    } else fs.listStatus(hp(indexPath)).iterator
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName match {
         case GenName(n)
@@ -81,107 +120,100 @@ object IvfIndex {
       })
       .foldLeft(Option.empty[Long])((acc, g) =>
         Some(acc.fold(g)(math.max(_, g))))
+      .map(g => g -> s"$indexPath/g$g")
   }
+
+  /** Max committed generation, or None for empty/legacy-flat layouts. */
+  private[graft] def committedGen(s: SparkSession,
+      indexPath: String): Option[Long] =
+    resolveLive(s, indexPath).map(_._1)
 
   /** The dir holding the CURRENT consistent (vectors, centroids) pair:
     * the max committed generation, or the legacy flat root when none
     * exists. Resolve once per operation — both reads must come from the
     * same resolution or a racing rebuild can mix generations. */
   private[graft] def layoutRoot(s: SparkSession, indexPath: String): String =
-    committedGen(s, indexPath).fold(indexPath)(g => s"$indexPath/g$g")
+    resolveLive(s, indexPath).fold(indexPath)(_._2)
 
-  private val StageName = "\\.g(\\d+)-stage-.*".r
-
-  /** The next generation NUMBER: one past the max `g<N>` dir present,
-    * committed or not — a crash-leftover bare dir is skipped by
-    * numbering, never renamed into (renaming onto an existing dir
-    * would NEST the staging inside it on HDFS semantics). */
-  private def nextGen(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String): Long = {
-    val root = hp(indexPath)
-    if (!fs.exists(root)) 0L
-    else fs.listStatus(root).iterator
-      .filter(_.isDirectory)
-      .flatMap(_.getPath.getName match {
-        case GenName(n) => Some(n.toLong)
-        case _ => None
-      })
-      .foldLeft(-1L)(math.max) + 1L
-  }
-
-  /** Publish a fully-staged generation: rename the writer-tagged
-    * staging dir into `g<gen>` (a lost race — the destination already
-    * claimed by another maintainer — discards OUR staging and fails
-    * loudly; the winner's files are never touched), create the
-    * `_COMMITTED` marker, then reclaim everything older than the
-    * grace generation plus any stale staging dirs at or below `gen`.
-    *
-    * `expectLive` (set by [[rebuild]]) pins the committed generation
-    * this writer derived from: if another maintainer committed in the
-    * meantime, OUR generation would silently shadow theirs — and any
-    * appends folded into it — so the publish re-checks the live
-    * committed generation after the rename and discards itself loudly
-    * on a mismatch (the dest carries no marker yet, so no probe ever
-    * resolved it). This detects overlapping rebuilds even when their
-    * generation NUMBERS differ; the residual window is the instants
-    * between this check and the marker create, covered by the
-    * single-writer contract. */
+  /** Commit a fully-staged generation `gen` BY CONSTRUCTION: rename
+    * the writer-tagged staging into the equally writer-tagged final
+    * dir (tag-unique — never contended), then atomically
+    * exclusive-create the claim file `_gen/<gen>` naming it. The
+    * claim is the single commit point: of two maintainers that both
+    * derived from generation `gen − 1`, exactly one create can
+    * succeed — mutual exclusion AND staleness detection in one atomic
+    * op (a maintainer whose source moved targets an already-claimed
+    * number). The loser deletes its own dir and fails loudly; the
+    * winner's files are never touched. A crash between rename and
+    * claim leaves an orphan dir no reader resolves and consumes no
+    * generation number. After the claim: reclaim generations older
+    * than the grace (previous live) generation, stale stagings BELOW
+    * `gen`, and legacy flat dirs. */
   private def publishGen(s: SparkSession, indexPath: String, gen: Long,
-      stage: org.apache.hadoop.fs.Path,
-      expectLive: Option[Option[Long]] = None): Unit = {
+      stage: org.apache.hadoop.fs.Path): Unit = {
     val fs = fsOf(s, indexPath)
-    val dest = hp(s"$indexPath/g$gen")
-    val renamed =
-      try fs.rename(stage, dest)
-      catch { case _: java.io.IOException => false }
-    // rename onto an existing dir NESTS src inside dest — detect the
-    // nest (dest/<stageName> exists) as a lost race too
-    val nested = new org.apache.hadoop.fs.Path(dest, stage.getName)
-    if (!renamed || fs.exists(nested)) {
-      fs.delete(if (fs.exists(nested)) nested else stage, true)
+    // `.g<gen>-stage-<tag>` → `g<gen>-<tag>`
+    val tag = stage.getName.substring(stage.getName.lastIndexOf('-') + 1)
+    val destName = s"g$gen-$tag"
+    val dest = hp(s"$indexPath/$destName")
+    if (!fs.rename(stage, dest))
+      throw new IllegalStateException(
+        s"ivf publish: rename of ${stage.getName} to $destName failed " +
+          s"under $indexPath — staging left in place for inspection")
+    fs.mkdirs(claimsDir(indexPath))
+    val claim = new org.apache.hadoop.fs.Path(claimsDir(indexPath),
+      gen.toString)
+    val claimed =
+      try {
+        val out = fs.create(claim, false) // exclusive — the commit point
+        try out.write(destName.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException | _: org.apache.hadoop.fs
+          .FileAlreadyExistsException => false
+      }
+    if (!claimed) {
+      fs.delete(dest, true)
       throw new IllegalStateException(
         s"ivf publish lost the race for generation $gen of $indexPath " +
-          "— rebuild is single-writer by contract; this writer's " +
-          "staging was discarded and the live index is untouched")
+          "— another maintainer committed this generation first (or " +
+          "the source generation moved since this rebuild snapshotted " +
+          "it); this writer's staging was discarded and the live index " +
+          "is untouched")
     }
-    expectLive.foreach { expected =>
-      val nowLive = committedGen(s, indexPath)
-      if (nowLive != expected) {
-        fs.delete(dest, true)
-        throw new IllegalStateException(
-          s"ivf publish of generation $gen of $indexPath aborted: the " +
-            s"live committed generation moved $expected -> $nowLive " +
-            "since this rebuild snapshotted its source — publishing " +
-            "would shadow the newer generation (and any waves folded " +
-            "into it); this writer's staging was discarded and the " +
-            "live index is untouched")
+    // reclamation: keep `gen` and the previous generation (read grace
+    // for in-flight probes); claims are deleted BEFORE their dirs so
+    // no claim ever names a missing dir. Only generations strictly
+    // BELOW `gen` are touched — dirs at or above it may belong to a
+    // live maintainer racing for the next claim (its own claim
+    // attempt decides its fate; reclamation must never).
+    val grace = gen - 1
+    listClaims(fs, indexPath).foreach { case (g, dirName) =>
+      if (g < grace) {
+        fs.delete(new org.apache.hadoop.fs.Path(claimsDir(indexPath),
+          g.toString), false)
+        fs.delete(hp(s"$indexPath/$dirName"), true)
       }
     }
-    fs.create(new org.apache.hadoop.fs.Path(dest, "_COMMITTED"), false)
-      .close()
-    // keep `gen` and the newest PREVIOUSLY-committed generation as
-    // read grace for in-flight probes; crash-leftover bare dirs and
-    // committed ancestors beyond the grace are reclaimed
-    val grace = fs.listStatus(hp(indexPath)).iterator
-      .filter(_.isDirectory)
-      .flatMap(st => st.getPath.getName match {
-        case GenName(n) if n.toLong < gen && fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
-          Some(n.toLong)
-        case _ => None
-      })
-      .foldLeft(Option.empty[Long])((acc, g) =>
-        Some(acc.fold(g)(math.max(_, g))))
     fs.listStatus(hp(indexPath)).foreach { st =>
       val drop = st.getPath.getName match {
-        case GenName(n) => n.toLong != gen && !grace.contains(n.toLong)
-        // a stale staging at or below `gen` is a crash leftover or a
-        // lost racer; stagings ABOVE `gen` may belong to a live
-        // maintainer that already saw this publish — leave them
-        case StageName(n) => n.toLong <= gen
+        // legacy committed / orphan untagged generation dirs below
+        // the grace (pre-claim layouts keep their newest as grace
+        // until the claim log carries one)
+        case GenName(n) => n.toLong < grace
+        // orphan TAGGED dirs (a claim loser's leavings, a crash
+        // between rename and claim) strictly below this generation;
+        // the claimed dirs of `gen` and `grace` are kept by number
+        case TaggedGenName(n) => n.toLong < grace
+        // stale stagings below `gen` are crash leftovers; stagings
+        // at or above it may belong to a live maintainer whose own
+        // claim attempt will decide its fate
+        case StageName(n) => n.toLong < gen
         // legacy flat dirs are the pre-generational "generation":
-        // grace them until a previously-committed generation exists
-        case "vectors" | "centroids" => grace.isDefined
+        // grace them until a successor generation exists
+        case "vectors" | "centroids" => gen > 0
         case _ => false
       }
       if (drop) fs.delete(st.getPath, true)
@@ -345,7 +377,9 @@ object IvfIndex {
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
     val fs = fsOf(s, indexPath)
-    val gen = nextGen(fs, indexPath)
+    // strictly sequential: one past the LIVE generation (claims are
+    // the only number authority — orphan dirs consume nothing)
+    val gen = resolveLive(s, indexPath).fold(0L)(_._1 + 1L)
     val stage = newStage(indexPath, gen)
     assignCells(Tables.load(s, dir, "embeddings"), centsDf)
       .write.mode("overwrite").partitionBy("cell")
@@ -401,6 +435,15 @@ object IvfIndex {
     *    and a retrain moves it back up. Occupancy alone cannot see a
     *    wave that lands in one cell BECAUSE the model has no better
     *    centroid for it; the fit metric does.
+    *  - `pq_fit` / `pq_tail_frac` — QUANTIZATION health when a PQ
+    *    sidecar is committed (0 otherwise): mean cosine between each
+    *    CODED vector's unit form and its codebook reconstruction (the
+    *    measurable that degrades when append waves drift away from
+    *    the frozen, corpus-global codebooks — ADC ranking quality
+    *    tracks it), and the fraction of vectors serving from the raw
+    *    uncompacted tail (each tail row pays float-scan cost on every
+    *    ADC probe). Both feed [[maintainIvf]]'s measured sidecar
+    *    refresh, the same policy template as the centroid retrain.
     * The (cell → count) frame is ≤ K rows — the same bounded model
     * state [[probeTopK]] collects. */
   def describeIvf(s: SparkSession, indexPath: String): DataFrame = {
@@ -435,12 +478,55 @@ object IvfIndex {
         .join(broadcast(centsOpt.get), "cell")
         .agg(avg(VectorFunctions.cosine(col("embedding"), col("centroid"))))
         .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
+    // quantization health: codebook fit over the WHOLE current corpus
+    // — each vector is encoded ON THE FLY under the committed
+    // codebooks (same deterministic assignment that produced the
+    // stored codes, so coded rows score identically) and compared to
+    // its reconstruction; tail vectors the sidecar never saw are
+    // exactly the rows that drag the average down when an append wave
+    // drifts away from the frozen codebooks. One map-side pass over a
+    // 1-row broadcast, same budget as the centroid-fit average.
+    val fs = fsOf(s, root)
+    val (pqFit, pqTail) = readPqSidecar(fs, root) match {
+      case None => (0.0, 0.0)
+      case Some((_, booksDir, snapFiles)) =>
+        val fit = vecsOpt match {
+          case Some(vecs) if nVec > 0 =>
+            val books = s.read.parquet(booksDir).collect()
+            val m = books.map(_.getAs[Int]("sub")).max + 1
+            val ks = books.map(_.getAs[Int]("code")).max + 1
+            val cb = Array.ofDim[Array[Double]](m, ks)
+            books.foreach { r =>
+              cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+                r.getAs[scala.collection.Seq[Double]]("cvec").toArray
+            }
+            val d = cb(0)(0).length
+            val recon = flatten(transform(
+              ProductQuant.codesCol(m, d), (c, j) =>
+                element_at(element_at(col("books"), j + lit(1)),
+                  c + lit(1)).getField("cvec")))
+            Option(ProductQuant.withUnit(
+                vecs.select(col("vec_id"), col("embedding")))
+              .crossJoin(broadcast(ProductQuant.packedBooks(s, cb)))
+              .agg(avg(VectorFunctions.cosine(col("u"), recon)))
+              .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
+          case _ => 0.0
+        }
+        val tailFiles = listVectorFiles(fs, s"$root/vectors") -- snapFiles
+        val tailRows =
+          if (tailFiles.isEmpty) 0L
+          else s.read.option("basePath", s"$root/vectors")
+            .parquet(tailFiles.toSeq.sorted: _*).count()
+        (fit, if (nVec > 0) tailRows.toDouble / nVec else 0.0)
+    }
     Seq((k.toLong, nVec, counts.count(_ == 0L).toLong,
       counts.head, counts.last, meanOcc, pct(0.5), pct(0.9),
-      if (meanOcc > 0) counts.last / meanOcc else 0.0, meanSim))
+      if (meanOcc > 0) counts.last / meanOcc else 0.0, meanSim,
+      pqFit, pqTail))
       .toDF("n_cells", "n_vectors", "empty_cells", "min_occupancy",
         "max_occupancy", "mean_occupancy", "p50_occupancy",
-        "p90_occupancy", "occupancy_skew", "mean_centroid_sim")
+        "p90_occupancy", "occupancy_skew", "mean_centroid_sim",
+        "pq_fit", "pq_tail_frac")
   }
 
   /** RETRAIN as a new generation — the IVF analogue of compaction,
@@ -475,12 +561,14 @@ object IvfIndex {
     // rebuild's publish reclaims the grace dir they live in)
     sweepSourceStragglers(s, indexPath)
     // resolve the source generation ONCE and pin the publish to it:
-    // an overlapping rebuild that commits first moves the live gen,
-    // and our publish must then fail loudly instead of shadowing it
-    val srcGen = committedGen(s, indexPath)
-    val live = srcGen.fold(indexPath)(g => s"$indexPath/g$g")
+    // the target number is source + 1, so an overlapping rebuild that
+    // commits first takes the claim and OUR publish fails loudly at
+    // its one atomic create instead of shadowing the newer generation
+    val liveRes = resolveLive(s, indexPath)
+    val srcGen = liveRes.map(_._1)
+    val live = liveRes.fold(indexPath)(_._2)
     val liveVecDir = s"$live/vectors"
-    val gen = nextGen(fs, indexPath)
+    val gen = srcGen.fold(0L)(_ + 1L)
     val stage = newStage(indexPath, gen)
     // pin training to an explicit file snapshot: everything in `snap`
     // is incorporated by the train+assign read below; everything a
@@ -520,48 +608,68 @@ object IvfIndex {
           "untouched")
     }
     writeSource(fs, stage, liveVecDir, snap)
-    publishGen(s, indexPath, gen, stage, expectLive = Some(srcGen))
+    publishGen(s, indexPath, gen, stage)
     // post-publish sweep: an append that resolved the OLD generation
-    // just before the marker landed may have written after the final
+    // just before the claim landed may have written after the final
     // pre-publish diff; appending to the now-committed generation
     // under its frozen centroids is safe, so fold those in too (the
     // next rebuild's start-of-run sweep is the backstop for anything
-    // still in flight)
+    // still in flight). Resolve the just-claimed dir from the log.
+    val newRoot = s"$indexPath/${listClaims(fs, indexPath)(gen)}"
     val late = listVectorFiles(fs, liveVecDir) -- snap
     if (late.nonEmpty) {
-      foldIn(s, liveVecDir, late, centsDf, s"$indexPath/g$gen/vectors")
-      writeSource(fs, hp(s"$indexPath/g$gen"), liveVecDir, snap ++ late)
+      foldIn(s, liveVecDir, late, centsDf, s"$newRoot/vectors")
+      writeSource(fs, hp(newRoot), liveVecDir, snap ++ late)
     }
   }
 
   /** What one [[maintainIvf]] pass saw and did. */
   final case class IvfMaintenanceReport(skew: Double, fit: Double,
-      rebuilt: Boolean)
+      rebuilt: Boolean, pqFit: Double = 0.0, pqTail: Double = 0.0,
+      sidecarRebuilt: Boolean = false)
 
   /** ONE-CALL measured maintenance — the policy layer over
-    * [[describeIvf]] + [[rebuild]], mirroring the lake's
-    * `maintainLake`: retrain exactly when the measured drift says so
-    * (`occupancy_skew` above `maxSkew` — hot cells make probe costs
-    * lopsided — or `mean_centroid_sim` below `minFit` — the frozen
-    * model no longer represents the corpus and recall erodes), never
-    * on cadence. An idle pass costs one K-row aggregate and one
-    * corpus-pass average; thresholds sit loose by default so only
-    * genuine drift triggers the O(corpus) retrain. */
+    * [[describeIvf]] + [[rebuild]] + [[buildPqSidecar]], mirroring
+    * the lake's `maintainLake`: retrain exactly when the measured
+    * drift says so (`occupancy_skew` above `maxSkew` — hot cells make
+    * probe costs lopsided — or `mean_centroid_sim` below `minFit` —
+    * the frozen model no longer represents the corpus and recall
+    * erodes), never on cadence. The PQ sidecar follows the SAME
+    * measured template: it refreshes when quantization fit (`pq_fit`,
+    * reconstruction cosine) drops below `minPqFit` — append waves
+    * from a new distribution degrade ADC ranking against the frozen
+    * corpus-global codebooks — or when the raw uncompacted tail
+    * exceeds `maxPqTail` of the corpus (each tail row pays float-scan
+    * cost per probe); and a centroid retrain ALWAYS re-derives the
+    * sidecar when the previous generation carried one (a new
+    * generation starts bare — serving would silently fall back to
+    * raw scans forever otherwise). An idle pass costs one K-row
+    * aggregate and two corpus-pass averages; thresholds sit loose by
+    * default so only genuine drift triggers the O(corpus) work. */
   def maintainIvf(s: SparkSession, indexPath: String,
       maxSkew: Double = 4.0, minFit: Double = 0.15,
       cells: Int = Similarity.IvfCells,
-      iters: Int = Similarity.IvfIters): IvfMaintenanceReport = {
+      iters: Int = Similarity.IvfIters,
+      minPqFit: Double = 0.85, maxPqTail: Double = 0.25)
+      : IvfMaintenanceReport = {
     // fold grace-generation stragglers in FIRST (one listing + a diff
     // when quiet) so the health reading — and any triggered retrain —
     // sees every wave, including one stranded by a cutover race
     sweepSourceStragglers(s, indexPath)
+    val hadSidecar =
+      readPqSidecar(fsOf(s, indexPath), layoutRoot(s, indexPath)).isDefined
     val d = describeIvf(s, indexPath).collect()(0)
     val skew = d.getAs[Double]("occupancy_skew")
     val fit = d.getAs[Double]("mean_centroid_sim")
-    val trigger = d.getAs[Long]("n_vectors") > 0 &&
-      (skew > maxSkew || fit < minFit)
+    val pqFit = d.getAs[Double]("pq_fit")
+    val pqTail = d.getAs[Double]("pq_tail_frac")
+    val any = d.getAs[Long]("n_vectors") > 0
+    val trigger = any && (skew > maxSkew || fit < minFit)
     if (trigger) rebuild(s, indexPath, cells, iters)
-    IvfMaintenanceReport(skew, fit, trigger)
+    val refresh = hadSidecar && any &&
+      (trigger || pqFit < minPqFit || pqTail > maxPqTail)
+    if (refresh) buildPqSidecar(s, indexPath)
+    IvfMaintenanceReport(skew, fit, trigger, pqFit, pqTail, refresh)
   }
 
   /** Serve a top-k query from the persisted index: rank cells against
@@ -619,19 +727,19 @@ object IvfIndex {
     *    — each shard keeps this plan.
     * `excludeSelf` drops vec_id == probe_id hits (corpus-vs-itself
     * queries, parity with [[probeTopK]]'s excludeId). */
-  def probeTopKBatch(s: SparkSession, indexPath: String, probes: DataFrame,
-      k: Int = 10, nprobe: Int = Similarity.IvfProbes,
-      excludeSelf: Boolean = false): DataFrame = {
-    VectorFunctions.register(s)
+  /** Per-probe cell ranking over the packed 1-row broadcast model —
+    * the shared front stage of both batch serving paths. Returns one
+    * row per (probe, probed cell): (probe_id, probe_emb, pcell), with
+    * [[probeTopK]]'s exact tie-break (max sim, then min cell — the
+    * struct sort on (-dot, cell) is position-independent; scaling by
+    * the probe's norm cannot change a per-probe ordering, so the raw
+    * dot ranks identically to cosine). */
+  private def rankProbeCells(s: SparkSession, root: String,
+      probes: DataFrame, nprobe: Int): DataFrame = {
     import s.implicits._
-    // one resolution pins the generation for model, pruning, and scan
-    val root = layoutRoot(s, indexPath)
     val packed = broadcast(s.read.parquet(s"$root/centroids").agg(
       collect_list(struct(col("cell"), col("centroid"))).as("cents")))
-    // rank cells per probe: sort ascending on (-dot, cell) ≡ probeTopK's
-    // (max sim, min cell); scaling by the probe's norm cannot change a
-    // per-probe ordering, so the raw dot ranks identically to cosine
-    val ranked = probes
+    probes
       .select($"probe_id", $"embedding".as("probe_emb"))
       .crossJoin(packed)
       .withColumn("pcell",
@@ -643,6 +751,16 @@ object IvfIndex {
               c.getField("cell").as("cell")))), 1, nprobe),
           s => s.getField("cell"))))
       .drop("cents")
+  }
+
+  def probeTopKBatch(s: SparkSession, indexPath: String, probes: DataFrame,
+      k: Int = 10, nprobe: Int = Similarity.IvfProbes,
+      excludeSelf: Boolean = false): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    // one resolution pins the generation for model, pruning, and scan
+    val root = layoutRoot(s, indexPath)
+    val ranked = rankProbeCells(s, root, probes, nprobe)
     // the probed-cell union is bounded by K — collect it so the scan
     // carries a LITERAL partition filter (file pruning at the index)
     val cellsNeeded = ranked.select($"pcell").distinct()
@@ -664,15 +782,126 @@ object IvfIndex {
       .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
   }
 
+  /** BATCH serving from the COMPRESSED index — [[probeTopKBatch]]
+    * composed with the PQ sidecar, the serving-fleet shape at 100 TB:
+    * N probes in ONE job whose wide scan reads (vec_id, codes) only —
+    * ~25× smaller than the float scan the raw batch path pays, on top
+    * of the same probed-cell-union partition pruning. Stages:
+    *  - cell ranking per probe over the packed 1-row broadcast model
+    *    (shared with [[probeTopKBatch]] — exact [[probeTopK]]
+    *    tie-breaks);
+    *  - each probe computes its OWN ADC lookup table IN the plan
+    *    ([[ProductQuant.lutCol]] over the one-row broadcast codebook —
+    *    m·ks doubles per probe ride the broadcast probe side, plan
+    *    size independent of m·ks);
+    *  - ADC shortlist per probe over the pruned CODES scan (window
+    *    top-`shortlist` with [[probeTopKAdc]]'s exact ordering), plus
+    *    the raw uncompacted tail (files appended after the sidecar
+    *    snapshot — always candidates, exact by file identity);
+    *  - exact cosine re-ranks only shortlist ∪ tail per probe.
+    * Exact per-probe parity with [[probeTopKAdc]] is spec-pinned
+    * (IvfBatchProbeSpec's recipe); the codes scan's no-floats plan
+    * assertion lives in IvfPqSidecarSpec's recipe. */
+  def probeTopKBatchAdc(s: SparkSession, indexPath: String,
+      probes: DataFrame, k: Int = 10,
+      nprobe: Int = Similarity.IvfProbes,
+      shortlist: Int = ProductQuant.RerankShortlist,
+      excludeSelf: Boolean = false): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one resolution pins generation + sidecar + tail diff together
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, root)
+    val (codesDir, booksDir, snapshot) = readPqSidecar(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"probeTopKBatchAdc: no committed PQ sidecar under $root — run " +
+          "buildPqSidecar first"))
+    // codebook shape (m, ks, d) from the books' own rows — bounded
+    // model state, same read the single-probe ADC path pays
+    val booksDf = s.read.parquet(booksDir)
+    val shape = booksDf.agg(
+      (max($"sub") + 1).cast("int"), (max($"code") + 1).cast("int"),
+      max(size($"cvec")).cast("int")).head()
+    val (m, ks, d) = (shape.getInt(0), shape.getInt(1), shape.getInt(2))
+    val packedBooks = broadcast(booksDf
+      .withColumn("half", lit(0.0)) // unused by the LUT; keeps the
+      // packed shape shared with the encoder
+      .groupBy($"sub")
+      .agg(array_sort(collect_list(struct($"code", $"cvec", $"half")))
+        .as("entries"))
+      .agg(transform(array_sort(collect_list(struct($"sub", $"entries"))),
+        x => x.getField("entries")).as("books")))
+    // per-probe LUT as data: unit-normalize the probe (the single-probe
+    // path hashes a unit query) and fold the broadcast books into a
+    // flat m·ks column — probes then broadcast WITH their LUTs
+    val ranked = rankProbeCells(s, root, probes, nprobe)
+      .crossJoin(packedBooks)
+      .withColumn("u",
+        transform($"probe_emb", x => x.cast("double") /
+          VectorFunctions.l2Norm($"probe_emb")))
+      .withColumn("lut", ProductQuant.lutCol($"u", d))
+      .drop("books", "u")
+    val cellsNeeded = ranked.select($"pcell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // ADC stage: codes-only scan of the probed-cell union, each hit
+    // scored against its probe's LUT — per-probe top-`shortlist` with
+    // the single-probe path's exact ordering (adc desc, vec_id)
+    val codes = s.read.parquet(codesDir)
+      .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+    val adcHits = codes
+      .join(broadcast(ranked), $"cell" === $"pcell")
+      .withColumn("adc", ProductQuant.adcScoreWith($"lut", m, ks))
+    val adcKept = if (excludeSelf) adcHits.filter($"vec_id" =!= $"probe_id")
+      else adcHits
+    val shortlisted = adcKept
+      .withColumn("arank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")))
+      .filter($"arank" <= shortlist)
+      .select($"probe_id", $"vec_id")
+    // uncompacted tail: appended after the sidecar — always candidates
+    // for every probe whose probed cells they landed in
+    val tailFiles = listVectorFiles(fs, s"$root/vectors") -- snapshot
+    val cand =
+      if (tailFiles.isEmpty) shortlisted
+      else shortlisted.union(
+        s.read.option("basePath", s"$root/vectors")
+          .parquet(tailFiles.toSeq.sorted: _*)
+          .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+          .select($"cell", $"vec_id")
+          .join(broadcast(ranked.select($"probe_id", $"pcell")),
+            $"cell" === $"pcell")
+          .select($"probe_id", $"vec_id"))
+    // exact re-rank of shortlist ∪ tail only: the float read is
+    // O(probes × shortlist), never the corpus
+    val hits = s.read.parquet(s"$root/vectors")
+      .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+      .select($"vec_id", $"label", $"embedding")
+      .join(broadcast(cand.distinct()), Seq("vec_id"))
+      .join(broadcast(probes.select($"probe_id", $"embedding"
+        .as("probe_emb"))), Seq("probe_id"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine($"embedding", $"probe_emb"), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
+    val kept = if (excludeSelf) hits.filter($"vec_id" =!= $"probe_id")
+      else hits
+    kept
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+  }
+
   // ------------------------------------------------- registry drive
   // ------------------------------------------------- PQ codes sidecar
   /** PQ CODES SIDECAR — generation-pinned compression for serving
     * ([[ProductQuant]]'s codes, persisted next to the vectors they
-    * encode):
+    * encode), itself VERSIONED so a refresh is atomic:
     *
-    *   <root>/pqcodes/cell=<c>/...parquet   (vec_id, codes) per cell
-    *   <root>/pqbooks/...parquet            (sub, code, cvec)
-    *   <root>/_PQSNAPSHOT                   (encoded-file manifest, LAST)
+    *   <root>/pqcodes-<n>/cell=<c>/...parquet  (vec_id, codes) per cell
+    *   <root>/pqbooks-<n>/...parquet           (sub, code, cvec)
+    *   <root>/_pq/<n>                          (marker: dirs + file
+    *                                            manifest, written LAST)
     *
     * Trains codebooks on the INDEX's own vectors (a pinned file
     * snapshot of the live generation — same posture as [[rebuild]]'s
@@ -681,13 +910,18 @@ object IvfIndex {
     * UNCOMPACTED TAIL by [[probeTopKAdc]] (the snapshot diff is exact
     * by file identity — a vector is either coded or in the tail,
     * never both, never neither); re-running buildPqSidecar absorbs
-    * the tail, the same compaction cadence as [[rebuild]]. The
-    * `_PQSNAPSHOT` marker is written LAST, so a crash mid-build
-    * leaves no readable sidecar (probes keep raw-scanning); a rebuild
+    * the tail, the same compaction cadence as [[rebuild]]. Each
+    * sidecar version's codes and books live in THEIR OWN dirs named
+    * inside its marker, and the marker is exclusive-created LAST —
+    * so one marker resolution pins a consistent codes+books pair even
+    * while a refresh overlaps reads (the r17 in-place overwrite could
+    * serve new codes against old codebooks mid-refresh); the previous
+    * version is kept as read grace and older ones reclaimed. A crash
+    * mid-build leaves unreferenced dirs no probe resolves; a rebuild
     * publishes a NEW generation with no sidecar, so a stale sidecar
     * can never pair with centroids that didn't assign it.
     * Maintenance posture: single sidecar maintainer per index, like
-    * [[rebuild]]'s contract. */
+    * [[rebuild]]'s contract — a lost marker race fails loudly. */
   def buildPqSidecar(s: SparkSession, indexPath: String,
       m: Int = ProductQuant.Subspaces,
       ks: Int = ProductQuant.CodebookSize,
@@ -698,8 +932,14 @@ object IvfIndex {
     val fs = fsOf(s, root)
     val files = listVectorFiles(fs, s"$root/vectors")
     require(files.nonEmpty, s"buildPqSidecar: no vectors under $root")
-    val marker = hp(s"$root/_PQSNAPSHOT")
-    if (fs.exists(marker)) fs.delete(marker, false) // invalidate first
+    val pqDir = hp(s"$root/_pq")
+    val prior =
+      if (!fs.exists(pqDir)) Set.empty[Long]
+      else fs.listStatus(pqDir).iterator
+        .flatMap(st => claimGen(st.getPath.getName)).toSet
+    val n = prior.foldLeft(-1L)(math.max) + 1L
+    val codesRel = s"pqcodes-$n"
+    val booksRel = s"pqbooks-$n"
     val snap = s.read.option("basePath", s"$root/vectors")
       .parquet(files.toSeq.sorted: _*)
       .select($"vec_id", $"embedding", $"cell")
@@ -711,31 +951,91 @@ object IvfIndex {
       .withColumn("codes", ProductQuant.codesCol(m, d))
       .select($"vec_id", $"cell", $"codes")
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/pqcodes")
+      .parquet(s"$root/$codesRel")
     cb.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (c, i) => (j, i, c) }
     }.toSeq.toDF("sub", "code", "cvec")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/pqbooks")
-    val out = fs.create(marker, true)
-    try out.write(files.toSeq.sorted.map("f " + _)
-      .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+      .write.mode("overwrite").parquet(s"$root/$booksRel")
+    fs.mkdirs(pqDir)
+    val marker = new org.apache.hadoop.fs.Path(pqDir, n.toString)
+    val body = (s"d $codesRel $booksRel" +:
+      files.toSeq.sorted.map("f " + _)).mkString("", "\n", "\n")
+    try {
+      val out = fs.create(marker, false) // exclusive — the commit point
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e @ (_: java.io.IOException |
+                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+        fs.delete(hp(s"$root/$codesRel"), true)
+        fs.delete(hp(s"$root/$booksRel"), true)
+        throw new IllegalStateException(
+          s"buildPqSidecar lost the marker race for version $n under " +
+            s"$root — the sidecar is single-maintainer by contract; " +
+            "this build's dirs were discarded", e)
+    }
+    // reclaim everything older than the grace version (n − 1): delete
+    // markers BEFORE their dirs so no marker ever names missing dirs
+    prior.filter(_ < n - 1).foreach { v =>
+      readPqMarker(fs, root, v).foreach { case (c, b, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(pqDir, v.toString), false)
+        fs.delete(hp(c), true)
+        fs.delete(hp(b), true)
+      }
+    }
+    // legacy unversioned sidecar (pre-r18): superseded by any
+    // versioned marker — reclaim it the first time one lands
+    if (fs.exists(hp(s"$root/_PQSNAPSHOT"))) {
+      fs.delete(hp(s"$root/_PQSNAPSHOT"), false)
+      fs.delete(hp(s"$root/pqcodes"), true)
+      fs.delete(hp(s"$root/pqbooks"), true)
+    }
   }
 
-  private def readPqSnapshot(fs: org.apache.hadoop.fs.FileSystem,
-      root: String): Option[Set[String]] = {
-    val p = hp(s"$root/_PQSNAPSHOT")
+  private def readPqMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, n: Long): Option[(String, String, Set[String])] = {
+    val p = new org.apache.hadoop.fs.Path(hp(s"$root/_pq"), n.toString)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(text.linesIterator.collect {
-        case l if l.startsWith("f ") => l.drop(2)
-      }.toSet)
+      val lines = text.linesIterator.toSeq
+      lines.collectFirst { case l if l.startsWith("d ") =>
+        val parts = l.drop(2).split(" ")
+        (s"$root/${parts(0)}", s"$root/${parts(1)}",
+          lines.collect { case f if f.startsWith("f ") => f.drop(2) }.toSet)
+      }
+    }
+  }
+
+  /** Resolve the committed sidecar ONCE: (codes dir, books dir,
+    * encoded-file snapshot). Max versioned marker wins; the legacy
+    * unversioned layout resolves when no versioned marker exists. */
+  private def readPqSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[(String, String, Set[String])] = {
+    val pqDir = hp(s"$root/_pq")
+    val versions =
+      if (!fs.exists(pqDir)) Set.empty[Long]
+      else fs.listStatus(pqDir).iterator
+        .flatMap(st => claimGen(st.getPath.getName)).toSet
+    if (versions.nonEmpty)
+      readPqMarker(fs, root, versions.max)
+    else {
+      val p = hp(s"$root/_PQSNAPSHOT")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some((s"$root/pqcodes", s"$root/pqbooks",
+          text.linesIterator.collect {
+            case l if l.startsWith("f ") => l.drop(2)
+          }.toSet))
+      }
     }
   }
 
@@ -761,7 +1061,7 @@ object IvfIndex {
     // one resolution pins generation + sidecar + tail diff together
     val root = layoutRoot(s, indexPath)
     val fs = fsOf(s, root)
-    val snapshot = readPqSnapshot(fs, root).getOrElse(
+    val (codesDir, booksDir, snapshot) = readPqSidecar(fs, root).getOrElse(
       throw new IllegalStateException(
         s"probeTopKAdc: no committed PQ sidecar under $root — run " +
           "buildPqSidecar first"))
@@ -775,7 +1075,7 @@ object IvfIndex {
     val probeCells = cents.toSeq
       .map { case (i, c) => (c.zip(probeU).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
-    val books = s.read.parquet(s"$root/pqbooks").collect()
+    val books = s.read.parquet(booksDir).collect()
     val m = books.map(_.getAs[Int]("sub")).max + 1
     val ks = books.map(_.getAs[Int]("code")).max + 1
     val cb = Array.ofDim[Array[Double]](m, ks)
@@ -784,7 +1084,7 @@ object IvfIndex {
         r.getAs[scala.collection.Seq[Double]]("cvec").toArray
     }
     val lut = ProductQuant.lutFor(cb.map(_.toArray), probeU)
-    val adcBase = s.read.parquet(s"$root/pqcodes")
+    val adcBase = s.read.parquet(codesDir)
       .filter($"cell".isin(probeCells: _*))
     val adcCand = excludeId.fold(adcBase)(id => adcBase.filter($"vec_id" =!= id))
       .withColumn("adc", ProductQuant.adcScore(lut, m, ks))
@@ -878,8 +1178,26 @@ object IvfIndex {
       excludeId = Some(Similarity.ProbeId))
   }
 
+  /** Registry drive: BATCH serving from the COMPRESSED persisted
+    * index — [[probeTopKBatchAdc]] over the same 25-probe frame as
+    * `s_ivf_batch`, against the staged index with its PQ sidecar.
+    * Rows-only by design (engine-local centroids and codebooks);
+    * correctness is pinned by the batch-ADC-vs-per-probe-ADC parity
+    * spec plus the codes scan's no-floats plan assertion
+    * (IvfPqSidecarSpec). */
+  def sIvfPqBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < 25)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    probeTopKBatchAdc(s, stagedPqIndex(s, dir), probes,
+      k = 5, nprobe = Similarity.IvfProbes, excludeSelf = true)
+      .orderBy($"probe_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("s_ivf_batch" -> (sIvfBatch _),
-      "s_ivfpq_serve" -> (sIvfPqServe _))
+      "s_ivfpq_serve" -> (sIvfPqServe _),
+      "s_ivfpq_batch" -> (sIvfPqBatch _))
   val oracle: Map[String, String] = Map.empty
 }

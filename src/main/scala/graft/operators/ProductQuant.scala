@@ -219,14 +219,32 @@ object ProductQuant {
     }
   }
 
+  /** ADC score over `codes` for a LUT that rides as a COLUMN — the
+    * batch-serving form, where each probe row carries its own LUT
+    * ([[lutCol]]): m 1-based array lookups + adds, nothing per-row
+    * but integer indexing, all codegen built-ins. */
+  private[graft] def adcScoreWith(lut: Column, m: Int, ks: Int): Column =
+    (0 until m).map(j =>
+      element_at(lut, col("codes")(j) + j * ks + lit(1))).reduce(_ + _)
+
   /** ADC score over `codes` for a prepared LUT: m 1-based array
     * lookups + adds — nothing per-row but integer indexing. The LUT
     * is m·ks doubles, a flat literal. */
-  private[graft] def adcScore(lut: Array[Double], m: Int, ks: Int): Column = {
-    val lutCol = array(lut.map(lit): _*)
-    (0 until m).map(j =>
-      element_at(lutCol, col("codes")(j) + j * ks + lit(1))).reduce(_ + _)
-  }
+  private[graft] def adcScore(lut: Array[Double], m: Int, ks: Int): Column =
+    adcScoreWith(array(lut.map(lit): _*), m, ks)
+
+  /** Per-PROBE LUT as a column — [[lutFor]] lifted into the plan for
+    * batch serving: given a probe's UNIT vector column `u` and the
+    * one-row broadcast `books` column ([[packedBooks]]), build the
+    * flat m·ks LUT with `LUT[j·ks + c] = <u_j, codebook_j[c]>`. Entry
+    * arrays are code-sorted, so flatten preserves [[adcScoreWith]]'s
+    * `j·ks + c` indexing. Plan size is O(1) in m·ks — the books ride
+    * as DATA, the probes each carry m·ks computed doubles. */
+  private[graft] def lutCol(u: Column, d: Int): Column =
+    flatten(transform(col("books"), (entries, j) =>
+      transform(entries, en =>
+        VectorFunctions.dot(slice(u, j * lit(d) + lit(1), lit(d)),
+          en.getField("cvec")))))
 
   private[graft] def adcRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

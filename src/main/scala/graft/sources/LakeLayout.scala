@@ -977,7 +977,22 @@ object LakeLayout {
   def commitLakeVersion(df: DataFrame, tablePath: String,
       checkpoint: String, batchId: Long,
       statsKey: Option[String] = None, op: String = "data",
-      tsStatsKey: Option[String] = None, bloomBits: Int = 0): Long = {
+      tsStatsKey: Option[String] = None, bloomBits: Int = 0): Long =
+    commitLakeVersionEx(df, tablePath, checkpoint, batchId, statsKey,
+      op, tsStatsKey, bloomBits, validate = true)
+
+  /** [[commitLakeVersion]] with an internal validation switch:
+    * maintenance callers whose rows are RESIDENT BY CONSTRUCTION
+    * (full compaction reads the committed snapshot and writes it
+    * back) skip the constraint pass — every resident row already
+    * passed at the write that created it, so re-validating the whole
+    * table per compaction is a pure O(table) tax. Every row-changing
+    * caller keeps `validate = true`. */
+  private def commitLakeVersionEx(df: DataFrame, tablePath: String,
+      checkpoint: String, batchId: Long,
+      statsKey: Option[String], op: String,
+      tsStatsKey: Option[String], bloomBits: Int,
+      validate: Boolean): Long = {
     val s = df.sparkSession
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(s.sessionState.newHadoopConf())
@@ -997,19 +1012,22 @@ object LakeLayout {
         s"(columns: ${df.schema.fieldNames.mkString(", ")})"))
     val effTs = tsStatsKey.orElse(cur.flatMap(carriedTsCluster)
       .filter(df.schema.fieldNames.contains))
-    enforceLakeConstraints(s, tablePath, df)
+    if (validate) enforceLakeConstraints(s, tablePath, df)
     // overwrite: an orphan dir from a crashed previous attempt at this
     // same version is unreferenced by construction
     df.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
     // a full rewrite's delta is adds+removes ≥ the full list, so the
     // publisher self-selects the full form; passing the parent is
-    // still correct and keeps the decision in one place
-    val stats0 = fileStats(s, tablePath, dataRel, statsKey, effTs)
-    val stats =
-      if (bloomBits > 0 && statsKey.isDefined)
-        attachKeyBlooms(s, tablePath, dataRel, statsKey.get, stats0,
-          bloomBits)
-      else stats0
+    // still correct and keeps the decision in one place. A persisted
+    // bloom index implies per-file stats on its key even when the
+    // caller passed none (the footer pass records the row counts the
+    // auto-sizing needs, and key bounds beat no bounds).
+    val effStats = statsKey.orElse(lakeBloomIndex(s, tablePath).map(_._1)
+      .filter(df.schema.fieldNames.contains))
+    val stats0 = fileStats(s, tablePath, dataRel, effStats, effTs)
+    val stats = withKeyBlooms(s, tablePath, dataRel, stats0,
+      df.schema.fieldNames.toSeq,
+      explicitKey = statsKey, explicitBits = bloomBits)
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
       stats, Some(df.schema.json), op,
       parentFiles = cur.map(_.files).getOrElse(Seq.empty),
@@ -1096,12 +1114,14 @@ object LakeLayout {
       .filter(rows.schema.fieldNames.contains)
     enforceLakeConstraints(spark, tablePath, rows)
     rows.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-    val newFiles0 = fileStats(spark, tablePath, dataRel, statsKey, effTs)
-    val newFiles =
-      if (bloomBits > 0 && statsKey.isDefined)
-        attachKeyBlooms(spark, tablePath, dataRel, statsKey.get,
-          newFiles0, bloomBits)
-      else newFiles0
+    // a persisted bloom index implies per-file stats on its key even
+    // when the caller passed none (row counts drive the auto-sizing)
+    val effStats = statsKey.orElse(lakeBloomIndex(spark, tablePath)
+      .map(_._1).filter(rows.schema.fieldNames.contains))
+    val newFiles0 = fileStats(spark, tablePath, dataRel, effStats, effTs)
+    val newFiles = withKeyBlooms(spark, tablePath, dataRel, newFiles0,
+      rows.schema.fieldNames.toSeq,
+      explicitKey = statsKey, explicitBits = bloomBits)
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
       carried ++ newFiles, Some(rows.schema.json),
       parentFiles = cur.map(_.files).getOrElse(Seq.empty),
@@ -1241,7 +1261,9 @@ object LakeLayout {
         val dataRel = s"data/${versionName(v)}$dirTag"
         val keep = keepRows(updates)
         keep.write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-        val newFiles = fileStats(spark, tablePath, dataRel, Some(key))
+        val newFiles = withKeyBlooms(spark, tablePath, dataRel,
+          fileStats(spark, tablePath, dataRel, Some(key)),
+          keep.schema.fieldNames.toSeq)
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
             newFiles, dirTag, Some(keep.schema.json))) {
           val bytes = bytesOf(fs, table, newFiles)
@@ -1326,7 +1348,9 @@ object LakeLayout {
         // of decaying them to always-candidates until the next
         // clustered maintenance pass
         val effTs = carriedTsCluster(cur).filter(evolved.fieldNames.contains)
-        val newFiles = fileStats(spark, tablePath, dataRel, Some(key), effTs)
+        val newFiles = withKeyBlooms(spark, tablePath, dataRel,
+          fileStats(spark, tablePath, dataRel, Some(key), effTs),
+          evolved.fieldNames.toSeq)
         if (tryPublishManifest(fs, table, v, dataRel, checkpoint, batchId,
             carried ++ newFiles, dirTag, Some(evolved.json),
             parentFiles = cur.files, tsClusterCol = effTs)) {
@@ -1671,10 +1695,18 @@ object LakeLayout {
     * upsert applies — so a batch that OMITS a constrained column is
     * judged on the null the merge would store for it: `x IS NOT NULL`
     * rejects the omission; a plain range check passes it. */
+  /** Constraint-validation passes actually EVALUATED this JVM (calls
+    * on unconstrained tables are free and uncounted) — the
+    * observability counter the maintenance-skip contract is asserted
+    * against: moving resident rows must never re-pay validation. */
+  private[graft] val constraintValidations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def enforceLakeConstraints(spark: SparkSession,
       tablePath: String, batch: DataFrame): Unit = {
     val cons = lakeConstraints(spark, tablePath)
     if (cons.nonEmpty) {
+      constraintValidations.incrementAndGet()
       val committed = latestLakeCommit(spark, tablePath)
         .flatMap(_.schemaJson)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -1697,6 +1729,107 @@ object LakeLayout {
     * hashing: position_i = h1 + i·h2 mod bits — two xxhash64
     * evaluations per row regardless of probe count). */
   private val BloomHashes = 4
+
+  private def bloomIndexFile(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_props/bloom.tsv")
+
+  /** Declare the table's PERSISTED bloom index: (key column, bits per
+    * expected key). From this call on, EVERY path that writes data
+    * files — ingest (append/commit/upsert/merge/OCC) and maintenance
+    * (compaction, OPTIMIZE-ZORDER, delete rewrites, DV retirement) —
+    * attaches a fresh per-file key bloom to its new manifest entries,
+    * auto-sized from each file's exact row count, so point-lookup
+    * skipping SURVIVES rewrites instead of silently decaying to
+    * open-all-files after the first OPTIMIZE (the r17 behavior, where
+    * only the append paths knew about blooms). The property rides a
+    * tiny table-local file (the same single-administrator posture as
+    * the constraints file — atomic replace, writers racing a swap see
+    * old or new, never missing); existing files gain blooms as normal
+    * maintenance rewrites them — bloom-less entries stay lookup
+    * CANDIDATES, so enabling the index is never a correctness event. */
+  def setLakeBloomIndex(spark: SparkSession, tablePath: String,
+      key: String, bitsPerKey: Int = 10): Unit = {
+    require(bitsPerKey >= 2 && bitsPerKey <= 64,
+      s"bitsPerKey out of range (2..64): $bitsPerKey")
+    require(!key.exists(c => c == '\t' || c == '\n'),
+      s"bloom key column name must not contain tabs or newlines: '$key'")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val target = fs.makeQualified(bloomIndexFile(table))
+    fs.mkdirs(target.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(s"key\t$key\nbpk\t$bitsPerKey\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(fs.makeQualified(tmp), target,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The table's persisted bloom index, if declared: (key, bits/key). */
+  def lakeBloomIndex(spark: SparkSession,
+      tablePath: String): Option[(String, Int)] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val f = bloomIndexFile(table)
+    if (!fs.exists(f)) None
+    else {
+      val kv = readFile(fs, f).linesIterator.filter(_.nonEmpty).map { ln =>
+        val i = ln.indexOf('\t')
+        ln.substring(0, i) -> ln.substring(i + 1)
+      }.toMap
+      for (k <- kv.get("key"); b <- kv.get("bpk")) yield (k, b.toInt)
+    }
+  }
+
+  /** Drop the persisted bloom index — metadata-only: already-attached
+    * blooms keep pruning until rewrites retire them; new writes stop
+    * attaching. */
+  def dropLakeBloomIndex(spark: SparkSession, tablePath: String): Unit = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(bloomIndexFile(table), false)
+    ()
+  }
+
+  /** Per-file bloom sizing from the manifest's exact row count (free —
+    * the stats pass records it anyway): bitsPerKey bits per row,
+    * rounded up to whole 64-bit words, floored at one word and capped
+    * at 1 MiB of bits per file so one oversized file cannot blow the
+    * metadata plane. Stat-less entries (no recorded rows) size as one
+    * word — a near-empty bloom stays CORRECT (its file simply prunes
+    * little), and such entries only arise on no-stats writes that
+    * never attach blooms in practice. */
+  private def autoBloomBits(rows: Option[Long], bitsPerKey: Int): Int = {
+    val r = math.max(1L, rows.getOrElse(1L))
+    val raw = r * bitsPerKey
+    math.min(8L * 1024 * 1024, math.max(64L, ((raw + 63) / 64) * 64)).toInt
+  }
+
+  /** The one bloom-attachment choke point every file-writing path
+    * funnels through: attach when the caller passed EXPLICIT
+    * (key, bits) — the per-call legacy form, fixed size — or when the
+    * table carries a persisted bloom index whose key the written
+    * schema contains (auto-sized per file). Anything else passes the
+    * entries through untouched. */
+  private def withKeyBlooms(spark: SparkSession, tablePath: String,
+      dataRel: String, files: Seq[LakeFile], writtenCols: Seq[String],
+      explicitKey: Option[String] = None,
+      explicitBits: Int = 0): Seq[LakeFile] = {
+    if (files.isEmpty) files
+    else if (explicitBits > 0 && explicitKey.isDefined)
+      attachKeyBlooms(spark, tablePath, dataRel, explicitKey.get, files,
+        _ => explicitBits)
+    else lakeBloomIndex(spark, tablePath) match {
+      case Some((k, bpk)) if writtenCols.contains(k) =>
+        attachKeyBlooms(spark, tablePath, dataRel, k, files,
+          f => autoBloomBits(f.rows, bpk))
+      case _ => files
+    }
+  }
 
   /** (h1, h2) per key, computed THROUGH Spark's own xxhash64 so the
     * lookup side can never drift from what the builder hashed (same
@@ -1742,26 +1875,47 @@ object LakeLayout {
     * written dir (explode to probe positions, `bit_or` per (file,
     * word), ≤ files × words rows to the driver); a file with no
     * non-null keys carries an all-zero bloom (prunes every probe).
-    * Size the bits (~8-10 per expected row per file) at write time;
-    * the cost is manifest bytes per file — the delta protocol
-    * amortizes steady-state commits, checkpoints pay it in full. */
+    *
+    * `bitsFor` sizes each file's bloom INDIVIDUALLY (the persisted
+    * index auto-sizes from the manifest's exact row count — a
+    * 1000-row straggler file no longer pays a 1M-row file's bloom);
+    * the per-file bits ride as a tiny broadcast map keyed by file
+    * name, and the probe side recovers each bloom's size from its own
+    * decoded length, so mixed sizes coexist in one manifest.
+    *
+    * METADATA PLANE BOUND: when this dir's encoded blooms together
+    * exceed `graft.lake.bloomInlineCapBytes` (default 256 KiB), they
+    * SPILL to a `_blooms.tsv` sidecar inside the data dir (the DV
+    * posture — `_`-prefixed, invisible to parquet readers, swept with
+    * its dir) and each entry carries only the `@<dir>/_blooms.tsv`
+    * reference — so a manifest's inline bloom bytes are capped no
+    * matter how many files a commit writes, and checkpoints inherit
+    * the same bound. */
   private def attachKeyBlooms(spark: SparkSession, tablePath: String,
       dataRel: String, key: String, files: Seq[LakeFile],
-      bits: Int): Seq[LakeFile] = {
-    require(bits > 0 && bits % 64 == 0,
-      s"bloomBits must be a positive multiple of 64, got $bits")
+      bitsFor: LakeFile => Int): Seq[LakeFile] = {
     if (files.isEmpty) return files
-    val words = bits / 64
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val bitsByName = files.map { f =>
+      val b = bitsFor(f)
+      require(b > 0 && b % 64 == 0,
+        s"bloom bits must be a positive multiple of 64, got $b")
+      nameOf(f.path) -> b.toLong
+    }.toMap
+    val bitsCol = element_at(
+      typedlit(bitsByName), element_at(split(col("__fn"), "/"), -1))
     val rows = spark.read.parquet(s"$tablePath/$dataRel")
       .select(input_file_name().as("__fn"),
         col(key).cast("string").as("__kv"))
       .filter(col("__kv").isNotNull)
+      .withColumn("__bits", bitsCol)
+      .filter(col("__bits").isNotNull)
     // mod-first (see bloomMayContain): ANSI mode throws on long
     // overflow, so reduce each hash into [0, bits) before combining
-    val h1 = pmod(xxhash64(col("__kv")), lit(bits.toLong))
-    val h2 = pmod(xxhash64(col("__kv"), lit(1L)), lit(bits.toLong))
+    val h1 = pmod(xxhash64(col("__kv")), col("__bits"))
+    val h2 = pmod(xxhash64(col("__kv"), lit(1L)), col("__bits"))
     val probes = (0 until BloomHashes).map(i =>
-      pmod(h1 + lit(i.toLong) * h2, lit(bits.toLong)).cast("int"))
+      pmod(h1 + lit(i.toLong) * h2, col("__bits")).cast("int"))
     val collected = rows
       .select(col("__fn"), explode(array(probes: _*)).as("__pos"))
       .select(col("__fn"), (col("__pos") / 64).cast("int").as("__w"),
@@ -1771,19 +1925,65 @@ object LakeLayout {
       .collect()
     val byName = collected.groupBy(r =>
       new org.apache.hadoop.fs.Path(r.getString(0)).getName)
-    def enc(rs: Array[org.apache.spark.sql.Row]): String = {
+    def enc(name: String): String = {
+      val words = (bitsByName(name) / 64).toInt
       val arr = new Array[Long](words)
-      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      byName.getOrElse(name, Array.empty[org.apache.spark.sql.Row])
+        .foreach(r => arr(r.getInt(1)) = r.getLong(2))
       val bb = java.nio.ByteBuffer.allocate(words * 8)
       arr.foreach(bb.putLong)
       java.util.Base64.getEncoder.withoutPadding.encodeToString(bb.array)
     }
-    files.map { f =>
-      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
-      f.copy(bloom = Some(enc(byName.getOrElse(name,
-        Array.empty[org.apache.spark.sql.Row]))))
+    val encoded = files.map(f => nameOf(f.path) -> enc(nameOf(f.path)))
+    val cap = spark.conf.getOption("graft.lake.bloomInlineCapBytes")
+      .map(_.trim.toLong).getOrElse(256L * 1024)
+    if (encoded.map(_._2.length.toLong).sum <= cap)
+      files.map(f => f.copy(bloom =
+        Some(encoded.toMap.apply(nameOf(f.path)))))
+    else {
+      val table = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+      val sidecarRel = s"$dataRel/_blooms.tsv"
+      val out = fs.create(lakeFilePath(table, sidecarRel), true)
+      try out.write(encoded.map { case (n, b) => s"$n\t$b\n" }.mkString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      files.map(_.copy(bloom = Some(s"@$sidecarRel")))
     }
   }
+
+  /** Bloom sidecar parses, cached — a data dir is written once and
+    * never mutated (versioned dirs), so entries can never go stale;
+    * coarse clear-on-overflow like the manifest cache. */
+  private val bloomSidecarCache =
+    new scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+
+  /** Resolve an entry's bloom to its base64 bitset: inline values
+    * pass through; `@<rel>` references load (and cache) the dir's
+    * spilled sidecar. None = no bloom for this file (stays a
+    * candidate — skipping is an optimization, never a gate). */
+  private def resolveBloom(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, tablePath: String,
+      f: LakeFile): Option[String] =
+    f.bloom.flatMap { b =>
+      if (!b.startsWith("@")) Some(b)
+      else {
+        val rel = b.drop(1)
+        if (bloomSidecarCache.size > 4096) bloomSidecarCache.clear()
+        val m = bloomSidecarCache.getOrElseUpdate(
+          lakeFileUri(tablePath, rel), {
+            val p = lakeFilePath(table, rel)
+            val pfs = p.getFileSystem(fs.getConf)
+            if (!pfs.exists(p)) Map.empty
+            else readFile(pfs, p).linesIterator.filter(_.nonEmpty)
+              .map { ln =>
+                val i = ln.indexOf('\t')
+                ln.substring(0, i) -> ln.substring(i + 1)
+              }.toMap
+          })
+        m.get(f.path.substring(f.path.lastIndexOf('/') + 1))
+      }
+    }
 
   /** The manifest-pruned candidate file set for a point lookup:
     * range-incompatible files drop first (free when bounds exist),
@@ -1812,8 +2012,9 @@ object LakeLayout {
         case _ => true
       }
     resolveFiles(fs, table, cur).filter { f =>
+      val bloom = resolveBloom(fs, table, tablePath, f)
       keys.zip(hashes).exists { case (k, h) =>
-        inRange(f, k) && f.bloom.forall(b => bloomMayContain(b, h))
+        inRange(f, k) && bloom.forall(b => bloomMayContain(b, h))
       }
     }
   }
@@ -1874,8 +2075,10 @@ object LakeLayout {
             col(key))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").parquet(s"$tablePath/$dataRel")
-        fileStats(spark, tablePath, dataRel, Some(key),
-          carriedTsCluster(cur))
+        withKeyBlooms(spark, tablePath, dataRel,
+          fileStats(spark, tablePath, dataRel, Some(key),
+            carriedTsCluster(cur)),
+          commitSchema(cur).map(_.fieldNames.toSeq).getOrElse(Seq(key)))
       }
     publishManifest(fs, table, v, dataRel, checkpoint, batchId,
       carried ++ newFiles, cur.schemaJson, op = "delete",
@@ -2380,11 +2583,13 @@ object LakeLayout {
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     // statsKey: a compacted version's manifest carries tight DISJOINT
     // per-file key ranges (repartitionByRange), the layout that makes
-    // the next upsertIntoLake touch few files
-    commitLakeVersion(
+    // the next upsertIntoLake touch few files. validate = false:
+    // compaction's rows are resident by construction, so the
+    // constraint pass would be a pure O(table) re-validation tax
+    commitLakeVersionEx(
       df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(col(key)),
       tablePath, s"compaction:${cur.version}", -1L, Some(key),
-      op = "compact")
+      op = "compact", tsStatsKey = None, bloomBits = 0, validate = false)
   }
 
   /** PARTIAL compaction: consolidate only the files under
@@ -2470,7 +2675,9 @@ object LakeLayout {
     publishManifest(fs, table, v, dataRel,
       s"compaction-small:${cur.version}", -1L,
       big.map(_._1) ++
-        fileStats(spark, tablePath, dataRel, Some(key), effTs),
+        withKeyBlooms(spark, tablePath, dataRel,
+          fileStats(spark, tablePath, dataRel, Some(key), effTs),
+          commitSchema(cur).map(_.fieldNames.toSeq).getOrElse(Seq(key))),
       cur.schemaJson, op = "compact", parentFiles = cur.files,
       tsClusterCol = effTs)
     v
@@ -2525,7 +2732,10 @@ object LakeLayout {
       if (tryPublishManifest(fs, table, v, dataRel,
           s"compaction-occ:$writerId", -1L,
           big.map(_._1) ++
-            fileStats(spark, tablePath, dataRel, Some(key), effTs),
+            withKeyBlooms(spark, tablePath, dataRel,
+              fileStats(spark, tablePath, dataRel, Some(key), effTs),
+              commitSchema(cur).map(_.fieldNames.toSeq)
+                .getOrElse(Seq(key))),
           s"-$writerId-cmp", cur.schemaJson, op = "compact",
           parentFiles = cur.files, tsClusterCol = effTs))
         return v
@@ -2580,7 +2790,10 @@ object LakeLayout {
       if (tryPublishManifest(fs, table, v, dataRel,
           s"dv-materialize:$writerId", -1L,
           clean ++
-            fileStats(spark, tablePath, dataRel, Some(key), effTs),
+            withKeyBlooms(spark, tablePath, dataRel,
+              fileStats(spark, tablePath, dataRel, Some(key), effTs),
+              commitSchema(cur).map(_.fieldNames.toSeq)
+                .getOrElse(Seq(key))),
           s"-$writerId-dvm", cur.schemaJson, op = "compact",
           parentFiles = cur.files, tsClusterCol = effTs))
         return v
@@ -2783,7 +2996,9 @@ object LakeLayout {
       // writer carries it and keeps recording second-axis bounds
       if (tryPublishManifest(fs, table, v, dataRel,
           s"zorder-occ:$writerId", -1L,
-          fileStats(spark, tablePath, dataRel, Some(key), Some(tsKey)),
+          withKeyBlooms(spark, tablePath, dataRel,
+            fileStats(spark, tablePath, dataRel, Some(key), Some(tsKey)),
+            commitSchema(cur).map(_.fieldNames.toSeq).getOrElse(Seq(key))),
           s"-$writerId-zord", cur.schemaJson, op = "compact",
           parentFiles = cur.files, tsClusterCol = Some(tsKey)))
         return v
@@ -2970,7 +3185,13 @@ object LakeLayout {
   private def sweepUnreferencedData(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, kept: Seq[LakeCommit],
       orphanGraceMs: Long): Int = {
-    val refFiles: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
+    // a live spilled-bloom sidecar (`@<dir>/_blooms.tsv`) is metadata a
+    // kept manifest still resolves — deleting it would only cost
+    // skipping (bloom-less files stay candidates), but there is no
+    // reason to decay live lookups on a vacuum
+    val refFiles: Set[String] = kept.flatMap(_.files.map(_.path)).toSet ++
+      kept.flatMap(_.files.flatMap(_.bloom))
+        .filter(_.startsWith("@")).map(_.drop(1))
     // legacy dir-pointer manifests reference their whole dir; a live
     // deletion-vector reference keeps its whole sidecar dir (deleting
     // a referenced sidecar would RESURRECT its deleted rows)
@@ -3197,8 +3418,12 @@ object LakeLayout {
     val files = resolveFiles(fs, src, cur)
     def qualify(rel: String): String =
       fs.makeQualified(lakeFilePath(src, rel)).toString
+    // spilled bloom references point into the SOURCE table's data
+    // dirs — qualify them like paths/dv so the clone's lookups resolve
     val absFiles = files.map(f =>
-      f.copy(path = qualify(f.path), dv = f.dv.map(qualify)))
+      f.copy(path = qualify(f.path), dv = f.dv.map(qualify),
+        bloom = f.bloom.map(b =>
+          if (b.startsWith("@")) "@" + qualify(b.drop(1)) else b)))
     val dst = new org.apache.hadoop.fs.Path(dstPath)
     val dstFs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     publishManifest(dstFs, dst, 0L, s"data/${versionName(0L)}-shallow",
@@ -3373,6 +3598,53 @@ object LakeLayout {
           FROM sql_asof_lake TIMESTAMP AS OF $tPinned
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
+
+  /** Oracle-checked drive of the SQL DML face ([[LakeSql]]'s
+    * INSERT / DELETE / MERGE, each lowering to the file-granular OCC
+    * lake operation): a takedown through `DELETE FROM` (merge-on-read
+    * DV delete), a priority rewrite through `MERGE INTO` (OCC
+    * upsert), and an insert wave through `INSERT INTO ... SELECT`
+    * (O(batch) append) — then the final snapshot aggregated through
+    * the same SQL face. The oracle reproduces all three mutations
+    * relationally over plain orders, so a hash match proves each SQL
+    * statement applied EXACTLY its lowered operation's semantics. */
+  def qLakeSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = cloneLake(s, stagedOrders(s, dir, 4))
+    LakeSql.register(s, "sql_dml_lake", lake, key = Some("o_orderkey"))
+    LakeSql.sql(s, "DELETE FROM sql_dml_lake WHERE o_orderkey % 10 = 3")
+    orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .withColumn("o_orderpriority", lit("9-UPD"))
+      .createOrReplaceTempView("sql_dml_ups")
+    LakeSql.sql(s,
+      """MERGE INTO sql_dml_lake USING sql_dml_ups
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    LakeSql.sql(s,
+      """INSERT INTO sql_dml_lake
+         SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                o_totalprice, o_orderdate, '9-INS'
+         FROM sql_dml_lake WHERE o_orderkey % 100 = 7""")
+    LakeSql.sql(s,
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+         FROM sql_dml_lake GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
+  }
+
+  val qLakeSqlDmlSql: String =
+    """WITH final AS (
+         SELECT CASE WHEN o_orderkey % 4 = 0 THEN '9-UPD'
+                     ELSE o_orderpriority END AS o_orderpriority,
+           o_orderkey
+         FROM orders WHERE o_orderkey % 10 <> 3
+         UNION ALL
+         SELECT '9-INS', o_orderkey + 10000000
+         FROM orders WHERE o_orderkey % 100 = 7 AND o_orderkey % 10 <> 3)
+       SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       FROM final GROUP BY 1 ORDER BY 1"""
 
   /** Oracle-checked drive of [[restoreLake]]: a bad wave lands on the
     * staged base (every 4th order's priority clobbered), then RESTORE
@@ -3741,6 +4013,7 @@ object LakeLayout {
     "q_lake_meta_count" -> (qLakeMetaCount _),
     "q_lake_time_travel" -> (qLakeTimeTravel _),
     "q_lake_sql_asof" -> (qLakeSqlAsof _),
+    "q_lake_sql_dml" -> (qLakeSqlDml _),
     "q_lake_restore" -> (qLakeRestore _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
@@ -3760,6 +4033,7 @@ object LakeLayout {
     "q_lake_time_travel" -> qLakeTimeTravelSql,
     // the SQL face resolves to the same pinned snapshot → same truth
     "q_lake_sql_asof" -> qLakeTimeTravelSql,
+    "q_lake_sql_dml" -> qLakeSqlDmlSql,
     // a correct rollback restores exactly the plain-orders truth
     "q_lake_restore" -> qLakeTimeTravelSql,
     "q_lake_range_read" -> qLakeRangeReadSql,

@@ -21,6 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   LakeSql.sql(spark, "ALTER TABLE orders_lake ADD CONSTRAINT c CHECK (o_totalprice > 0)")
   *   LakeSql.sql(spark, "ALTER TABLE orders_lake DROP CONSTRAINT c")
   *   LakeSql.sql(spark, "SHOW CONSTRAINTS orders_lake")
+  *   LakeSql.sql(spark, "INSERT INTO orders_lake VALUES (...), (...)")
+  *   LakeSql.sql(spark, "INSERT INTO orders_lake SELECT ...")
+  *   LakeSql.sql(spark, "DELETE FROM orders_lake WHERE o_orderkey % 10 = 3")
+  *   LakeSql.sql(spark, "MERGE INTO orders_lake USING ups ON t.o_orderkey = s.o_orderkey
+  *                       WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
   *
   * Mechanics: `register` binds a logical name to a table path and
   * publishes the CURRENT snapshot as a session view (works on a plain
@@ -60,13 +65,16 @@ object LakeSql {
   // sessions (spark.sql.caseSensitive=true) resolve the same view the
   // registration created.
   private val bySession = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, (String, String)]]()
+    scala.collection.concurrent.TrieMap[String,
+      (String, String, Option[String])]]()
 
   private def registryOf(spark: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, (String, String)] =
+      : scala.collection.concurrent.TrieMap[String,
+        (String, String, Option[String])] =
     bySession.synchronized {
       bySession.computeIfAbsent(spark,
-        _ => new scala.collection.concurrent.TrieMap[String, (String, String)]())
+        _ => new scala.collection.concurrent.TrieMap[String,
+          (String, String, Option[String])]())
     }
 
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
@@ -75,11 +83,14 @@ object LakeSql {
     * session view. Re-register (or just call [[sql]] again) to advance
     * the plain view to a newer commit. The binding is scoped to
     * `spark` — sibling sessions (`spark.newSession()`) neither see it
-    * nor can overwrite it. */
-  def register(spark: SparkSession, name: String, tablePath: String): Unit = {
+    * nor can overwrite it. `key` declares the table's merge/delete
+    * key column — required before the DML statements (DELETE / MERGE)
+    * can lower to the file-granular OCC operations. */
+  def register(spark: SparkSession, name: String, tablePath: String,
+      key: Option[String] = None): Unit = {
     require(name.matches(ident),
       s"lake table name must be a plain SQL identifier, got '$name'")
-    registryOf(spark)(name.toLowerCase) = (name, tablePath)
+    registryOf(spark)(name.toLowerCase) = (name, tablePath, key)
     Catalog.registerLakeView(spark, tablePath, name)
   }
 
@@ -93,6 +104,15 @@ object LakeSql {
         s"'$name' is not a registered lake table in this session " +
           s"(registered: ${registered.values.map(_._1).toSeq.sorted.mkString(", ")})"))
   }
+
+  private def keyOf(spark: SparkSession, name: String,
+      statement: String): String =
+    registryOf(spark).get(name.toLowerCase).flatMap(_._3)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$name' was registered without a key column — $statement " +
+          "needs one to lower to the file-granular lake operation; " +
+          "re-register with LakeSql.register(spark, name, path, " +
+          "key = Some(\"<col>\"))"))
 
   private val historyRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($ident)\\s*;?\\s*$$".r
@@ -118,6 +138,28 @@ object LakeSql {
     s"(?is)\\b($ident)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
   private val timestampAsOfRe =
     s"(?is)\\b($ident)\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)".r
+  private val insertRe =
+    s"(?is)^\\s*INSERT\\s+INTO\\s+($ident)\\s+(VALUES\\b.+|SELECT\\b.+)$$".r
+  private val deleteRe =
+    s"(?is)^\\s*DELETE\\s+FROM\\s+($ident)\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
+  private val mergeRe =
+    (s"(?is)^\\s*MERGE\\s+INTO\\s+($ident)\\s+USING\\s+($ident)\\s+" +
+      s"ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$$").r
+  private val mergeOnRe =
+    s"(?is)^\\s*(?:$ident\\s*\\.\\s*)?($ident)\\s*=\\s*(?:$ident\\s*\\.\\s*)?($ident)\\s*$$".r
+  private val mergeUpsertRe =
+    ("(?is)^WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
+      "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*$").r
+  private val mergeDeleteUpsertRe =
+    ("(?is)^WHEN\\s+MATCHED\\s+AND\\s+(.+?)\\s+THEN\\s+DELETE\\s+" +
+      "WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
+      "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*$").r
+
+  // one fresh provenance id per SQL mutation — the SQL face is a
+  // human/administrative surface, not a replayed micro-batch stream,
+  // so each statement is its own batch
+  private val sqlBatchId = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis())
 
   /** Run one statement with the lake extensions resolved. */
   def sql(spark: SparkSession, statement: String): DataFrame =
@@ -167,6 +209,12 @@ object LakeSql {
           keep = Option(retain).map(_.toInt).getOrElse(2))
         Seq((name, LakeLayout.lakeVersions(spark, path).size.toLong))
           .toDF("table_name", "versions_retained")
+      case insertRe(name, body) =>
+        insertResult(spark, name, body)
+      case deleteRe(name, pred) =>
+        deleteResult(spark, name, pred)
+      case mergeRe(name, srcName, on, clauses) =>
+        mergeResult(spark, name, srcName, on, clauses)
       case _ =>
         // pin AS-OF references as snapshot views. Two guards keep the
         // rewrite from touching text that is not a table reference:
@@ -194,7 +242,7 @@ object LakeSql {
         }
         // advance the plain current-snapshot views the statement uses,
         // always under the ORIGINAL registered casing
-        registryOf(spark).values.foreach { case (orig, path) =>
+        registryOf(spark).values.foreach { case (orig, path, _) =>
           if (s"(?i)\\b$orig\\b".r.findFirstIn(rewritten).isDefined)
             Catalog.registerLakeView(spark, path, orig)
         }
@@ -236,6 +284,141 @@ object LakeSql {
     Catalog.registerLakeView(spark, path, orig)
     Seq((orig, version, v))
       .toDF("table_name", "restored_version", "version")
+  }
+
+  private def refreshView(spark: SparkSession, name: String): String = {
+    val (orig, path, _) = registryOf(spark)(name.toLowerCase)
+    Catalog.registerLakeView(spark, path, orig)
+    orig
+  }
+
+  /** `INSERT INTO <name> VALUES ...` / `INSERT INTO <name> SELECT ...`
+    * lowered to [[LakeLayout.appendToLake]] — the O(batch) append
+    * commit, constraints enforced, provenance recorded. Rows align to
+    * the table's committed schema BY POSITION (ANSI insert semantics)
+    * and cast to its column types; a SELECT body goes through the
+    * full statement rewrite, so AS-OF sources work inside it. */
+  private def insertResult(spark: SparkSession, name: String,
+      body: String): DataFrame = {
+    import spark.implicits._
+    val path = pathOf(spark, name)
+    val key = registryOf(spark)(name.toLowerCase)._3
+    val src =
+      if (body.trim.toUpperCase(java.util.Locale.ROOT).startsWith("VALUES"))
+        spark.sql(body) // standalone inline table
+      else sql(spark, body)
+    val aligned = LakeLayout.readLake(spark, path) match {
+      case Some(snap) =>
+        val s = snap.schema
+        require(src.columns.length == s.fields.length,
+          s"INSERT INTO $name: ${src.columns.length} columns provided, " +
+            s"table has ${s.fields.length}")
+        src.toDF(s.fieldNames.toIndexedSeq: _*)
+          .select(s.fields.toIndexedSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)): _*)
+      case None => src // first commit fixes the schema
+    }
+    val r = LakeLayout.appendToLake(spark, path, aligned,
+      "sql-insert", sqlBatchId.incrementAndGet(), statsKey = key)
+    val orig = refreshView(spark, name)
+    Seq((orig, r.filesAdded.toLong, r.version))
+      .toDF("table_name", "files_added", "version")
+  }
+
+  /** `DELETE FROM <name> WHERE <pred>` lowered to the MERGE-ON-READ
+    * deletion-vector delete under the OCC protocol
+    * ([[LakeLayout.deleteFromLakeDvOcc]]): the predicate selects the
+    * doomed keys from the current snapshot (one pruned read), the
+    * delete itself writes O(deleted keys) sidecar bytes and rewrites
+    * nothing — the posture a 100 TB table needs for scattered-key
+    * takedowns; normal maintenance retires the vectors. */
+  private def deleteResult(spark: SparkSession, name: String,
+      pred: String): DataFrame = {
+    import spark.implicits._
+    val path = pathOf(spark, name)
+    val key = keyOf(spark, name, "DELETE FROM")
+    val snap = LakeLayout.readLake(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"DELETE FROM $name: the table has no committed version"))
+    val doomed = snap.filter(org.apache.spark.sql.functions.expr(pred))
+      .select(org.apache.spark.sql.functions.col(key))
+    val v = LakeLayout.deleteFromLakeDvOcc(spark, path, doomed, key,
+      writerId = "sql", batchId = sqlBatchId.incrementAndGet())
+    val orig = refreshView(spark, name)
+    Seq((orig, v)).toDF("table_name", "version")
+  }
+
+  /** Minimal `MERGE INTO` — the two standard shapes, lowered to the
+    * existing OCC merge core:
+    *
+    *   MERGE INTO t USING s ON t.k = s.k
+    *     WHEN MATCHED THEN UPDATE SET *
+    *     WHEN NOT MATCHED THEN INSERT *           → upsertIntoLakeOcc
+    *
+    *   MERGE INTO t USING s ON t.k = s.k
+    *     WHEN MATCHED AND <cond> THEN DELETE
+    *     WHEN MATCHED THEN UPDATE SET *
+    *     WHEN NOT MATCHED THEN INSERT *           → mergeIntoLakeOcc
+    *
+    * `s` is any resolvable table/view name (a registered lake name's
+    * view is refreshed first); the ON clause must equate one column
+    * with itself across the two sides (the lake's single merge key);
+    * `<cond>` is evaluated over SOURCE rows (a delete-marked source
+    * row removes its matched base row), constraints gate the kept
+    * rows inside the lowered operation itself. */
+  private def mergeResult(spark: SparkSession, name: String,
+      srcName: String, on: String, clauses: String): DataFrame = {
+    import spark.implicits._
+    val path = pathOf(spark, name)
+    val key = on match {
+      case mergeOnRe(a, b) =>
+        require(a.equalsIgnoreCase(b),
+          s"MERGE INTO $name: ON must equate the same key column on " +
+            s"both sides, got '$a' = '$b'")
+        a
+      case _ => throw new IllegalArgumentException(
+        s"MERGE INTO $name: unsupported ON clause '$on' — use " +
+          "ON t.<key> = s.<key>")
+    }
+    if (isRegistered(spark, srcName)) refreshView(spark, srcName)
+    val src = spark.table(srcName)
+    val bid = sqlBatchId.incrementAndGet()
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val r = clauses.trim match {
+      case mergeUpsertRe() =>
+        LakeLayout.upsertIntoLakeOcc(spark, path, src, key,
+          writerId = "sql", batchId = bid)
+      case mergeDeleteUpsertRe(cond) =>
+        // the delete condition may reference SOURCE-ONLY columns (a
+        // marker the table must not evolve to carry), so the clause
+        // splits at the source: doomed keys lower to the merge-on-read
+        // OCC delete, the rest — projected to the table's committed
+        // columns — to the OCC upsert. A source key is either doomed
+        // or kept, never both, so the two commits compose to the
+        // three-clause merge semantics.
+        val c = coalesce(expr(cond), lit(false))
+        val tableCols = LakeLayout.readLake(spark, path)
+          .getOrElse(throw new IllegalArgumentException(
+            s"MERGE INTO $name: the table has no committed version"))
+          .columns.toIndexedSeq
+        val kept = src.filter(!c).select(tableCols.map(col): _*)
+        val res = LakeLayout.upsertIntoLakeOcc(spark, path, kept, key,
+          writerId = "sql", batchId = bid)
+        val dooms = src.filter(c).select(col(key))
+        if (!dooms.isEmpty)
+          LakeLayout.deleteFromLakeDvOcc(spark, path, dooms, key,
+            writerId = "sql", batchId = sqlBatchId.incrementAndGet())
+        res
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO $name: unsupported clause form '$other' — " +
+          "supported: [WHEN MATCHED AND <cond> THEN DELETE] " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    val orig = refreshView(spark, name)
+    Seq((orig, r.filesRewritten.toLong, r.version))
+      .toDF("table_name", "files_rewritten", "version")
   }
 
   /** A view pinned to one committed version — its name encodes the

@@ -32,6 +32,12 @@ object CdfStream {
 
   private val ManifestName = "v(\\d+)\\.manifest".r
 
+  /** Change-set computations performed this JVM — the observability
+    * counter the replication no-re-diff contract is asserted against
+    * (a fully-applied replica's sync must perform ZERO of these). */
+  private[graft] val changeSetComputations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Row-level changes committed by version `v` of `tablePath`, for a
     * key-upserted table: postimage rows for insert/update, preimage
     * rows for delete, plus `_change` and `_version`. The first live
@@ -42,6 +48,7 @@ object CdfStream {
     * null-filled (same contract as [[LakeLayout.lakeDiff]]). */
   def changesForVersion(spark: SparkSession, tablePath: String, v: Long,
       key: String): DataFrame = {
+    changeSetComputations.incrementAndGet()
     val live = LakeLayout.lakeVersions(spark, tablePath)
     require(live.contains(v),
       s"version $v of $tablePath is not live (vacuumed or never committed)")
@@ -223,15 +230,40 @@ object CdfStream {
     * call. */
   def replicateLake(spark: SparkSession, srcPath: String, key: String,
       dstPath: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dstPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val finalsDir = new org.apache.hadoop.fs.Path(dstPath, "_cdf")
     val applied = LakeLayout.lakeProvenance(spark, dstPath)
     val appliedV = applied.collect {
       case (c, v) if c.startsWith("cdf-") => v
     }
-    // a `-final` mark records that its commit was the version's ONLY
-    // one (the other half's change set was empty at apply time) — the
-    // version is fully applied with a single provenance entry
+    // a `-final` mark records that a version is FULLY applied even
+    // though only one (or zero) replica commits carry it. Two forms:
+    // provenance marks ("cdf-upsert-final"/"cdf-delete-final", written
+    // with the commit itself when the other half was empty) and
+    // BACKFILL marker files under the replica's `_cdf/` dir — written
+    // when a later sync proves a version needs nothing more (a
+    // pre-r17 replica whose high-water commit predates the provenance
+    // marks, or a non-compact source version whose change set was
+    // empty). The marker file is the one-time cure for the
+    // re-diff-forever tail: replicas are passive (this is their only
+    // writer), so a plain create is race-free.
+    val markedV: Set[Long] =
+      if (!fs.exists(finalsDir)) Set.empty
+      else fs.listStatus(finalsDir).iterator.flatMap { st =>
+        st.getPath.getName match {
+          case n if n.startsWith("final-") =>
+            scala.util.Try(n.drop(6).toLong).toOption
+          case _ => None
+        }
+      }.toSet
     val fullV = applied.collect {
       case (c, v) if c.endsWith("-final") => v
+    } ++ markedV
+    def markFinal(v: Long): Unit = {
+      fs.mkdirs(finalsDir)
+      fs.create(new org.apache.hadoop.fs.Path(finalsDir, s"final-$v"),
+        true).close()
     }
     // versions strictly below the high-water mark are fully applied
     // (syncs process ascending, so a crash leaves at most the MAX
@@ -277,6 +309,14 @@ object CdfStream {
               any = true
             }
             if (any) n += 1
+            else
+              // this sync PROVED the version needs nothing more (its
+              // missing halves were empty) — mark it final so later
+              // syncs skip it outright instead of re-diffing it every
+              // trigger while it sits at the high-water mark (the
+              // pre-final-provenance replica shape) or above it (a
+              // non-compact empty version)
+              markFinal(v)
           } finally changes.unpersist()
         }
       }

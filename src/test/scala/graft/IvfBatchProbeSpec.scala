@@ -55,4 +55,62 @@ class IvfBatchProbeSpec extends SparkSuite {
         plan.linesIterator.filter(_.contains("FileScan"))
           .mkString("\n"))
   }
+
+  test("batch COMPRESSED serving equals per-probe ADC serving, and its wide scan reads codes, never floats") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-badc")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.buildPqSidecar(spark, idx)
+
+    val probeRows = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(5)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val batch = IvfIndex.probeTopKBatchAdc(spark, idx, probeRows,
+      k = 5, nprobe = 4, excludeSelf = true)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(3), r.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+
+    val probes = probeRows.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray))
+    assert(got.keySet == probes.map(_._1).toSet,
+      s"every probe must answer: ${got.keySet}")
+    probes.foreach { case (id, emb) =>
+      val single = IvfIndex.probeTopKAdc(spark, idx, emb, k = 5,
+        nprobe = 4, excludeId = Some(id)).collect()
+        .zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(2), i + 1) }.toSeq
+      assert(got(id) == single,
+        s"probe $id: batch ADC ${got(id)} != per-probe ADC $single")
+    }
+
+    // the ADC stage's scan reads (vec_id, codes) from the versioned
+    // pqcodes dir and must not materialize embeddings; the float read
+    // is confined to the shortlist re-rank
+    val plan = batch.queryExecution.executedPlan.toString
+    val pqScans = plan.linesIterator.filter(_.contains("pqcodes")).toSeq
+    assert(pqScans.nonEmpty, s"expected a pqcodes scan in:\n$plan")
+    assert(pqScans.forall(!_.contains("embedding")),
+      s"the pqcodes scan must not read embeddings:\n${pqScans.mkString("\n")}")
+    // and both scans carry the probed-cell partition filter
+    assert("""PartitionFilters: \[cell#\d+ IN""".r
+      .findFirstIn(plan).isDefined,
+      "the scans must carry the probed-cell partition filter")
+
+    // a post-sidecar append rides the tail per probe: an exact twin
+    // of each probe must surface at sim 1.0 through the BATCH path
+    IvfIndex.append(spark, idx,
+      graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .filter($"vec_id" < 5)
+        .select(($"vec_id" + 2000000L).as("vec_id"), $"label",
+          $"embedding"))
+    val withTail = IvfIndex.probeTopKBatchAdc(spark, idx, probeRows,
+      k = 1, nprobe = 4, excludeSelf = true).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    probes.foreach { case (id, _) =>
+      assert(withTail(id) == ((id + 2000000L, 1.0)),
+        s"probe $id: tail twin must rank first, got ${withTail(id)}")
+    }
+  }
 }

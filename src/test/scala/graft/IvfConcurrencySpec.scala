@@ -64,14 +64,14 @@ class IvfConcurrencySpec extends SparkSuite {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-late")
       .toString
     IvfIndex.build(spark, sfDir, idx)
+    val graceRoot = IvfIndex.layoutRoot(spark, idx)
     IvfIndex.rebuild(spark, idx)
     val n1 = nVectors(idx)
 
-    // simulate an append whose writer resolved g0 BEFORE g1's marker
+    // simulate an append whose writer resolved g0 BEFORE g1's claim
     // landed and completed after the post-publish sweep: write the
     // wave straight into the grace generation under ITS centroids
     // (exactly what that stale append would have done)
-    val graceRoot = s"$idx/g0"
     IvfIndex.assignCells(wave(950000L, 80),
         spark.read.parquet(s"$graceRoot/centroids"))
       .write.mode("append").partitionBy("cell")
@@ -88,60 +88,96 @@ class IvfConcurrencySpec extends SparkSuite {
         s"$n1 + 80 != ${nVectors(idx)}")
   }
 
-  test("a lost publish race discards only the loser's staging, fails loudly, and a retry succeeds") {
+  test("a lost publish race discards only the loser's dir, fails loudly, and a retry succeeds") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-lost")
       .toString
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
     IvfIndex.build(spark, sfDir, idx)
     val n0 = nVectors(idx)
+    val g0Dir = IvfIndex.layoutRoot(spark, idx)
+      .substring(idx.length + 1)
 
-    // the "winner": a competing maintainer claims g1 between this
-    // writer's staging and its publish rename
+    // the "winner": a competing maintainer claims generation 1 while
+    // this writer is staged (for the test the claim points at the g0
+    // dir — a self-consistent pair; only the claim's EXISTENCE
+    // matters to the exclusion)
     val err = intercept[IllegalStateException] {
-      IvfIndex.rebuildImpl(spark, idx, 16, 4,
-        () => fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g1/vectors")))
+      IvfIndex.rebuildImpl(spark, idx, 16, 4, () => {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_gen"))
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$idx/_gen/1"), false)
+        out.write(g0Dir.getBytes("UTF-8")); out.close()
+      })
     }
     assert(err.getMessage.contains("lost the race"), err.getMessage)
-    // live index untouched, loser's staging cleaned up, the winner's
-    // (unmarked) claim not resolved
-    assert(IvfIndex.committedGen(spark, idx).contains(0L) &&
+    // live index untouched (the fake winner's claim resolves to the
+    // same consistent pair), loser's dir and staging cleaned up
+    assert(IvfIndex.committedGen(spark, idx).contains(1L) &&
       nVectors(idx) == n0, "the live generation must be untouched")
     val stray = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
-      .map(_.getPath.getName).filter(_.contains("-stage-")).toSeq
-    assert(stray.isEmpty, s"the loser must remove its staging: $stray")
+      .map(_.getPath.getName)
+      .filter(n => n.contains("-stage-") || n.startsWith("g1-")).toSeq
+    assert(stray.isEmpty, s"the loser must remove its dir/staging: $stray")
 
-    // a retry publishes cleanly past the abandoned claim
+    // a retry rebuilds from the winner's generation and publishes 2
     IvfIndex.rebuild(spark, idx)
-    assert(IvfIndex.committedGen(spark, idx).exists(_ >= 2L) &&
+    assert(IvfIndex.committedGen(spark, idx).contains(2L) &&
       nVectors(idx) == n0,
       s"retry must publish a fresh generation: ${IvfIndex.committedGen(spark, idx)}")
   }
 
-  test("an overlapping rebuild that commits FIRST aborts this one even when generation numbers differ") {
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-pin")
+  test("two concurrent rebuilds from the same source: exactly one can ever commit, by construction") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-excl")
       .toString
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
     IvfIndex.build(spark, sfDir, idx)
+    val n0 = nVectors(idx)
 
-    // the overlapping maintainer COMMITS a higher generation while
-    // this rebuild is staged: generation numbers no longer collide
-    // (this writer staged g1, the other committed g5), so the rename
-    // succeeds — publishing would silently SHADOW g5 and any waves
-    // folded into it. The source-generation pin must catch it.
-    val err = intercept[IllegalStateException] {
-      IvfIndex.rebuildImpl(spark, idx, 16, 4, () => {
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g5/vectors"))
-        fs.create(
-          new org.apache.hadoop.fs.Path(s"$idx/g5/_COMMITTED"),
-          false).close()
-      })
-    }
-    assert(err.getMessage.contains("moved"), err.getMessage)
-    assert(IvfIndex.committedGen(spark, idx).contains(5L),
-      "the overlapping maintainer's commit must stay live")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g1")),
-      "the aborted writer must discard its unmarked generation dir")
+    // forced interleaving: BOTH maintainers fully stage their new
+    // generation before EITHER attempts the commit — the widest
+    // possible overlap. The claim file `_gen/1` is one atomic
+    // exclusive create, so exactly one of the two publishes can ever
+    // succeed, no matter how the threads schedule: mutual exclusion
+    // holds by construction, not by a detect-then-abort window.
+    val staged = new java.util.concurrent.CountDownLatch(2)
+    def run(): Either[Throwable, Unit] =
+      try {
+        IvfIndex.rebuildImpl(spark, idx, 16, 4, () => {
+          staged.countDown()
+          assert(staged.await(120, java.util.concurrent.TimeUnit.SECONDS),
+            "both rebuilds must reach the staged point")
+        })
+        Right(())
+      } catch { case e: Throwable => Left(e) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results =
+      try {
+        val futures = Seq(
+          pool.submit(new java.util.concurrent.Callable[
+            Either[Throwable, Unit]] { def call() = run() }),
+          pool.submit(new java.util.concurrent.Callable[
+            Either[Throwable, Unit]] { def call() = run() }))
+        futures.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+    assert(results.count(_.isRight) == 1,
+      s"exactly one of two concurrent rebuilds may commit: $results")
+    val loser = results.collectFirst { case Left(e) => e }.get
+    assert(loser.isInstanceOf[IllegalStateException] &&
+      loser.getMessage.contains("lost the race"), loser.toString)
+
+    // one winner: generation 1 live, the corpus intact and servable,
+    // no second-generation dir and no staging left behind
+    assert(IvfIndex.committedGen(spark, idx).contains(1L) &&
+      nVectors(idx) == n0,
+      "the winner's generation must be live and complete")
+    val g1Dirs = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("g1-")).toSeq
+    assert(g1Dirs.size == 1,
+      s"only the winner's generation dir may survive: $g1Dirs")
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.contains("-stage-")).toSeq
+    assert(stray.isEmpty, s"no staging may survive the race: $stray")
   }
 }

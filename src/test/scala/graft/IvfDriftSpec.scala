@@ -101,7 +101,7 @@ class IvfDriftSpec extends SparkSuite {
       s"the triggered rebuild must restore fit: ${r1.fit} -> $fit2")
   }
 
-  test("generational rebuild is atomic: grace generation serves racing readers, crash staging is invisible") {
+  test("generational rebuild is atomic: grace generation serves racing readers, orphan dirs are invisible and consume no number") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-gen")
       .toString
     val fs = new org.apache.hadoop.fs.Path(idx)
@@ -111,7 +111,7 @@ class IvfDriftSpec extends SparkSuite {
 
     IvfIndex.build(spark, sfDir, idx)
     assert(IvfIndex.committedGen(spark, idx).contains(0L) &&
-      IvfIndex.layoutRoot(spark, idx) == s"$idx/g0",
+      IvfIndex.layoutRoot(spark, idx).startsWith(s"$idx/g0-"),
       s"build must publish generation 0, dirs=$gens")
 
     // a reader that resolved BEFORE the rebuild: its generation must
@@ -124,30 +124,118 @@ class IvfDriftSpec extends SparkSuite {
       spark.read.parquet(s"$preRoot/vectors").count() > 0,
       "the pre-rebuild generation must survive one publish as read grace")
 
-    // crash leftover: a bare generation dir WITHOUT the marker —
-    // readers never resolve it, health and serving stay on the
-    // committed gen
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g2/vectors"))
+    // crash leftover: a renamed generation dir with NO claim (the
+    // writer died between rename and claim) — readers never resolve
+    // it, it consumes no number, health and serving stay on the
+    // committed generation
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/g2-deadbeef/vectors"))
     assert(IvfIndex.committedGen(spark, idx).contains(1L),
-      "an unmarked generation dir must be invisible to resolution")
+      "an unclaimed generation dir must be invisible to resolution")
     val r = IvfIndex.describeIvf(spark, idx).collect()(0)
     assert(r.getAs[Long]("n_vectors") > 0L,
       s"describeIvf must read through the crash leftover, got $r")
 
-    // the next rebuild SKIPS the leftover's number (renaming onto an
-    // existing dir would nest) and publishes g3; its reclaim sweeps
-    // both the leftover g2 and the beyond-grace g0, keeping g1 as
-    // grace — and leaves no writer staging dirs behind
+    // the next rebuild REUSES the orphan's number (claims are the only
+    // number authority — a crash consumes nothing) and publishes
+    // generation 2; two more publishes later the orphan and the
+    // beyond-grace generations are reclaimed, one grace kept — and no
+    // writer staging dirs survive
     IvfIndex.rebuild(spark, idx)
-    assert(IvfIndex.committedGen(spark, idx).contains(3L), s"dirs=$gens")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g0")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g2")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g1")),
-      s"publish must sweep leftovers and keep one grace generation, " +
-        s"dirs=$gens")
+    assert(IvfIndex.committedGen(spark, idx).contains(2L), s"dirs=$gens")
+    IvfIndex.rebuild(spark, idx)
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.committedGen(spark, idx).contains(4L), s"dirs=$gens")
+    val names = gens
+    assert(!names.exists(_.startsWith("g0-")) &&
+      !names.contains("g2-deadbeef") &&
+      names.exists(_.startsWith("g3-")),
+      s"publish must sweep orphans and beyond-grace generations and " +
+        s"keep one grace generation, dirs=$names")
     val stray = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
       .map(_.getPath.getName).filter(_.contains("-stage-")).toSeq
     assert(stray.isEmpty, s"no staging dirs may survive a publish: $stray")
+  }
+
+  test("PQ drift is measured and maintained: a drifted wave moves pq_fit/pq_tail_frac, the triggered sidecar refresh restores them, serving stays exact") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-drift")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.buildPqSidecar(spark, idx)
+    def pqHealth(): (Double, Double) = {
+      val r = IvfIndex.describeIvf(spark, idx).collect()(0)
+      (r.getAs[Double]("pq_fit"), r.getAs[Double]("pq_tail_frac"))
+    }
+    val (fit0, tail0) = pqHealth()
+    assert(fit0 > 0.8 && tail0 == 0.0,
+      s"fresh sidecar: high reconstruction fit, no tail: $fit0 / $tail0")
+
+    // the drift wave: a direction the codebooks never trained on
+    // (same construction as the centroid-drift test) — it lands as a
+    // raw TAIL and drags the corpus-wide reconstruction fit down
+    val wave = spark.range(200).select(
+      ($"id" + 800000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (when(pmod(j, lit(2)) === 0, lit(0.125)).otherwise(lit(-0.125)) +
+          (pmod($"id" * 131 + j.cast("long") * 17, lit(11)) - 5)
+            .cast("double") * 0.002).cast("float")).as("embedding"),
+      lit(9).as("label"))
+    IvfIndex.append(spark, idx, wave)
+    val (fit1, tail1) = pqHealth()
+    assert(fit1 < fit0,
+      s"quantization fit must DROP on a wave the frozen codebooks " +
+        s"cannot represent: $fit0 -> $fit1")
+    assert(tail1 > 0.0, s"the wave must show as raw tail: $tail1")
+
+    // measured maintenance: thresholds pinned between the healthy and
+    // drifted readings so exactly this drift triggers the sidecar
+    // refresh (and only the sidecar — centroid thresholds sit loose)
+    val report = IvfIndex.maintainIvf(spark, idx,
+      maxSkew = 1e9, minFit = 0.0,
+      minPqFit = (fit0 + fit1) / 2, maxPqTail = 1.0)
+    assert(!report.rebuilt && report.sidecarRebuilt,
+      s"drift must trigger the sidecar refresh, not a retrain: $report")
+    val (fit2, tail2) = pqHealth()
+    assert(fit2 > fit1 && tail2 == 0.0,
+      s"the refresh must restore fit and absorb the tail: " +
+        s"$fit1 -> $fit2, tail $tail2")
+
+    // an idle pass after the refresh does nothing
+    val idle = IvfIndex.maintainIvf(spark, idx,
+      maxSkew = 1e9, minFit = 0.0,
+      minPqFit = (fit0 + fit1) / 2, maxPqTail = 1.0)
+    assert(!idle.rebuilt && !idle.sidecarRebuilt,
+      s"a healthy index must not re-trigger maintenance: $idle")
+
+    // and compressed serving stays exact against the raw path
+    val (pid, pemb) = {
+      val r = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .orderBy($"vec_id").limit(1).collect().head
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray)
+    }
+    val raw = IvfIndex.probeTopK(spark, idx, pemb, k = 5,
+      excludeId = Some(pid)).collect().toSeq
+    val adc = IvfIndex.probeTopKAdc(spark, idx, pemb, k = 5,
+      excludeId = Some(pid)).collect().toSeq
+    assert(adc == raw, "serving parity must hold through maintenance")
+  }
+
+  test("a centroid retrain re-derives the sidecar the previous generation carried — serving never silently decays to raw scans") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-regen")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.buildPqSidecar(spark, idx)
+    // force the centroid retrain (impossible thresholds) — the new
+    // generation starts with NO sidecar; maintenance must rebuild it
+    val report = IvfIndex.maintainIvf(spark, idx,
+      maxSkew = 0.0, minFit = 2.0)
+    assert(report.rebuilt && report.sidecarRebuilt,
+      s"a retrain must carry the sidecar forward: $report")
+    val r = IvfIndex.describeIvf(spark, idx).collect()(0)
+    assert(r.getAs[Double]("pq_fit") > 0.8 &&
+      r.getAs[Double]("pq_tail_frac") == 0.0,
+      s"the new generation must serve compressed: $r")
   }
 
   test("describeIvf on a missing or empty index reports a zero-health row instead of aborting maintenance") {

@@ -77,4 +77,54 @@ class IvfPqSidecarSpec extends SparkSuite {
     assert(twin2.getAs[Long]("vec_id") == pid + 1000000L,
       s"absorbed twin must still rank first from codes: $twin2")
   }
+
+  test("a sidecar refresh publishes NEW versioned dirs behind an exclusive marker — never an in-place overwrite — keeping one grace version") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-pqv")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    val root = IvfIndex.layoutRoot(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def names: Set[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).toSet
+    def markers: Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$root/_pq")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(_.getPath.getName).toSet
+    }
+
+    IvfIndex.buildPqSidecar(spark, idx)
+    assert(markers == Set("0") && names.contains("pqcodes-0") &&
+      names.contains("pqbooks-0"),
+      s"first build publishes version 0: markers=$markers dirs=$names")
+
+    // refresh: version 1 lands in its OWN dirs; version 0 stays as
+    // read grace (a reader that resolved marker 0 mid-refresh still
+    // finds a CONSISTENT codes+books pair — the r17 in-place
+    // overwrite could pair new codes with old books here)
+    IvfIndex.buildPqSidecar(spark, idx)
+    assert(markers == Set("0", "1") &&
+      names.contains("pqcodes-0") && names.contains("pqcodes-1") &&
+      names.contains("pqbooks-0") && names.contains("pqbooks-1"),
+      s"refresh keeps the previous version as grace: " +
+        s"markers=$markers dirs=$names")
+
+    // a second refresh reclaims beyond-grace version 0 (marker first,
+    // then dirs — no marker ever names missing dirs)
+    IvfIndex.buildPqSidecar(spark, idx)
+    assert(markers == Set("1", "2"),
+      s"beyond-grace markers are reclaimed: $markers")
+    assert(!names.contains("pqcodes-0") && !names.contains("pqbooks-0") &&
+      names.contains("pqcodes-2") && names.contains("pqbooks-2"),
+      s"beyond-grace dirs are reclaimed: $names")
+
+    // serving resolves the max marker and stays exact
+    val (pid2, pemb2) = probesOf(1).head
+    val raw = IvfIndex.probeTopK(spark, idx, pemb2, k = 5,
+      excludeId = Some(pid2)).collect().toSeq
+    val adc = IvfIndex.probeTopKAdc(spark, idx, pemb2, k = 5,
+      excludeId = Some(pid2)).collect().toSeq
+    assert(adc == raw, s"serving after refreshes must stay exact")
+  }
 }

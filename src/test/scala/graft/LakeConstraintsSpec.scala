@@ -105,6 +105,43 @@ class LakeConstraintsSpec extends SparkSuite {
       .filter(col("id") === 20L).count() == 1)
   }
 
+  test("maintenance that only moves resident rows pays NO constraint validation; row-changing writes still do") {
+    val table = freshTable("graft-cons-maint")
+    seed(table)
+    LakeLayout.setLakeConstraints(spark, table,
+      Map("score_pos" -> "score > 0"))
+    def validations = LakeLayout.constraintValidations.get()
+
+    // a row-changing ingest pays exactly one validation pass
+    val v0 = validations
+    LakeLayout.upsertIntoLake(spark, table,
+      Seq((100L, 5L, "new")).toDF("id", "score", "v"), "id", "w", 1L)
+    assert(validations == v0 + 1, "an upsert validates its batch once")
+
+    // maintenance moves resident rows — already validated at their
+    // own write — so NONE of these may re-pay the O(table) pass:
+    // full compaction, small-file compaction, OPTIMIZE-ZORDER, and a
+    // DV delete (removals add nothing to validate)
+    val v1 = validations
+    LakeLayout.compactLake(spark, table, "id")
+    LakeLayout.compactLakeSmallFiles(spark, table, "id", minFiles = 2)
+    LakeLayout.optimizeLakeZOrderOcc(spark, table, "id", "score",
+      writerId = "w1", minFiles = 2)
+    LakeLayout.deleteFromLakeDv(spark, table, Seq(2L).toDF("id"),
+      "id", "w", 2L)
+    LakeLayout.materializeDvOcc(spark, table, "id", writerId = "w2")
+    assert(validations == v1,
+      s"maintenance must never re-validate resident rows " +
+        s"(${validations - v1} extra passes)")
+
+    // the gate itself still stands after all that maintenance
+    val ex = intercept[IllegalArgumentException] {
+      LakeLayout.appendToLake(spark, table,
+        Seq((999L, -1L, "bad")).toDF("id", "score", "v"), "w", 3L)
+    }
+    assert(ex.getMessage.contains("constraint violation"), ex.getMessage)
+  }
+
   test("restore validates its target against current constraints — pre-constraint rows cannot resurrect silently") {
     val table = freshTable("graft-cons-restore")
     // v0 carries a row that a LATER constraint forbids; v1 fixes it

@@ -218,6 +218,115 @@ class LakeSqlSpec extends SparkSuite {
     assert(LakeLayout.lakeConstraints(spark, t).keySet == Set("id_set"))
   }
 
+  test("INSERT / DELETE / MERGE lower to the typed lake operations — SQL result equals API result") {
+    // two identical tables: one mutated through SQL, one through the
+    // typed API — every DML statement must land the same snapshot
+    val sqlT = stageTable()
+    val apiT = stageTable()
+    LakeSql.register(spark, "dml_t", sqlT, key = Some("id"))
+    def snap(t: String): Set[Seq[Any]] =
+      LakeLayout.readLake(spark, t).get.collect().map(_.toSeq).toSet
+
+    // INSERT ... VALUES (positional, cast to the table's types)
+    LakeSql.sql(spark,
+      "INSERT INTO dml_t VALUES (90001, 7, 'ins1'), (90002, 7, 'ins2')")
+    LakeLayout.appendToLake(spark, apiT,
+      Seq((90001L, 7L, "ins1"), (90002L, 7L, "ins2"))
+        .toDF("id", "grp", "pay"),
+      "api", 10L, statsKey = Some("id"))
+    assert(snap(sqlT) == snap(apiT), "INSERT VALUES parity")
+
+    // INSERT ... SELECT (reads the table's own snapshot)
+    LakeSql.sql(spark,
+      "INSERT INTO dml_t SELECT id + 100000, grp, 'copy' FROM dml_t " +
+        "WHERE id % 500 = 1")
+    LakeLayout.appendToLake(spark, apiT,
+      LakeLayout.readLake(spark, apiT).get.filter($"id" % 500 === 1)
+        .select(($"id" + 100000L).as("id"), $"grp", lit("copy").as("pay")),
+      "api", 11L, statsKey = Some("id"))
+    assert(snap(sqlT) == snap(apiT), "INSERT SELECT parity")
+
+    // DELETE FROM ... WHERE (merge-on-read DV delete under OCC)
+    LakeSql.sql(spark, "DELETE FROM dml_t WHERE grp = 7")
+    LakeLayout.deleteFromLakeDvOcc(spark, apiT,
+      LakeLayout.readLake(spark, apiT).get.filter($"grp" === 7)
+        .select($"id"),
+      "id", "api", 12L)
+    assert(snap(sqlT) == snap(apiT), "DELETE parity")
+
+    // MERGE (upsert form), source = a temp view
+    Seq((1L, 99L, "merged"), (777777L, 99L, "mergednew"))
+      .toDF("id", "grp", "pay").createOrReplaceTempView("dml_src")
+    LakeSql.sql(spark,
+      """MERGE INTO dml_t USING dml_src ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    LakeLayout.upsertIntoLakeOcc(spark, apiT,
+      spark.table("dml_src"), "id", "api", 13L)
+    assert(snap(sqlT) == snap(apiT), "MERGE upsert parity")
+
+    // MERGE with a delete clause (three-clause merge; the condition
+    // references a SOURCE-ONLY marker column the table never stores)
+    Seq((2L, 0L, "x", true), (888888L, 98L, "kept", false))
+      .toDF("id", "grp", "pay", "doomed")
+      .createOrReplaceTempView("dml_src2")
+    LakeSql.sql(spark,
+      """MERGE INTO dml_t USING dml_src2 ON t.id = s.id
+         WHEN MATCHED AND doomed THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    LakeLayout.upsertIntoLakeOcc(spark, apiT,
+      spark.table("dml_src2").filter(!$"doomed")
+        .select($"id", $"grp", $"pay"),
+      "id", "api", 14L)
+    LakeLayout.deleteFromLakeDvOcc(spark, apiT,
+      spark.table("dml_src2").filter($"doomed").select($"id"),
+      "id", "api", 15L)
+    assert(snap(sqlT) == snap(apiT), "MERGE delete-clause parity")
+    assert(!snap(sqlT).exists(_.head == 2L), "doomed key deleted via SQL")
+    assert(snap(sqlT).exists(_.head == 888888L),
+      "not-matched source row inserted via SQL MERGE")
+
+    // the plain view advanced with every mutation
+    val viaSql = LakeSql.sql(spark,
+      "SELECT count(*) FROM dml_t").collect().head.getLong(0)
+    assert(viaSql == LakeLayout.readLake(spark, sqlT).get.count(),
+      "the registered view must track DML mutations")
+  }
+
+  test("SQL DML enforces constraints and key registration like the typed paths") {
+    val t = stageTable()
+    LakeSql.register(spark, "dml_guard", t) // no key
+    // DELETE needs the registered key to lower file-granularly
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "DELETE FROM dml_guard WHERE id = 1")
+    }
+    assert(e1.getMessage.contains("registered without a key"),
+      e1.getMessage)
+
+    // constraints gate the SQL INSERT exactly like the typed append
+    LakeSql.register(spark, "dml_guard", t, key = Some("id"))
+    LakeSql.sql(spark,
+      "ALTER TABLE dml_guard ADD CONSTRAINT pos CHECK (id >= 0)")
+    val before = LakeLayout.lakeVersions(spark, t).size
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "INSERT INTO dml_guard VALUES (-5, 1, 'bad')")
+    }
+    assert(e2.getMessage.contains("constraint violation"), e2.getMessage)
+    assert(LakeLayout.lakeVersions(spark, t).size == before,
+      "a rejected SQL INSERT must publish nothing")
+    // a clean insert passes the same gate
+    LakeSql.sql(spark, "INSERT INTO dml_guard VALUES (95001, 1, 'ok')")
+    assert(LakeLayout.readLake(spark, t).get
+      .filter($"id" === 95001L).count() == 1)
+
+    // column-count mismatch fails loudly before anything writes
+    val e3 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "INSERT INTO dml_guard VALUES (1, 2)")
+    }
+    assert(e3.getMessage.contains("columns provided"), e3.getMessage)
+  }
+
   test("registrations are session-scoped: sibling sessions neither see nor overwrite each other's names") {
     val tA = stageTable()
     val tB = stageTable()

@@ -131,4 +131,45 @@ class ReplicationSpec extends SparkSuite {
       "exactly ONE commit — the delete half; the upsert must not replay")
     assert(snapshot(dst) == snapshot(src), "replica converged after recovery")
   }
+
+  test("a pre-final-provenance replica is backfilled once and never re-diffs its high-water version again") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-repl-old-src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-repl-old-dst").toString + "/replica"
+    LakeLayout.commitLakeVersion(
+      (0L until 20L).map(k => (k, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      src, "seed", 0L, statsKey = Some("id"))
+
+    // an OLD-FORMAT replica: version 0 (the bootstrap — insert-only,
+    // delete half empty) applied under the plain pre-r17 provenance
+    // mark, no `-final`; its high-water version re-diffed on EVERY
+    // sync before the backfill existed
+    val changes = CdfStream.changesForVersion(spark, src, 0L, "id")
+    LakeLayout.upsertIntoLake(spark, dst,
+      changes.filter(col("_change").isin("insert", "update"))
+        .select(col("id"), col("v")),
+      "id", "cdf-upsert", 0L)
+    assert(snapshot(dst) == snapshot(src), "old replica is converged")
+
+    // sync 1: proves v0's missing half is empty and backfills the
+    // final mark (one last change-set computation), publishing nothing
+    val versions = LakeLayout.lakeVersions(spark, dst)
+    assert(CdfStream.replicateLake(spark, src, "id", dst) == 0)
+    assert(LakeLayout.lakeVersions(spark, dst) == versions,
+      "the backfill sync must publish no replica versions")
+
+    // sync 2: ZERO change-set computations — the marker seals v0
+    val diffsBefore = CdfStream.changeSetComputations.get()
+    assert(CdfStream.replicateLake(spark, src, "id", dst) == 0)
+    assert(CdfStream.changeSetComputations.get() == diffsBefore,
+      "a sealed high-water version must never be re-diffed")
+
+    // and the seal never wedges progress: a new source commit applies
+    LakeLayout.upsertIntoLake(spark, src,
+      Seq((100L, "NEW")).toDF("id", "v"), "id", "w", 1L)
+    assert(CdfStream.replicateLake(spark, src, "id", dst) == 1)
+    assert(snapshot(dst) == snapshot(src), "replica advanced past the seal")
+  }
 }
