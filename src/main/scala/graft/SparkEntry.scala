@@ -17,6 +17,7 @@ object SparkEntry {
     RelationalQueries.queries ++ RecallQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Components.queries ++
       Similarity.queries ++ IvfIndex.queries ++ ProductQuant.queries ++
+      ScalarQuant.queries ++
       Multimodal.queries ++ HybridRetrieval.queries ++
       GraphTraversal.queries ++ AdvancedQueries.queries ++
       AsOfJoin.queries ++ Sampling.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     RelationalQueries.oracle ++ RecallQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Components.oracle ++
       Similarity.oracle ++ IvfIndex.oracle ++ ProductQuant.oracle ++
+      ScalarQuant.oracle ++
       Multimodal.oracle ++ HybridRetrieval.oracle ++
       GraphTraversal.oracle ++ AdvancedQueries.oracle ++
       AsOfJoin.oracle ++ Sampling.oracle ++

@@ -675,10 +675,21 @@ object IvfIndex {
   /** Serve a top-k query from the persisted index: rank cells against
     * the probe on the driver (K rows of model state), then scan ONLY the
     * nprobe nearest cell partitions with exact cosine. `excludeId` drops
-    * a known self-match (parity with [[Similarity.sIvfTopk]]). */
+    * a known self-match (parity with [[Similarity.sIvfTopk]]).
+    *
+    * `where` is the FILTERED-ANN form ("nearest WHERE label = X" — the
+    * metadata-predicate search every serving stack treats as
+    * first-class): the predicate applies INSIDE the probed cells, so
+    * the scan stays nprobe/cells of the corpus and the filter + pruned
+    * projection reach the parquet reader together. Contract: recall is
+    * relative to the probed cells — a selective filter thins survivors
+    * per cell, so callers WIDEN nprobe as selectivity rises (the
+    * standard filtered-ANN lever; the spec pins exact parity with the
+    * brute-force filtered scan at a widened nprobe). */
   def probeTopK(s: SparkSession, indexPath: String, probe: Array[Double],
       k: Int = 10, nprobe: Int = Similarity.IvfProbes,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
     // one resolution pins the generation for BOTH the model collect
@@ -697,7 +708,8 @@ object IvfIndex {
     val pc = array(probe.map(lit): _*)
     val scanned = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(probeCells: _*))
-    excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
+    val kept0 = excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
+    where.fold(kept0)(kept0.filter)
       .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))
       .filter(!isnan($"sim") && $"sim".isNotNull)
       .select($"vec_id", $"label", $"sim")
@@ -775,7 +787,11 @@ object IvfIndex {
     val kept = if (excludeSelf) hits.filter($"vec_id" =!= $"probe_id")
       else hits
     import org.apache.spark.sql.expressions.Window
+    // shed both vectors before the per-probe ranking shuffle — the
+    // window needs four narrow columns, not the embeddings that
+    // produced `sim`
     kept
+      .select($"probe_id", $"vec_id", $"label", $"sim")
       .withColumn("rank", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
       .filter($"rank" <= k)
@@ -832,16 +848,17 @@ object IvfIndex {
         .as("entries"))
       .agg(transform(array_sort(collect_list(struct($"sub", $"entries"))),
         x => x.getField("entries")).as("books")))
-    // per-probe LUT as data: unit-normalize the probe (the single-probe
-    // path hashes a unit query) and fold the broadcast books into a
-    // flat m·ks column — probes then broadcast WITH their LUTs
+    // per-probe LUT as data: raw-probe dots against the broadcast
+    // books folded into a flat m·ks column (unnormalized BY DESIGN —
+    // see ProductQuant.lutCol: scaling by the probe's norm cannot
+    // change a per-probe ordering, and the unit division inside the
+    // per-entry lambda was the measured interpreted-HOF hot spot);
+    // probes then broadcast WITH their LUTs
     val ranked = rankProbeCells(s, root, probes, nprobe)
       .crossJoin(packedBooks)
-      .withColumn("u",
-        transform($"probe_emb", x => x.cast("double") /
-          VectorFunctions.l2Norm($"probe_emb")))
-      .withColumn("lut", ProductQuant.lutCol($"u", d))
-      .drop("books", "u")
+      .withColumn("lut", ProductQuant.lutCol(
+        transform($"probe_emb", x => x.cast("double")), d))
+      .drop("books")
     val cellsNeeded = ranked.select($"pcell").distinct()
       .collect().map(_.getInt(0)).sorted
     // ADC stage: codes-only scan of the probed-cell union, each hit
@@ -854,7 +871,13 @@ object IvfIndex {
       .withColumn("adc", ProductQuant.adcScoreWith($"lut", m, ks))
     val adcKept = if (excludeSelf) adcHits.filter($"vec_id" =!= $"probe_id")
       else adcHits
+    // SHED the model columns before the per-probe window: the ranking
+    // shuffle must carry three narrow columns per candidate, never the
+    // m·ks-double LUT or the probe vector that scored it (leaving them
+    // attached made the exchange ~500× wider than the data it ranks —
+    // the plan-width discipline every other serving path keeps)
     val shortlisted = adcKept
+      .select($"probe_id", $"vec_id", $"adc")
       .withColumn("arank", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")))
       .filter($"arank" <= shortlist)
@@ -886,6 +909,7 @@ object IvfIndex {
     val kept = if (excludeSelf) hits.filter($"vec_id" =!= $"probe_id")
       else hits
     kept
+      .select($"probe_id", $"vec_id", $"label", $"sim")
       .withColumn("rank", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
       .filter($"rank" <= k)

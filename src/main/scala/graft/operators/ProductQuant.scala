@@ -234,16 +234,25 @@ object ProductQuant {
     adcScoreWith(array(lut.map(lit): _*), m, ks)
 
   /** Per-PROBE LUT as a column — [[lutFor]] lifted into the plan for
-    * batch serving: given a probe's UNIT vector column `u` and the
-    * one-row broadcast `books` column ([[packedBooks]]), build the
-    * flat m·ks LUT with `LUT[j·ks + c] = <u_j, codebook_j[c]>`. Entry
+    * batch serving: given a probe vector column `p` (RAW, double) and
+    * the one-row broadcast `books` column ([[packedBooks]]), build the
+    * flat m·ks LUT with `LUT[j·ks + c] = <p_j, codebook_j[c]>`. Entry
     * arrays are code-sorted, so flatten preserves [[adcScoreWith]]'s
     * `j·ks + c` indexing. Plan size is O(1) in m·ks — the books ride
-    * as DATA, the probes each carry m·ks computed doubles. */
-  private[graft] def lutCol(u: Column, d: Int): Column =
+    * as DATA, the probes each carry m·ks computed doubles.
+    *
+    * DELIBERATELY UNNORMALIZED: ADC scores only ever rank candidates
+    * within one probe, and scaling by the probe's norm cannot change a
+    * per-probe ordering — so the LUT skips the unit division entirely.
+    * This is a hot-path width rule, not a micro-optimization: higher-
+    * order lambdas evaluate interpreted, and a unit-vector column
+    * referenced inside the per-entry lambda re-derives the WHOLE
+    * normalization per LUT entry (m·ks × dim² interpreted ops per
+    * probe — measured at ~20 s for a 25-probe batch before this). */
+  private[graft] def lutCol(p: Column, d: Int): Column =
     flatten(transform(col("books"), (entries, j) =>
       transform(entries, en =>
-        VectorFunctions.dot(slice(u, j * lit(d) + lit(1), lit(d)),
+        VectorFunctions.dot(slice(p, j * lit(d) + lit(1), lit(d)),
           en.getField("cvec")))))
 
   private[graft] def adcRanked(s: SparkSession, dir: String): DataFrame = {

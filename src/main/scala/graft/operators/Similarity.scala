@@ -64,6 +64,50 @@ object Similarity {
        WHERE sim IS NOT NULL AND NOT isnan(sim)
        ORDER BY sim DESC, vec_id LIMIT 10"""
 
+  /** The metadata predicate the filtered-search drive pins (label 7 —
+    * ~10 % of the corpus at every SF, selective enough that filtering
+    * changes the answer, dense enough that every cell holds matches). */
+  val FilterLabel = 7
+
+  /** FILTERED vector search — top-k among rows matching a metadata
+    * predicate, the production shape behind "nearest docs WHERE
+    * source = X / lang = Y" (every serving stack treats this as
+    * first-class; ref's `match_count` + source-filter surface,
+    * `backend/src/api/recall.py:33-41`, lifted to the vector tier).
+    * This exact form pushes the predicate INTO the corpus scan
+    * (filter + projection reach the parquet reader together), scores
+    * only survivors, and is oracle-checked; the IVF serving twin is
+    * [[IvfIndex.probeTopK]]'s `where` parameter — same predicate
+    * applied inside the probed cells, spec-pinned against this exact
+    * truth with a widened nprobe (the standard filtered-ANN recall
+    * lever: survivors thin out per cell, so probes widen). */
+  def sFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val probe = e(s, dir).filter($"vec_id" === ProbeId)
+      .select($"embedding".as("p"))
+    e(s, dir).filter($"vec_id" =!= ProbeId && $"label" === FilterLabel)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim",
+        round(VectorFunctions.cosine($"embedding", $"p"), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
+      .select($"vec_id", $"label", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val sFilteredTopkSql: String =
+    s"""WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = $ProbeId),
+       scored AS (
+         SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], p.p), 3) AS sim
+         FROM embeddings, p
+         WHERE vec_id <> $ProbeId AND label = $FilterLabel
+           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+       SELECT vec_id, label, sim FROM scored
+       WHERE sim IS NOT NULL AND NOT isnan(sim)
+       ORDER BY sim DESC, vec_id LIMIT 10"""
+
   // ------------------------------------------------------- near-dup pairs
   /** Hard ceiling for the quadratic diagnostic: 20k vectors → 2·10⁸
     * candidate pairs, the most a deliberate all-pairs scan should ever
@@ -527,6 +571,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_semantic_dedup" -> ((s: SparkSession, dir: String) => sSemanticDedup(s, dir)),
     "s_cosine_topk" -> (sCosineTopk _),
+    "s_filtered_topk" -> (sFilteredTopk _),
     "s_ann_lsh_buckets" -> (sAnnLshBuckets _),
     "s_ann_topk" -> ((s: SparkSession, dir: String) => sAnnTopk(s, dir)),
     "s_ivf_topk" -> ((s: SparkSession, dir: String) => sIvfTopk(s, dir)))
@@ -543,5 +588,6 @@ object Similarity {
     * hyperplane/centroid constants) → driver records the weaker
     * rows-only check. */
   val oracle: Map[String, String] = Map(
-    "s_cosine_topk" -> sCosineTopkSql)
+    "s_cosine_topk" -> sCosineTopkSql,
+    "s_filtered_topk" -> sFilteredTopkSql)
 }

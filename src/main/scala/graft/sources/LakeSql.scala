@@ -23,6 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   LakeSql.sql(spark, "SHOW CONSTRAINTS orders_lake")
   *   LakeSql.sql(spark, "INSERT INTO orders_lake VALUES (...), (...)")
   *   LakeSql.sql(spark, "INSERT INTO orders_lake SELECT ...")
+  *   LakeSql.sql(spark, "UPDATE orders_lake SET o_orderpriority = '9-X' WHERE o_orderkey % 4 = 0")
   *   LakeSql.sql(spark, "DELETE FROM orders_lake WHERE o_orderkey % 10 = 3")
   *   LakeSql.sql(spark, "MERGE INTO orders_lake USING ups ON t.o_orderkey = s.o_orderkey
   *                       WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
@@ -142,6 +143,8 @@ object LakeSql {
     s"(?is)^\\s*INSERT\\s+INTO\\s+($ident)\\s+(VALUES\\b.+|SELECT\\b.+)$$".r
   private val deleteRe =
     s"(?is)^\\s*DELETE\\s+FROM\\s+($ident)\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
+  private val updateRe =
+    s"(?is)^\\s*UPDATE\\s+($ident)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
   private val mergeRe =
     (s"(?is)^\\s*MERGE\\s+INTO\\s+($ident)\\s+USING\\s+($ident)\\s+" +
       s"ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$$").r
@@ -211,6 +214,8 @@ object LakeSql {
           .toDF("table_name", "versions_retained")
       case insertRe(name, body) =>
         insertResult(spark, name, body)
+      case updateRe(name, sets, pred) =>
+        updateResult(spark, name, sets, pred)
       case deleteRe(name, pred) =>
         deleteResult(spark, name, pred)
       case mergeRe(name, srcName, on, clauses) =>
@@ -324,6 +329,75 @@ object LakeSql {
     val orig = refreshView(spark, name)
     Seq((orig, r.filesAdded.toLong, r.version))
       .toDF("table_name", "files_added", "version")
+  }
+
+  /** Split a SET clause on TOP-LEVEL commas only: commas inside
+    * parentheses (function args) and string literals stay put, so
+    * `SET a = greatest(x, y), b = 'v,w'` parses as two assignments. */
+  private def splitAssignments(sets: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var quote: Char = 0
+    var start = 0
+    var i = 0
+    while (i < sets.length) {
+      val c = sets.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += sets.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += sets.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `UPDATE <name> SET c = <expr>, ... WHERE <pred>` lowered to the
+    * OCC upsert of exactly the touched rows: one pruned read selects
+    * them, the SET expressions rewrite the named columns (cast back to
+    * their committed types), and `upsertIntoLakeOcc` lands the batch —
+    * O(touched rows + touched files), constraints enforced, never a
+    * table rewrite. The merge key itself cannot be SET (rewriting
+    * identity is an insert+delete, not an update). */
+  private def updateResult(spark: SparkSession, name: String,
+      sets: String, pred: String): DataFrame = {
+    import spark.implicits._
+    val path = pathOf(spark, name)
+    val key = keyOf(spark, name, "UPDATE")
+    val snap = LakeLayout.readLake(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE $name: the table has no committed version"))
+    val assigns = splitAssignments(sets).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"UPDATE $name: malformed assignment '$a'")
+      (a.substring(0, i).trim, a.substring(i + 1).trim)
+    }
+    assigns.foreach { case (c, _) =>
+      require(snap.columns.contains(c),
+        s"UPDATE $name: no such column '$c' " +
+          s"(columns: ${snap.columns.mkString(", ")})")
+      require(!c.equalsIgnoreCase(key),
+        s"UPDATE $name: cannot SET the merge key '$key'")
+    }
+    val byName = assigns.toMap
+    val updated = snap
+      .filter(org.apache.spark.sql.functions.expr(pred))
+      .select(snap.schema.fields.toIndexedSeq.map { f =>
+        byName.get(f.name)
+          .map(e => org.apache.spark.sql.functions.expr(e)
+            .cast(f.dataType).as(f.name))
+          .getOrElse(org.apache.spark.sql.functions.col(f.name))
+      }: _*)
+    val r = LakeLayout.upsertIntoLakeOcc(spark, path, updated, key,
+      writerId = "sql", batchId = sqlBatchId.incrementAndGet())
+    val orig = refreshView(spark, name)
+    Seq((orig, r.filesRewritten.toLong, r.version))
+      .toDF("table_name", "files_rewritten", "version")
   }
 
   /** `DELETE FROM <name> WHERE <pred>` lowered to the MERGE-ON-READ

@@ -56,6 +56,48 @@ class IvfBatchProbeSpec extends SparkSuite {
           .mkString("\n"))
   }
 
+  test("filtered ANN: a metadata predicate inside the probed cells equals the brute-force filtered scan at widened nprobe") {
+    import graft.operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-filt")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    val pemb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+
+    // the exact filtered truth — oracle-checked in the registry
+    val exact = Similarity.sFilteredTopk(spark, sfDir).collect().toSeq
+    // the serving path: same predicate inside the probed cells; the
+    // filter thins survivors per cell, so nprobe widens (the standard
+    // filtered-ANN lever) — at full width the answers must be EQUAL
+    val cells = spark.read.parquet(
+      s"${IvfIndex.layoutRoot(spark, idx)}/centroids").count().toInt
+    val served = IvfIndex.probeTopK(spark, idx, pemb,
+      k = 10, nprobe = cells,
+      excludeId = Some(Similarity.ProbeId),
+      where = Some($"label" === Similarity.FilterLabel)).collect().toSeq
+    assert(served == exact,
+      s"filtered serving must equal the filtered scan\nivf:   $served\n" +
+        s"exact: $exact")
+    // at the default nprobe the filter still applies and recall stays
+    // high — at least 8 of the exact top-10 inside the probed cells
+    val narrow = IvfIndex.probeTopK(spark, idx, pemb,
+      k = 10, excludeId = Some(Similarity.ProbeId),
+      where = Some($"label" === Similarity.FilterLabel)).collect()
+      .map(_.getLong(0)).toSet
+    val hits = exact.map(_.getLong(0)).count(narrow.contains)
+    assert(hits >= 8,
+      s"default-nprobe filtered recall too low: $hits of 10")
+    // every served row satisfies the predicate
+    assert(narrow.nonEmpty && IvfIndex.probeTopK(spark, idx, pemb,
+      k = 10, excludeId = Some(Similarity.ProbeId),
+      where = Some($"label" === Similarity.FilterLabel)).collect()
+      .forall(_.getInt(1) == Similarity.FilterLabel),
+      "a filtered probe must never return a non-matching row")
+  }
+
   test("batch COMPRESSED serving equals per-probe ADC serving, and its wide scan reads codes, never floats") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-badc")
       .toString

@@ -294,6 +294,39 @@ class LakeSqlSpec extends SparkSuite {
       "the registered view must track DML mutations")
   }
 
+  test("UPDATE lowers to the OCC upsert of exactly the touched rows — SQL result equals API result") {
+    val sqlT = stageTable()
+    val apiT = stageTable()
+    LakeSql.register(spark, "upd_t", sqlT, key = Some("id"))
+    def snap(t: String): Set[Seq[Any]] =
+      LakeLayout.readLake(spark, t).get.collect().map(_.toSeq).toSet
+
+    // multi-assignment with a function call (top-level comma split
+    // must not break inside the parens) and a predicate
+    LakeSql.sql(spark,
+      "UPDATE upd_t SET grp = greatest(grp, 2), pay = 'touched' " +
+        "WHERE id % 100 = 0")
+    LakeLayout.upsertIntoLakeOcc(spark, apiT,
+      LakeLayout.readLake(spark, apiT).get.filter($"id" % 100 === 0)
+        .select($"id", greatest($"grp", lit(2L)).as("grp"),
+          lit("touched").as("pay")),
+      "id", "api", 20L)
+    assert(snap(sqlT) == snap(apiT), "UPDATE parity")
+    assert(LakeLayout.readLake(spark, sqlT).get
+      .filter($"pay" === "touched").count() == 30L,
+      "exactly the predicate's rows are touched")
+
+    // guard rails: unknown column and key rewrites fail loudly
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "UPDATE upd_t SET nope = 1 WHERE id = 1")
+    }
+    assert(e1.getMessage.contains("no such column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "UPDATE upd_t SET id = id + 1 WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("merge key"), e2.getMessage)
+  }
+
   test("SQL DML enforces constraints and key registration like the typed paths") {
     val t = stageTable()
     LakeSql.register(spark, "dml_guard", t) // no key
