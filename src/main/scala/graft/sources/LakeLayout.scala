@@ -3600,14 +3600,19 @@ object LakeLayout {
   }
 
   /** Oracle-checked drive of the SQL DML face ([[LakeSql]]'s
-    * INSERT / DELETE / MERGE, each lowering to the file-granular OCC
-    * lake operation): a takedown through `DELETE FROM` (merge-on-read
-    * DV delete), a priority rewrite through `MERGE INTO` (OCC
-    * upsert), and an insert wave through `INSERT INTO ... SELECT`
+    * INSERT / UPDATE / DELETE / MERGE, each lowering to the
+    * file-granular OCC lake operation): a takedown through
+    * `DELETE FROM` (merge-on-read DV delete), a priority rewrite
+    * through `MERGE INTO` (OCC upsert), an in-place rewrite through
+    * `UPDATE ... SET ... WHERE` (OCC upsert of exactly the touched
+    * rows), and an insert wave through `INSERT INTO ... SELECT`
     * (O(batch) append) — then the final snapshot aggregated through
-    * the same SQL face. The oracle reproduces all three mutations
+    * the same SQL face. The oracle reproduces all four mutations
     * relationally over plain orders, so a hash match proves each SQL
-    * statement applied EXACTLY its lowered operation's semantics. */
+    * statement applied EXACTLY its lowered operation's semantics.
+    * (Key classes are disjoint by construction: deletes end in 3,
+    * merged keys are ≡ 0 mod 4, updated keys ≡ 2 mod 4, inserted
+    * keys ≡ 7 mod 10 offset by 10M.) */
   def qLakeSqlDml(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
     val lake = cloneLake(s, stagedOrders(s, dir, 4))
@@ -3621,6 +3626,10 @@ object LakeLayout {
          ON t.o_orderkey = s.o_orderkey
          WHEN MATCHED THEN UPDATE SET *
          WHEN NOT MATCHED THEN INSERT *""")
+    LakeSql.sql(s,
+      """UPDATE sql_dml_lake
+         SET o_orderpriority = concat('8-', 'UPD')
+         WHERE o_orderkey % 4 = 2""")
     LakeSql.sql(s,
       """INSERT INTO sql_dml_lake
          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
@@ -3636,6 +3645,7 @@ object LakeLayout {
   val qLakeSqlDmlSql: String =
     """WITH final AS (
          SELECT CASE WHEN o_orderkey % 4 = 0 THEN '9-UPD'
+                     WHEN o_orderkey % 4 = 2 THEN '8-UPD'
                      ELSE o_orderpriority END AS o_orderpriority,
            o_orderkey
          FROM orders WHERE o_orderkey % 10 <> 3
