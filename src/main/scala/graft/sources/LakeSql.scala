@@ -212,13 +212,18 @@ object LakeSql {
           keep = Option(retain).map(_.toInt).getOrElse(2))
         Seq((name, LakeLayout.lakeVersions(spark, path).size.toLong))
           .toDF("table_name", "versions_retained")
-      case insertRe(name, body) =>
+      // DML forms lower to lake operations ONLY for registered lake
+      // names — a statement targeting any other table (a Hive table,
+      // a temp view) falls through to spark.sql untouched, the same
+      // posture as the AS-OF rewrite
+      case insertRe(name, body) if isRegistered(spark, name) =>
         insertResult(spark, name, body)
-      case updateRe(name, sets, pred) =>
+      case updateRe(name, sets, pred) if isRegistered(spark, name) =>
         updateResult(spark, name, sets, pred)
-      case deleteRe(name, pred) =>
+      case deleteRe(name, pred) if isRegistered(spark, name) =>
         deleteResult(spark, name, pred)
-      case mergeRe(name, srcName, on, clauses) =>
+      case mergeRe(name, srcName, on, clauses)
+          if isRegistered(spark, name) =>
         mergeResult(spark, name, srcName, on, clauses)
       case _ =>
         // pin AS-OF references as snapshot views. Two guards keep the

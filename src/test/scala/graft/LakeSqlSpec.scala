@@ -360,6 +360,20 @@ class LakeSqlSpec extends SparkSuite {
     assert(e3.getMessage.contains("columns provided"), e3.getMessage)
   }
 
+  test("DML on an unregistered name falls through to spark.sql — never hijacked by the lake layer") {
+    // Spark's own resolution error (TABLE_OR_VIEW_NOT_FOUND), not the
+    // registry's "not a registered lake table" — proof the statement
+    // reached spark.sql untouched
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      LakeSql.sql(spark, "INSERT INTO totally_missing_tbl VALUES (1)")
+    }
+    assert(!e.getMessage.contains("registered lake table"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      LakeSql.sql(spark, "UPDATE totally_missing_tbl SET x = 1 WHERE x = 2")
+    }
+    assert(!e2.getMessage.contains("registered lake table"), e2.getMessage)
+  }
+
   test("registrations are session-scoped: sibling sessions neither see nor overwrite each other's names") {
     val tA = stageTable()
     val tB = stageTable()
