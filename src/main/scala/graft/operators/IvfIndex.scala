@@ -82,19 +82,31 @@ object IvfIndex {
   /** List the claim log: (gen → claimed dir name). A claim is created
     * AFTER its dir's rename completes, so every listed claim names a
     * complete generation dir (reclamation deletes a claim BEFORE its
-    * dir, preserving the invariant from the other side). */
+    * dir, preserving the invariant from the other side). Two transient
+    * states a concurrent maintainer can expose are tolerated, not
+    * errors: a claim CREATED but not yet written reads as empty
+    * content (not-yet-committed — skip it; the writer's close makes it
+    * visible atomically enough for the next listing), and a claim
+    * reclaimed between listStatus and open raises FileNotFound (the
+    * generation is gone — skip it). Resolving either as a live claim
+    * would point a reader at `$indexPath/` itself or at a deleted
+    * dir. */
   private def listClaims(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Map[Long, String] = {
     val d = claimsDir(indexPath)
     if (!fs.exists(d)) Map.empty
     else fs.listStatus(d).iterator
       .filter(_.isFile)
-      .flatMap(st => claimGen(st.getPath.getName).map { g =>
-        val in = fs.open(st.getPath)
-        val dir =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        g -> dir
+      .flatMap(st => claimGen(st.getPath.getName).flatMap { g =>
+        try {
+          val in = fs.open(st.getPath)
+          val dir =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (dir.isEmpty) None else Some(g -> dir)
+        } catch {
+          case _: java.io.FileNotFoundException => None
+        }
       })
       .toMap
   }
@@ -182,6 +194,24 @@ object IvfIndex {
           "the source generation moved since this rebuild snapshotted " +
           "it); this writer's staging was discarded and the live index " +
           "is untouched")
+    }
+    // staleness backstop: a rebuild stale by 2+ generations can find
+    // its target claim number already RECLAIMED (publishGen deletes
+    // claims < gen − 1) and win the exclusive create for a long-dead
+    // number — resolveLive (max claim) would never serve it, a
+    // silently lost rebuild. The claim create is still the atomic
+    // point; this check only turns that silent loss into the loud
+    // abort the commit-by-construction contract promises.
+    val maxClaim = listClaims(fs, indexPath).keys.foldLeft(gen)(math.max)
+    if (maxClaim > gen) {
+      fs.delete(claim, false)
+      fs.delete(dest, true)
+      throw new IllegalStateException(
+        s"ivf publish: generation $gen of $indexPath is stale — " +
+          s"generation $maxClaim is already committed (this rebuild's " +
+          "source moved two or more generations since it snapshotted); " +
+          "its claim and staging were discarded and the live index is " +
+          "untouched")
     }
     // reclamation: keep `gen` and the previous generation (read grace
     // for in-flight probes); claims are deleted BEFORE their dirs so
@@ -419,6 +449,110 @@ object IvfIndex {
       .parquet(s"$root/vectors")
   }
 
+  /** REPLAY-SAFE ingest from a LAKE table — the production composition
+    * (stream → lake with manifest provenance → the index pulls),
+    * closing the one hazard direct [[append]] carries: a crashed and
+    * replayed streaming wave re-delivered to `append` would duplicate
+    * vectors, but a replayed wave never creates a second LAKE version
+    * (the lake's (checkpoint, batchId) provenance skips it —
+    * [[graft.sources.LakeLayout.lakeHasCommit]]), and this sync
+    * ingests each lake version EXACTLY ONCE, measured at the serving
+    * surface. Per unsynced version, the change feed's insert rows are
+    * assigned under the live generation's frozen centroids, staged,
+    * MOVED file-by-file into the cell dirs under version-tagged names
+    * (`lsync-<srcTag>-v<N>-…`), and only then marked synced (a file
+    * `_lakesync/<srcTag>-<N>` at the INDEX ROOT, so marks survive
+    * generation cutovers). Crash recovery is idempotent: a version
+    * with no mark first sweeps its tagged files, then redoes the whole
+    * wave — a crash between move and mark can never double-serve.
+    * Update/delete change rows are rejected loudly (an IVF index is
+    * append-only between retrains — route corrections through
+    * [[rebuild]] after fixing the lake). Contract mirrors [[rebuild]]:
+    * single sync maintainer per (lake, index) pair, and a crashed
+    * sync's recovery must run before the next rebuild cutover.
+    * Returns the number of lake versions ingested this pass. */
+  def syncFromLake(s: SparkSession, lakePath: String,
+      indexPath: String): Long = {
+    VectorFunctions.register(s)
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, indexPath)
+    val markDir = hp(s"$indexPath/_lakesync")
+    val srcTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(lakePath).toLong
+        & 0xffffffffL)
+    val synced: Set[Long] =
+      if (!fs.exists(markDir)) Set.empty
+      else fs.listStatus(markDir).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$srcTag-"))
+        .map(_.drop(srcTag.length + 1))
+        .flatMap(v => if (v.nonEmpty && v.forall(_.isDigit))
+          Some(v.toLong) else None)
+        .toSet
+    val versions = graft.sources.LakeLayout.lakeVersions(s, lakePath)
+      .filterNot(synced).sorted
+    if (versions.isEmpty) return 0L
+    val centsDf = s.read.parquet(s"$root/centroids")
+    val vecsDir = hp(s"$root/vectors")
+    versions.foreach { v =>
+      val prefix = s"lsync-$srcTag-v$v-"
+      // crash recovery: an UNMARKED partial wave is swept before redo
+      if (fs.exists(vecsDir)) {
+        val it = fs.listFiles(vecsDir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.startsWith(prefix))
+            fs.delete(st.getPath, false)
+        }
+      }
+      val ch = graft.streaming.CdfStream
+        .changesForVersion(s, lakePath, v, "vec_id")
+      require(ch.filter(col("_change").isin("update", "delete")).isEmpty,
+        s"syncFromLake: version $v of $lakePath carries update/delete " +
+          "changes — an IVF index is append-only between retrains; fix " +
+          "the lake, then rebuild the index")
+      val wave = ch.filter(col("_change") === "insert")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val stage = hp(s"$indexPath/.lsync-stage-$srcTag-v$v")
+      fs.delete(stage, true)
+      assignCells(wave, centsDf)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(stage.toString)
+      // move wave files into the live cell dirs under tagged names —
+      // deterministic per (source, version), so recovery can target
+      // exactly this wave's files
+      fs.listStatus(stage)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          val destDir = new org.apache.hadoop.fs.Path(vecsDir,
+            cd.getPath.getName)
+          fs.mkdirs(destDir)
+          fs.listStatus(cd.getPath)
+            .filter(f => f.isFile &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .foreach { f =>
+              val dest = new org.apache.hadoop.fs.Path(destDir,
+                prefix + f.getPath.getName)
+              if (!fs.rename(f.getPath, dest))
+                throw new IllegalStateException(
+                  s"syncFromLake: move of ${f.getPath} to $dest failed")
+            }
+        }
+      fs.delete(stage, true)
+      // the mark is the commit point — written only after every file
+      // of the wave is in place
+      fs.mkdirs(markDir)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(markDir, s"$srcTag-$v"), true)
+      try out.write(s"src $lakePath\nv $v\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    versions.size.toLong
+  }
+
   /** DRIFT OBSERVABILITY — the measured trigger for the periodic
     * retrain ([[rebuild]]), so maintenance runs on imbalance, not
     * cadence. One row of index health, all bounded by K or one
@@ -478,19 +612,26 @@ object IvfIndex {
         .join(broadcast(centsOpt.get), "cell")
         .agg(avg(VectorFunctions.cosine(col("embedding"), col("centroid"))))
         .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
-    // quantization health: codebook fit over the WHOLE current corpus
-    // — each vector is encoded ON THE FLY under the committed
-    // codebooks (same deterministic assignment that produced the
-    // stored codes, so coded rows score identically) and compared to
-    // its reconstruction; tail vectors the sidecar never saw are
-    // exactly the rows that drag the average down when an append wave
-    // drifts away from the frozen codebooks. One map-side pass over a
-    // 1-row broadcast, same budget as the centroid-fit average.
+    // quantization health: codebook fit over a DETERMINISTIC HASH
+    // SAMPLE of the current corpus (`xxhash64(vec_id) % mod = 0`; mod
+    // grows with corpus size, full scan below 4096 rows so tiny
+    // corpora keep full signal) — each sampled vector is encoded ON
+    // THE FLY under the committed codebooks (same deterministic
+    // assignment that produced the stored codes, so coded rows score
+    // identically) and compared to its reconstruction; tail vectors
+    // the sidecar never saw are exactly the rows that drag the average
+    // down when an append wave drifts away from the frozen codebooks.
+    // A maintenance TICK must not scan the corpus at 100 TB — the
+    // sample keeps the pass O(corpus/mod), stays deterministic across
+    // ticks (hash, not RNG), and `pq_fit_sample` pins the row count so
+    // drift in the metric is attributable. Tail drift is visible at
+    // any mod: the hash is uniform over vec_ids, so a drifted wave
+    // lands in the sample at its corpus-wide rate.
     val fs = fsOf(s, root)
-    val (pqFit, pqTail) = readPqSidecar(fs, root) match {
-      case None => (0.0, 0.0)
+    val (pqFit, pqTail, pqFitSample) = readPqSidecar(fs, root) match {
+      case None => (0.0, 0.0, 0L)
       case Some((_, booksDir, snapFiles)) =>
-        val fit = vecsOpt match {
+        val (fit, sampled) = vecsOpt match {
           case Some(vecs) if nVec > 0 =>
             val books = s.read.parquet(booksDir).collect()
             val m = books.map(_.getAs[Int]("sub")).max + 1
@@ -505,29 +646,39 @@ object IvfIndex {
               ProductQuant.codesCol(m, d), (c, j) =>
                 element_at(element_at(col("books"), j + lit(1)),
                   c + lit(1)).getField("cvec")))
-            Option(ProductQuant.withUnit(
-                vecs.select(col("vec_id"), col("embedding")))
+            val mod = if (nVec < 4096L) 1L else PqFitSampleMod
+            val row = ProductQuant.withUnit(
+                vecs.select(col("vec_id"), col("embedding"))
+                  .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0))
               .crossJoin(broadcast(ProductQuant.packedBooks(s, cb)))
-              .agg(avg(VectorFunctions.cosine(col("u"), recon)))
-              .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
-          case _ => 0.0
+              .agg(avg(VectorFunctions.cosine(col("u"), recon)),
+                count(lit(1)))
+              .head()
+            (Option(row.get(0)).fold(0.0)(_.asInstanceOf[Double]),
+              row.getLong(1))
+          case _ => (0.0, 0L)
         }
         val tailFiles = listVectorFiles(fs, s"$root/vectors") -- snapFiles
         val tailRows =
           if (tailFiles.isEmpty) 0L
           else s.read.option("basePath", s"$root/vectors")
             .parquet(tailFiles.toSeq.sorted: _*).count()
-        (fit, if (nVec > 0) tailRows.toDouble / nVec else 0.0)
+        (fit, if (nVec > 0) tailRows.toDouble / nVec else 0.0, sampled)
     }
     Seq((k.toLong, nVec, counts.count(_ == 0L).toLong,
       counts.head, counts.last, meanOcc, pct(0.5), pct(0.9),
       if (meanOcc > 0) counts.last / meanOcc else 0.0, meanSim,
-      pqFit, pqTail))
+      pqFit, pqTail, pqFitSample))
       .toDF("n_cells", "n_vectors", "empty_cells", "min_occupancy",
         "max_occupancy", "mean_occupancy", "p50_occupancy",
         "p90_occupancy", "occupancy_skew", "mean_centroid_sim",
-        "pq_fit", "pq_tail_frac")
+        "pq_fit", "pq_tail_frac", "pq_fit_sample")
   }
+
+  /** Hash-sample modulus for the `pq_fit` maintenance metric: 1-in-8
+    * of the corpus per tick (deterministic — the same vectors every
+    * tick, so the metric moves only when the data does). */
+  val PqFitSampleMod = 8L
 
   /** RETRAIN as a new generation — the IVF analogue of compaction,
     * scheduled when [[describeIvf]]'s drift metrics say so. Trains
@@ -626,7 +777,8 @@ object IvfIndex {
   /** What one [[maintainIvf]] pass saw and did. */
   final case class IvfMaintenanceReport(skew: Double, fit: Double,
       rebuilt: Boolean, pqFit: Double = 0.0, pqTail: Double = 0.0,
-      sidecarRebuilt: Boolean = false)
+      sidecarRebuilt: Boolean = false, sq8Tail: Double = 0.0,
+      sq8Rebuilt: Boolean = false)
 
   /** ONE-CALL measured maintenance — the policy layer over
     * [[describeIvf]] + [[rebuild]] + [[buildPqSidecar]], mirroring
@@ -656,20 +808,40 @@ object IvfIndex {
     // when quiet) so the health reading — and any triggered retrain —
     // sees every wave, including one stranded by a cutover race
     sweepSourceStragglers(s, indexPath)
-    val hadSidecar =
-      readPqSidecar(fsOf(s, indexPath), layoutRoot(s, indexPath)).isDefined
+    val root0 = layoutRoot(s, indexPath)
+    val fs0 = fsOf(s, root0)
+    val hadSidecar = readPqSidecar(fs0, root0).isDefined
+    val sq8Snap = readSq8Sidecar(fs0, root0).map(_._2)
     val d = describeIvf(s, indexPath).collect()(0)
     val skew = d.getAs[Double]("occupancy_skew")
     val fit = d.getAs[Double]("mean_centroid_sim")
     val pqFit = d.getAs[Double]("pq_fit")
     val pqTail = d.getAs[Double]("pq_tail_frac")
-    val any = d.getAs[Long]("n_vectors") > 0
+    val nVec = d.getAs[Long]("n_vectors")
+    val any = nVec > 0
+    // SQ8 tail: rows appended after the sidecar snapshot (parquet
+    // footer counts — no data pages open). No fit metric exists by
+    // construction: with no codebook there is nothing to drift, so
+    // the tail fraction is the ONLY refresh trigger besides a retrain
+    val sq8Tail = sq8Snap.fold(0.0) { snapFiles =>
+      val tailFiles = listVectorFiles(fs0, s"$root0/vectors") -- snapFiles
+      if (tailFiles.isEmpty || !any) 0.0
+      else s.read.option("basePath", s"$root0/vectors")
+        .parquet(tailFiles.toSeq.sorted: _*).count().toDouble / nVec
+    }
     val trigger = any && (skew > maxSkew || fit < minFit)
     if (trigger) rebuild(s, indexPath, cells, iters)
     val refresh = hadSidecar && any &&
       (trigger || pqFit < minPqFit || pqTail > maxPqTail)
     if (refresh) buildPqSidecar(s, indexPath)
-    IvfMaintenanceReport(skew, fit, trigger, pqFit, pqTail, refresh)
+    // a retrain ALWAYS re-derives a carried SQ8 tier (the new
+    // generation starts bare); otherwise append-encode when the raw
+    // tail is paying float-scan cost on too many probes
+    val sq8Refresh = sq8Snap.isDefined && any &&
+      (trigger || sq8Tail > maxPqTail)
+    if (sq8Refresh) buildSq8Sidecar(s, indexPath)
+    IvfMaintenanceReport(skew, fit, trigger, pqFit, pqTail, refresh,
+      sq8Tail, sq8Refresh)
   }
 
   /** Serve a top-k query from the persisted index: rank cells against
@@ -765,9 +937,14 @@ object IvfIndex {
       .drop("cents")
   }
 
+  /** `where` is the FILTERED batch form: the predicate applies inside
+    * the probed cells, reaching the pruned scan together with the
+    * partition filter — recall contract identical to [[probeTopK]]'s
+    * filtered form (widen nprobe as selectivity rises). */
   def probeTopKBatch(s: SparkSession, indexPath: String, probes: DataFrame,
       k: Int = 10, nprobe: Int = Similarity.IvfProbes,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
     // one resolution pins the generation for model, pruning, and scan
@@ -777,8 +954,9 @@ object IvfIndex {
     // carries a LITERAL partition filter (file pruning at the index)
     val cellsNeeded = ranked.select($"pcell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val cand = s.read.parquet(s"$root/vectors")
+    val cand0 = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+    val cand = where.fold(cand0)(cand0.filter)
     val hits = cand
       .join(broadcast(ranked), $"cell" === $"pcell")
       .withColumn("sim",
@@ -818,11 +996,21 @@ object IvfIndex {
     * Exact per-probe parity with [[probeTopKAdc]] is spec-pinned
     * (IvfBatchProbeSpec's recipe); the codes scan's no-floats plan
     * assertion lives in IvfPqSidecarSpec's recipe. */
+  /** `where` is the FILTERED batch-compressed form — the serving-fleet
+    * query (the reference's own KB search is a source-filtered
+    * match_count search, `reference/archon-workflow.md:38-57`). Codes
+    * carry no metadata, so the predicate applies at the EXACT re-rank,
+    * whose float scan holds the metadata columns; the ADC shortlist is
+    * computed over unfiltered codes, so callers WIDEN `shortlist` by
+    * the predicate's survivor rate (the same lever the raw filtered
+    * path pulls on nprobe) — the spec pins exact parity with the
+    * brute-force filtered scan at widened nprobe + shortlist. */
   def probeTopKBatchAdc(s: SparkSession, indexPath: String,
       probes: DataFrame, k: Int = 10,
       nprobe: Int = Similarity.IvfProbes,
       shortlist: Int = ProductQuant.RerankShortlist,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -896,9 +1084,11 @@ object IvfIndex {
             $"cell" === $"pcell")
           .select($"probe_id", $"vec_id"))
     // exact re-rank of shortlist ∪ tail only: the float read is
-    // O(probes × shortlist), never the corpus
-    val hits = s.read.parquet(s"$root/vectors")
+    // O(probes × shortlist), never the corpus. The metadata predicate
+    // applies HERE — the one stage whose scan carries those columns
+    val rerankBase = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+    val hits = where.fold(rerankBase)(rerankBase.filter)
       .select($"vec_id", $"label", $"embedding")
       .join(broadcast(cand.distinct()), Seq("vec_id"))
       .join(broadcast(probes.select($"probe_id", $"embedding"
@@ -1075,11 +1265,18 @@ object IvfIndex {
     * shortlist cut (the same spec-gated margin contract as
     * [[ProductQuant.sPqRerank]]). Fails loudly if no committed
     * sidecar exists. */
+  /** `where` is the FILTERED compressed form: codes carry no metadata,
+    * so the predicate applies at the exact re-rank (whose float scan
+    * holds the metadata columns) and callers WIDEN `shortlist` by the
+    * predicate's survivor rate — the filtered-ANN lever on the
+    * compressed tier, spec-pinned equal to the brute-force filtered
+    * scan at widened nprobe + shortlist. */
   def probeTopKAdc(s: SparkSession, indexPath: String,
       probe: Array[Double], k: Int = 10,
       nprobe: Int = Similarity.IvfProbes,
       shortlist: Int = ProductQuant.RerankShortlist,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
     // one resolution pins generation + sidecar + tail diff together
@@ -1124,9 +1321,176 @@ object IvfIndex {
           .filter($"cell".isin(probeCells: _*))
           .select($"vec_id"))
     val pc = array(probe.map(lit): _*)
-    val scanned = s.read.parquet(s"$root/vectors")
+    val scanned0 = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(probeCells: _*))
       .join(broadcast(cand.distinct()), Seq("vec_id"), "left_semi")
+    // metadata predicate at the exact re-rank — the one stage whose
+    // scan carries the metadata columns (codes don't)
+    val scanned = where.fold(scanned0)(scanned0.filter)
+    excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
+      .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
+      .select($"vec_id", $"label", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
+  // ------------------------------------------------ SQ8 codes sidecar
+  /** SQ8 CODES SIDECAR — the MIDDLE compression tier, persisted and
+    * generation-pinned like the PQ sidecar but with NO model to train:
+    *
+    *   <root>/sq8codes-<n>/cell=<c>/...parquet  (vec_id, q) per cell
+    *   <root>/_sq8/<n>                          (marker: dir + file
+    *                                             manifest, written LAST)
+    *
+    * One signed byte per dimension (`q_i = round(127·u_i)` over the
+    * unit vector — [[ScalarQuant]]'s exact encoding, so the corpus
+    * drive and the persisted tier score identically): 4× smaller scans
+    * than floats where PQ's 25× is too lossy, and because there is no
+    * codebook the sidecar can never drift — maintenance is
+    * append-encode only (re-run absorbs the raw tail, nothing
+    * retrains). Same atomicity story as the PQ sidecar: each version's
+    * codes live in their own dir named inside an exclusive-created
+    * marker; the previous version is read grace; a rebuild publishes a
+    * new generation bare. Single sidecar maintainer per index — a lost
+    * marker race fails loudly. */
+  def buildSq8Sidecar(s: SparkSession, indexPath: String): Unit = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, root)
+    val files = listVectorFiles(fs, s"$root/vectors")
+    require(files.nonEmpty, s"buildSq8Sidecar: no vectors under $root")
+    val sq8Dir = hp(s"$root/_sq8")
+    val prior =
+      if (!fs.exists(sq8Dir)) Set.empty[Long]
+      else fs.listStatus(sq8Dir).iterator
+        .flatMap(st => claimGen(st.getPath.getName)).toSet
+    val n = prior.foldLeft(-1L)(math.max) + 1L
+    val codesRel = s"sq8codes-$n"
+    val snap = s.read.option("basePath", s"$root/vectors")
+      .parquet(files.toSeq.sorted: _*)
+      .select($"vec_id", $"embedding", $"cell")
+    ProductQuant.withUnit(snap)
+      .withColumn("q",
+        transform($"u", x => round(x * 127).cast("tinyint")))
+      .select($"vec_id", $"cell", $"q")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/$codesRel")
+    fs.mkdirs(sq8Dir)
+    val marker = new org.apache.hadoop.fs.Path(sq8Dir, n.toString)
+    val body = (s"d $codesRel" +:
+      files.toSeq.sorted.map("f " + _)).mkString("", "\n", "\n")
+    try {
+      val out = fs.create(marker, false) // exclusive — the commit point
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e @ (_: java.io.IOException |
+                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+        fs.delete(hp(s"$root/$codesRel"), true)
+        throw new IllegalStateException(
+          s"buildSq8Sidecar lost the marker race for version $n under " +
+            s"$root — the sidecar is single-maintainer by contract; " +
+            "this build's dir was discarded", e)
+    }
+    // reclaim below the grace version; markers before dirs, as always
+    prior.filter(_ < n - 1).foreach { v =>
+      readSq8Marker(fs, root, v).foreach { case (c, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(sq8Dir, v.toString), false)
+        fs.delete(hp(c), true)
+      }
+    }
+  }
+
+  private def readSq8Marker(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, n: Long): Option[(String, Set[String])] = {
+    val p = new org.apache.hadoop.fs.Path(hp(s"$root/_sq8"), n.toString)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.linesIterator.toSeq
+      lines.collectFirst { case l if l.startsWith("d ") =>
+        (s"$root/${l.drop(2).trim}",
+          lines.collect { case f if f.startsWith("f ") => f.drop(2) }.toSet)
+      }
+    }
+  }
+
+  /** Resolve the committed SQ8 sidecar ONCE: (codes dir, encoded-file
+    * snapshot). Max versioned marker wins. */
+  private def readSq8Sidecar(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[(String, Set[String])] = {
+    val sq8Dir = hp(s"$root/_sq8")
+    val versions =
+      if (!fs.exists(sq8Dir)) Set.empty[Long]
+      else fs.listStatus(sq8Dir).iterator
+        .flatMap(st => claimGen(st.getPath.getName)).toSet
+    if (versions.isEmpty) None else readSq8Marker(fs, root, versions.max)
+  }
+
+  /** Serving from the SQ8 tier: the shortlist stage scans only
+    * (vec_id, q) of the probed cells — 4× smaller than the float scan,
+    * on the same nprobe/cells partition pruning (spec asserts the
+    * sq8codes scan reads no embedding column) — then exact cosine
+    * re-ranks ONLY the shortlist plus the raw uncompacted tail (files
+    * appended after the sidecar). Scoring is asymmetric: the exact
+    * unit probe against the byte codes, one codegen'd dot per row.
+    * `where` follows the compressed-tier filtered contract: the
+    * predicate applies at the exact re-rank; widen `shortlist` by the
+    * survivor rate. Fails loudly if no committed sidecar exists. */
+  def probeTopKSq8(s: SparkSession, indexPath: String,
+      probe: Array[Double], k: Int = 10,
+      nprobe: Int = Similarity.IvfProbes,
+      shortlist: Int = ScalarQuant.Shortlist,
+      excludeId: Option[Long] = None,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    // one resolution pins generation + sidecar + tail diff together
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, root)
+    val (codesDir, snapshot) = readSq8Sidecar(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"probeTopKSq8: no committed SQ8 sidecar under $root — run " +
+          "buildSq8Sidecar first"))
+    val cents = s.read.parquet(s"$root/centroids")
+      .collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      .toMap
+    val nrm = math.sqrt(probe.map(x => x * x).sum)
+    val probeU = if (nrm > 0) probe.map(_ / nrm) else probe
+    val probeCells = cents.toSeq
+      .map { case (i, c) => (c.zip(probeU).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
+    val pu = array(probeU.map(lit): _*)
+    val codeBase = s.read.parquet(codesDir)
+      .filter($"cell".isin(probeCells: _*))
+    val sqCand = excludeId.fold(codeBase)(id =>
+        codeBase.filter($"vec_id" =!= id))
+      .withColumn("approx",
+        VectorFunctions.dot(transform($"q", c => c.cast("double")), pu)
+          / 127.0)
+      .orderBy($"approx".desc, $"vec_id").limit(shortlist)
+      .select($"vec_id")
+    // uncompacted tail: appended after the sidecar — always candidates
+    val tail = listVectorFiles(fs, s"$root/vectors") -- snapshot
+    val cand =
+      if (tail.isEmpty) sqCand
+      else sqCand.union(
+        s.read.option("basePath", s"$root/vectors")
+          .parquet(tail.toSeq.sorted: _*)
+          .filter($"cell".isin(probeCells: _*))
+          .select($"vec_id"))
+    val pc = array(probe.map(lit): _*)
+    val scanned0 = s.read.parquet(s"$root/vectors")
+      .filter($"cell".isin(probeCells: _*))
+      .join(broadcast(cand.distinct()), Seq("vec_id"), "left_semi")
+    val scanned = where.fold(scanned0)(scanned0.filter)
     excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
       .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))
       .filter(!isnan($"sim") && $"sim".isNotNull)
@@ -1219,9 +1583,63 @@ object IvfIndex {
       .orderBy($"probe_id", $"rank")
   }
 
+  // SQ8 sidecar staged at most once per staged index root
+  private val sq8Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def stagedSq8Index(s: SparkSession, dir: String): String = {
+    val root = stagedIndex(s, dir)
+    sq8Staged.computeIfAbsent(root, { _ => buildSq8Sidecar(s, root); true })
+    root
+  }
+
+  /** Registry drive: serving from the SQ8 tier of the persisted index
+    * — [[probeTopKSq8]] against the staged corpus index with its int8
+    * sidecar, the middle rung of the raw ↔ SQ8 (4×) ↔ PQ (25×)
+    * serving ladder now persisted end-to-end. Rows-only by design
+    * (engine-local centroids); correctness is pinned by the
+    * sq8-vs-raw parity spec plus the codes scan's no-floats plan
+    * assertion (IvfSq8SidecarSpec recipe). */
+  def sIvfSq8Serve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    probeTopKSq8(s, stagedSq8Index(s, dir), probe,
+      excludeId = Some(Similarity.ProbeId))
+  }
+
+  /** Registry drive: FILTERED serving from the COMPRESSED persisted
+    * index — [[probeTopKAdc]] with the standard metadata predicate
+    * (`label = FilterLabel`, ~10 % of the corpus), `shortlist` widened
+    * by the predicate's survivor rate so the filtered top-k survives
+    * the unfiltered ADC cut: filtered + compressed is the query a
+    * serving fleet actually runs (the reference's KB search is a
+    * source-filtered match_count search). Rows-only by design
+    * (engine-local centroids and codebooks); correctness is pinned by
+    * the filtered-parity spec — exact equality with the oracle-checked
+    * brute-force filtered scan at widened nprobe/shortlist — plus the
+    * codes scan's no-floats plan assertion. */
+  def sIvfPqFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    probeTopKAdc(s, stagedPqIndex(s, dir), probe,
+      shortlist = ProductQuant.RerankShortlist * 10,
+      excludeId = Some(Similarity.ProbeId),
+      where = Some($"label" === Similarity.FilterLabel))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("s_ivf_batch" -> (sIvfBatch _),
       "s_ivfpq_serve" -> (sIvfPqServe _),
-      "s_ivfpq_batch" -> (sIvfPqBatch _))
+      "s_ivfpq_batch" -> (sIvfPqBatch _),
+      "s_ivfpq_filtered" -> (sIvfPqFiltered _),
+      "s_ivfsq8_serve" -> (sIvfSq8Serve _))
   val oracle: Map[String, String] = Map.empty
 }

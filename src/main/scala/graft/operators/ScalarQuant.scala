@@ -29,10 +29,10 @@ import org.apache.spark.sql.functions._
   * margin, same contract as [[ProductQuant.sPqRerank]]), which lets
   * the registry hash-check it against the SAME DuckDB oracle as the
   * brute-force scan. Codes build in one map-side pass (no shuffle, no
-  * training job); at scale they persist next to the floats exactly
-  * like the PQ sidecar — the generation-pinning story is identical, so
-  * this module keeps the corpus-drive form and lets [[IvfIndex]] own
-  * persistence. */
+  * training job); the PERSISTED, generation-pinned tier lives in
+  * [[IvfIndex.buildSq8Sidecar]] / [[IvfIndex.probeTopKSq8]] (same
+  * versioned-marker publish as the PQ sidecar, same encoding as here —
+  * spec-pinned), so this module keeps the corpus-drive form. */
 object ScalarQuant {
 
   /** Shortlist for the exact re-rank stage: wide enough that the true

@@ -92,6 +92,48 @@ object Catalog {
     LakeLayout.readLakeVersion(spark, tablePath, version)
       .createOrReplaceTempView(viewName)
 
+  // ------------------------- persistent lake-name registrations (HMS)
+
+  /** The catalog database holding one zero-data marker table per
+    * registered lake name, its path and merge key in table properties
+    * — the metastore record that lets a FRESH session resolve a lake
+    * name (the "Spark SQL with Hive metastore" posture: temp views die
+    * with their session; the metastore is the durable name authority).
+    * Works identically against the in-memory catalog (shared by
+    * `newSession()`) and a real HMS (shared by every driver). */
+  val LakeRegistryDb = "graft_lake_registry"
+
+  /** Record name → (table path, merge key) as table properties.
+    * Idempotent and CHEAP when unchanged (one lookup, no DDL) —
+    * registrations run inside query drives, so the steady-state cost
+    * must be a catalog read, not a commit. */
+  def persistLakeRegistration(spark: SparkSession, name: String,
+      tablePath: String, key: Option[String]): Unit =
+    if (lookupLakeRegistration(spark, name) != Some((tablePath, key))) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $LakeRegistryDb")
+      spark.sql(s"DROP TABLE IF EXISTS $LakeRegistryDb.$name")
+      val props = s"'graft.lake.path'='${tablePath.replace("'", "''")}'" +
+        key.map(k => s", 'graft.lake.key'='$k'").getOrElse("")
+      // a marker table carries no data — only the properties matter;
+      // parquet source keeps it readable (empty) if ever selected
+      spark.sql(
+        s"""CREATE TABLE $LakeRegistryDb.$name (graft_lake_marker INT)
+            USING parquet TBLPROPERTIES ($props)""")
+    }
+
+  /** The persisted (path, key) record for a lake name, if any. */
+  def lookupLakeRegistration(spark: SparkSession,
+      name: String): Option[(String, Option[String])] =
+    if (!spark.catalog.databaseExists(LakeRegistryDb) ||
+        !spark.catalog.tableExists(s"$LakeRegistryDb.$name")) None
+    else {
+      val props = spark
+        .sql(s"SHOW TBLPROPERTIES $LakeRegistryDb.$name")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      props.get("graft.lake.path")
+        .map(p => (p, props.get("graft.lake.key")))
+    }
+
   // -------------------------- dynamic partition pruning registry drive
 
   /** Stage events as a DATE-PARTITIONED external table (dirs keyed by

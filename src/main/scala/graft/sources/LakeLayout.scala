@@ -1285,11 +1285,21 @@ object LakeLayout {
         // strict identical-column-set contract.
         val extra = updates.schema.fields
           .filterNot(f => base.columns.contains(f.name))
-        if (!evolveSchema)
-          require(extra.isEmpty &&
+        if (!evolveSchema) {
+          if (deleteWhen.isDefined)
+            // merge sources may carry SOURCE-ONLY columns (a delete
+            // marker the table must not evolve to carry): they are
+            // visible to `deleteWhen` and never written — the batch
+            // must still supply every table column
+            require(base.columns.forall(updates.columns.contains),
+              "mergeIntoLake requires the source to carry every table " +
+                s"column; missing: ${base.columns
+                  .filterNot(updates.columns.contains).mkString(", ")}")
+          else require(extra.isEmpty &&
               base.columns.sorted.sameElements(updates.columns.sorted),
             "upsertIntoLake requires identical column sets " +
               "(pass evolveSchema=true to add columns)")
+        }
         updates.schema.fields.filter(f => base.columns.contains(f.name))
           .foreach { f =>
             val committed = base.schema(f.name).dataType
@@ -1298,15 +1308,17 @@ object LakeLayout {
                 s"with committed type $committed")
           }
         val evolved = org.apache.spark.sql.types.StructType(
-          base.schema.fields ++ extra)
+          base.schema.fields ++ (if (evolveSchema) extra
+          else Array.empty[org.apache.spark.sql.types.StructField]))
         // delete-marked rows participate in the touch set and the
-        // anti-join (their base rows must go) but not in the union
-        val upAll = updates.select(evolved.fields.map(f =>
+        // anti-join (their base rows must go) but not in the union;
+        // the keep-filter runs BEFORE the table-schema projection so
+        // `deleteWhen` can reference source-only marker columns
+        val upKeep = keepRows(updates).select(evolved.fields.map(f =>
           if (updates.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        val upKeep = keepRows(upAll)
         val files = resolveFiles(fs, table, cur)
-        val touched = touchedFilePaths(spark, files, upAll, key)
+        val touched = touchedFilePaths(spark, files, updates, key)
         val (rewritten, carried) = files.partition(f => touched(f.path))
         val v = cur.version + 1
         val dataRel = s"data/${versionName(v)}$dirTag"
@@ -1318,7 +1330,7 @@ object LakeLayout {
             // deletion vectors applied — a raw read here would
             // resurrect dv-deleted rows into the rewrite
             filesFrame(spark, tablePath, rewritten, Some(evolved))
-              .join(upAll.select(col(key)).distinct(), Seq(key), "left_anti")
+              .join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
               .unionByName(upKeep)
         // OPTIMIZED WRITE: without this the merged rows land in the
         // join's HASH partitioning — up to shuffle-partition files per
@@ -3656,6 +3668,63 @@ object LakeLayout {
          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
        FROM final GROUP BY 1 ORDER BY 1"""
 
+  /** Oracle-checked drive of the CONDITIONAL / column-assignment SQL
+    * MERGE ([[LakeSql]]'s general clause form, lowered to ONE OCC
+    * upsert commit): matched source rows (keys ≡ 0 mod 5) update ONLY
+    * where the condition holds (`o_orderstatus = 'F'`), each
+    * assignment exercising a different reference class — a source
+    * column (`concat('M-', s.o_orderstatus)`) and a target column
+    * (`t.o_totalprice + 1.0`) — while matched-but-failing rows stay
+    * byte-untouched; unmatched source rows (keys ≡ 1 mod 5, shifted
+    * +20M) insert via `INSERT *`. The oracle reproduces the merge
+    * relationally over plain orders, so a hash match proves clause
+    * conditions, assignment scoping, and the untouched-row contract
+    * all at once (the decimal-cast price sum pins the +1.0 to exactly
+    * the condition's rows). */
+  def qLakeSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lake = cloneLake(s, stagedOrders(s, dir, 4))
+    LakeSql.register(s, "sql_mrg_lake", lake, key = Some("o_orderkey"))
+    orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .unionByName(orders.filter(pmod(col("o_orderkey"), lit(5)) === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderpriority", lit("X-NEW")))
+      .createOrReplaceTempView("sql_mrg_src")
+    LakeSql.sql(s,
+      """MERGE INTO sql_mrg_lake t USING sql_mrg_src s
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED AND s.o_orderstatus = 'F' THEN
+           UPDATE SET o_orderpriority = concat('M-', s.o_orderstatus),
+                      o_totalprice = t.o_totalprice + 1.0
+         WHEN NOT MATCHED THEN INSERT *""")
+    LakeSql.sql(s,
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM sql_mrg_lake GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
+  }
+
+  val qLakeSqlMergeSql: String =
+    """WITH final AS (
+         SELECT CASE WHEN o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+                     THEN 'M-' || o_orderstatus
+                     ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+                THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderkey
+         FROM orders
+         UNION ALL
+         SELECT 'X-NEW', o_totalprice, o_orderkey + 20000000
+         FROM orders WHERE o_orderkey % 5 = 1)
+       SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+       FROM final GROUP BY 1 ORDER BY 1"""
+
   /** Oracle-checked drive of [[restoreLake]]: a bad wave lands on the
     * staged base (every 4th order's priority clobbered), then RESTORE
     * rolls the table back to v0 as a metadata-only commit and the
@@ -4024,6 +4093,7 @@ object LakeLayout {
     "q_lake_time_travel" -> (qLakeTimeTravel _),
     "q_lake_sql_asof" -> (qLakeSqlAsof _),
     "q_lake_sql_dml" -> (qLakeSqlDml _),
+    "q_lake_sql_merge" -> (qLakeSqlMerge _),
     "q_lake_restore" -> (qLakeRestore _),
     "q_lake_range_read" -> (qLakeRangeRead _),
     "q_lake_ts_read" -> (qLakeTsRead _),
@@ -4044,6 +4114,7 @@ object LakeLayout {
     // the SQL face resolves to the same pinned snapshot → same truth
     "q_lake_sql_asof" -> qLakeTimeTravelSql,
     "q_lake_sql_dml" -> qLakeSqlDmlSql,
+    "q_lake_sql_merge" -> qLakeSqlMergeSql,
     // a correct rollback restores exactly the plain-orders truth
     "q_lake_restore" -> qLakeTimeTravelSql,
     "q_lake_range_read" -> qLakeRangeReadSql,

@@ -80,35 +80,62 @@ object LakeSql {
 
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
 
+  // FROM/JOIN table positions — the places a fresh session may first
+  // mention a metastore-recorded lake name (see the hydration step in
+  // [[sql]]'s rewrite branch)
+  private val tableRefRe = s"(?i)\\b(?:FROM|JOIN)\\s+($ident)\\b".r
+
   /** Bind `name` to a lake table and publish its current snapshot as a
     * session view. Re-register (or just call [[sql]] again) to advance
-    * the plain view to a newer commit. The binding is scoped to
-    * `spark` — sibling sessions (`spark.newSession()`) neither see it
-    * nor can overwrite it. `key` declares the table's merge/delete
-    * key column — required before the DML statements (DELETE / MERGE)
-    * can lower to the file-granular OCC operations. */
+    * the plain view to a newer commit. The SESSION binding is scoped
+    * to `spark` — sibling sessions (`spark.newSession()`) neither see
+    * it nor can overwrite it — but the name→(path, key) record is ALSO
+    * persisted as metastore table properties
+    * ([[Catalog.persistLakeRegistration]]), so a FRESH session sharing
+    * the catalog (a `newSession()`, or any driver on the same Hive
+    * metastore) resolves the name in [[sql]] without re-registering:
+    * the first statement that mentions it hydrates that session's
+    * registry and view from the metastore record. `key` declares the
+    * table's merge/delete key column — required before the DML
+    * statements (DELETE / MERGE) can lower to the file-granular OCC
+    * operations. */
   def register(spark: SparkSession, name: String, tablePath: String,
       key: Option[String] = None): Unit = {
     require(name.matches(ident),
       s"lake table name must be a plain SQL identifier, got '$name'")
     registryOf(spark)(name.toLowerCase) = (name, tablePath, key)
     Catalog.registerLakeView(spark, tablePath, name)
+    Catalog.persistLakeRegistration(spark, name, tablePath, key)
   }
+
+  /** Resolve a lake name: this session's registry first, then the
+    * shared metastore record (which hydrates the session registry and
+    * publishes the current-snapshot view under the statement's own
+    * spelling, so case-sensitive sessions resolve what they typed). */
+  private def resolve(spark: SparkSession,
+      name: String): Option[(String, String, Option[String])] =
+    registryOf(spark).get(name.toLowerCase).orElse {
+      Catalog.lookupLakeRegistration(spark, name).map { case (p, k) =>
+        val entry = (name, p, k)
+        registryOf(spark)(name.toLowerCase) = entry
+        Catalog.registerLakeView(spark, p, name)
+        entry
+      }
+    }
 
   private def isRegistered(spark: SparkSession, name: String): Boolean =
-    registryOf(spark).contains(name.toLowerCase)
+    resolve(spark, name).isDefined
 
-  private def pathOf(spark: SparkSession, name: String): String = {
-    val registered = registryOf(spark)
-    registered.get(name.toLowerCase).map(_._2)
+  private def pathOf(spark: SparkSession, name: String): String =
+    resolve(spark, name).map(_._2)
       .getOrElse(throw new IllegalArgumentException(
-        s"'$name' is not a registered lake table in this session " +
-          s"(registered: ${registered.values.map(_._1).toSeq.sorted.mkString(", ")})"))
-  }
+        s"'$name' is not a registered lake table in this session or " +
+          s"its catalog (registered here: ${registryOf(spark).values
+            .map(_._1).toSeq.sorted.mkString(", ")})"))
 
   private def keyOf(spark: SparkSession, name: String,
       statement: String): String =
-    registryOf(spark).get(name.toLowerCase).flatMap(_._3)
+    resolve(spark, name).flatMap(_._3)
       .getOrElse(throw new IllegalArgumentException(
         s"'$name' was registered without a key column — $statement " +
           "needs one to lower to the file-granular lake operation; " +
@@ -146,7 +173,8 @@ object LakeSql {
   private val updateRe =
     s"(?is)^\\s*UPDATE\\s+($ident)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
   private val mergeRe =
-    (s"(?is)^\\s*MERGE\\s+INTO\\s+($ident)\\s+USING\\s+($ident)\\s+" +
+    (s"(?is)^\\s*MERGE\\s+INTO\\s+($ident)(?:\\s+(?:AS\\s+)?(?!USING\\b)($ident))?" +
+      s"\\s+USING\\s+($ident)(?:\\s+(?:AS\\s+)?(?!ON\\b)($ident))?\\s+" +
       s"ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$$").r
   private val mergeOnRe =
     s"(?is)^\\s*(?:$ident\\s*\\.\\s*)?($ident)\\s*=\\s*(?:$ident\\s*\\.\\s*)?($ident)\\s*$$".r
@@ -157,6 +185,19 @@ object LakeSql {
     ("(?is)^WHEN\\s+MATCHED\\s+AND\\s+(.+?)\\s+THEN\\s+DELETE\\s+" +
       "WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
       "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*$").r
+  // general clause grammar (the conditional / column-level forms):
+  // clauses split at WHEN MATCHED / WHEN NOT MATCHED boundaries (a
+  // CASE WHEN inside a condition or assignment never matches those)
+  private val clauseBoundary = "(?i)(?=\\bWHEN\\s+(?:NOT\\s+)?MATCHED\\b)"
+  private val clauseDeleteRe =
+    "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$".r
+  private val clauseUpdateRe =
+    "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+UPDATE\\s+SET\\s+(.+?)\\s*$".r
+  private val clauseInsertStarRe =
+    "(?is)^WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*$".r
+  private val clauseInsertColsRe =
+    ("(?is)^WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s*\\((.+?)\\)" +
+      "\\s*VALUES\\s*\\((.+?)\\)\\s*$").r
 
   // one fresh provenance id per SQL mutation — the SQL face is a
   // human/administrative surface, not a replayed micro-batch stream,
@@ -222,9 +263,10 @@ object LakeSql {
         updateResult(spark, name, sets, pred)
       case deleteRe(name, pred) if isRegistered(spark, name) =>
         deleteResult(spark, name, pred)
-      case mergeRe(name, srcName, on, clauses)
+      case mergeRe(name, tAlias, srcName, sAlias, on, clauses)
           if isRegistered(spark, name) =>
-        mergeResult(spark, name, srcName, on, clauses)
+        mergeResult(spark, name, Option(tAlias), srcName, Option(sAlias),
+          on, clauses)
       case _ =>
         // pin AS-OF references as snapshot views. Two guards keep the
         // rewrite from touching text that is not a table reference:
@@ -250,6 +292,13 @@ object LakeSql {
               pinnedView(spark, name, v)
             })
         }
+        // hydrate table references this session has never seen from the
+        // METASTORE record (a fresh session's first SELECT of a lake
+        // name) — only FROM/JOIN positions, so column names don't cost
+        // catalog lookups
+        tableRefRe.findAllMatchIn(rewritten).map(_.group(1)).toSet
+          .filterNot(n => registryOf(spark).contains(n.toLowerCase))
+          .foreach(n => resolve(spark, n))
         // advance the plain current-snapshot views the statement uses,
         // always under the ORIGINAL registered casing
         registryOf(spark).values.foreach { case (orig, path, _) =>
@@ -428,8 +477,8 @@ object LakeSql {
     Seq((orig, v)).toDF("table_name", "version")
   }
 
-  /** Minimal `MERGE INTO` — the two standard shapes, lowered to the
-    * existing OCC merge core:
+  /** `MERGE INTO` — lowered to the OCC merge core in ONE commit per
+    * statement, three supported shapes:
     *
     *   MERGE INTO t USING s ON t.k = s.k
     *     WHEN MATCHED THEN UPDATE SET *
@@ -439,15 +488,37 @@ object LakeSql {
     *     WHEN MATCHED AND <cond> THEN DELETE
     *     WHEN MATCHED THEN UPDATE SET *
     *     WHEN NOT MATCHED THEN INSERT *           → mergeIntoLakeOcc
+    *                                                (one atomic commit:
+    *                                                updates, inserts and
+    *                                                removals land in one
+    *                                                version — a reader
+    *                                                can never observe a
+    *                                                half-applied merge)
+    *
+    *   MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k
+    *     WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...  (or SET *)
+    *     [WHEN NOT MATCHED THEN INSERT *
+    *      | WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]
+    *                                              → join lowering +
+    *                                                upsertIntoLakeOcc
     *
     * `s` is any resolvable table/view name (a registered lake name's
-    * view is refreshed first); the ON clause must equate one column
-    * with itself across the two sides (the lake's single merge key);
-    * `<cond>` is evaluated over SOURCE rows (a delete-marked source
-    * row removes its matched base row), constraints gate the kept
-    * rows inside the lowered operation itself. */
+    * view is refreshed first); the ON clause must equate the table's
+    * registered merge key with itself across the two sides. In the
+    * delete form `<cond>` is evaluated over SOURCE rows and may
+    * reference source-only marker columns (never written to the
+    * table). In the conditional/assignment form, conditions and
+    * expressions reference the two sides by table name, explicit
+    * alias, or the `t`/`s` convention; matched rows failing the
+    * condition stay untouched; unassigned columns keep their target
+    * value (UPDATE) or null-fill (explicit-column INSERT). Constraints
+    * gate inside the lowered operation. Scale: the SET * forms never
+    * read the table (file-granular touch sets); the assignment form
+    * reads the target snapshot once for its join — the standard
+    * Delta-merge cost — while the commit itself stays file-granular. */
   private def mergeResult(spark: SparkSession, name: String,
-      srcName: String, on: String, clauses: String): DataFrame = {
+      tAlias: Option[String], srcName: String, sAlias: Option[String],
+      on: String, clauses: String): DataFrame = {
     import spark.implicits._
     val path = pathOf(spark, name)
     val key = on match {
@@ -460,44 +531,179 @@ object LakeSql {
         s"MERGE INTO $name: unsupported ON clause '$on' — use " +
           "ON t.<key> = s.<key>")
     }
+    // a MERGE keyed on anything but the registered merge key would
+    // silently collapse rows sharing that column's value — fail loudly
+    // instead (standard MERGE errors on multiple matches)
+    resolve(spark, name).flatMap(_._3).foreach { reg =>
+      require(key.equalsIgnoreCase(reg),
+        s"MERGE INTO $name: ON column '$key' must equal the " +
+          s"registered merge key '$reg'")
+    }
     if (isRegistered(spark, srcName)) refreshView(spark, srcName)
     val src = spark.table(srcName)
     val bid = sqlBatchId.incrementAndGet()
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val r = clauses.trim match {
       case mergeUpsertRe() =>
         LakeLayout.upsertIntoLakeOcc(spark, path, src, key,
           writerId = "sql", batchId = bid)
       case mergeDeleteUpsertRe(cond) =>
-        // the delete condition may reference SOURCE-ONLY columns (a
-        // marker the table must not evolve to carry), so the clause
-        // splits at the source: doomed keys lower to the merge-on-read
-        // OCC delete, the rest — projected to the table's committed
-        // columns — to the OCC upsert. A source key is either doomed
-        // or kept, never both, so the two commits compose to the
-        // three-clause merge semantics.
-        val c = coalesce(expr(cond), lit(false))
-        val tableCols = LakeLayout.readLake(spark, path)
-          .getOrElse(throw new IllegalArgumentException(
-            s"MERGE INTO $name: the table has no committed version"))
-          .columns.toIndexedSeq
-        val kept = src.filter(!c).select(tableCols.map(col): _*)
-        val res = LakeLayout.upsertIntoLakeOcc(spark, path, kept, key,
+        // ONE atomic commit: the delete condition (evaluated over
+        // source rows; source-only marker columns allowed — the merge
+        // core filters before its table-schema projection, so markers
+        // are visible to the condition and never written)
+        LakeLayout.mergeIntoLakeOcc(spark, path, src, key,
+          deleteWhen = coalesce(expr(stripSourceQuals(
+            cond, srcName, sAlias)), lit(false)),
           writerId = "sql", batchId = bid)
-        val dooms = src.filter(c).select(col(key))
-        if (!dooms.isEmpty)
-          LakeLayout.deleteFromLakeDvOcc(spark, path, dooms, key,
-            writerId = "sql", batchId = sqlBatchId.incrementAndGet())
-        res
-      case other => throw new IllegalArgumentException(
-        s"MERGE INTO $name: unsupported clause form '$other' — " +
-          "supported: [WHEN MATCHED AND <cond> THEN DELETE] " +
-          "WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT *")
+      case other =>
+        mergeGeneral(spark, name, path, key, tAlias, srcName, sAlias,
+          src, other, bid)
     }
     val orig = refreshView(spark, name)
     Seq((orig, r.filesRewritten.toLong, r.version))
       .toDF("table_name", "files_rewritten", "version")
+  }
+
+  /** Drop source-side qualifiers from an expression evaluated directly
+    * over the source frame (the delete-form condition): `s.marker`,
+    * `<srcName>.marker`, `<alias>.marker` all resolve as `marker`. */
+  private def stripSourceQuals(e: String, srcName: String,
+      sAlias: Option[String]): String = {
+    val quals = (Seq(srcName) ++ sAlias.toSeq ++
+      (if (sAlias.isEmpty) Seq("s") else Nil))
+      .map(java.util.regex.Pattern.quote).mkString("|")
+    rewriteOutsideLiterals(e)(
+      _.replaceAll(s"(?i)\\b(?:$quals)\\s*\\.\\s*", ""))
+  }
+
+  /** The conditional / column-assignment MERGE forms, lowered to ONE
+    * OCC upsert: matched rows passing the condition become replacement
+    * rows (assignments applied over a target⋈source join, unassigned
+    * columns carried from the target), unmatched source rows become
+    * inserts (source row for `INSERT *`, expression list with null
+    * fill for the explicit form); matched rows failing the condition
+    * are simply absent from the batch — untouched on disk. */
+  private def mergeGeneral(spark: SparkSession, name: String,
+      path: String, key: String, tAlias: Option[String], srcName: String,
+      sAlias: Option[String], src: org.apache.spark.sql.DataFrame,
+      clauses: String, bid: Long): LakeLayout.LakeUpsertResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val snap = LakeLayout.readLake(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE INTO $name: the table has no committed version"))
+    val tFields = snap.schema.fields.toIndexedSeq
+    // qualifier canonicalization: the two sides are joined under the
+    // internal aliases __t/__s, and every way the statement may name
+    // them (table name, explicit alias, or the t/s convention when no
+    // alias was given) rewrites to those — outside string literals
+    val tQuals = (Seq(name) ++ tAlias.toSeq ++
+      (if (tAlias.isEmpty) Seq("t") else Nil)).map(_.toLowerCase).distinct
+    val sQuals = (Seq(srcName) ++ sAlias.toSeq ++
+      (if (sAlias.isEmpty) Seq("s") else Nil)).map(_.toLowerCase).distinct
+    require(tQuals.intersect(sQuals).isEmpty,
+      s"MERGE INTO $name: target and source qualifiers overlap " +
+        s"(${tQuals.intersect(sQuals).mkString(", ")}) — alias one side")
+    def canon(e: String): String = {
+      val tq = tQuals.map(java.util.regex.Pattern.quote).mkString("|")
+      val sq = sQuals.map(java.util.regex.Pattern.quote).mkString("|")
+      rewriteOutsideLiterals(e)(
+        _.replaceAll(s"(?i)\\b(?:$tq)\\s*\\.\\s*", "__t.")
+          .replaceAll(s"(?i)\\b(?:$sq)\\s*\\.\\s*", "__s."))
+    }
+    // parse the clause list
+    var update: Option[(Option[String], Option[Seq[(String, String)]])] =
+      None // (condition, assignments — None = SET *)
+    var insertStar = false
+    var insertCols: Option[(Seq[String], Seq[String])] = None
+    clauses.split(clauseBoundary).map(_.trim).filter(_.nonEmpty)
+      .foreach {
+        case clauseUpdateRe(cond, sets) =>
+          require(update.isEmpty,
+            s"MERGE INTO $name: at most one WHEN MATCHED ... UPDATE clause")
+          val assigns =
+            if (sets.trim == "*") None
+            else Some(splitAssignments(sets).map { a =>
+              val i = a.indexOf('=')
+              require(i > 0,
+                s"MERGE INTO $name: malformed assignment '$a'")
+              (a.substring(0, i).trim, a.substring(i + 1).trim)
+            })
+          assigns.foreach(_.foreach { case (c, _) =>
+            val bare = c.substring(c.lastIndexOf('.') + 1).trim
+            require(tFields.exists(_.name.equalsIgnoreCase(bare)),
+              s"MERGE INTO $name: no such column '$bare' " +
+                s"(columns: ${snap.columns.mkString(", ")})")
+            require(!bare.equalsIgnoreCase(key),
+              s"MERGE INTO $name: cannot SET the merge key '$key'")
+          })
+          update = Some((Option(cond), assigns))
+        case clauseInsertStarRe() => insertStar = true
+        case clauseInsertColsRe(cols, vals) =>
+          val cs = splitAssignments(cols)
+          val vs = splitAssignments(vals)
+          require(cs.length == vs.length,
+            s"MERGE INTO $name: INSERT names ${cs.length} columns " +
+              s"but VALUES has ${vs.length} expressions")
+          cs.foreach(c => require(
+            tFields.exists(_.name.equalsIgnoreCase(c)),
+            s"MERGE INTO $name: no such column '$c' " +
+              s"(columns: ${snap.columns.mkString(", ")})"))
+          require(cs.exists(_.equalsIgnoreCase(key)),
+            s"MERGE INTO $name: the INSERT column list must include " +
+              s"the merge key '$key'")
+          insertCols = Some((cs, vs))
+        case clauseDeleteRe(_) =>
+          throw new IllegalArgumentException(
+            s"MERGE INTO $name: a DELETE clause combines only with " +
+              "the SET * form — WHEN MATCHED AND <cond> THEN DELETE " +
+              "WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT *")
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO $name: unsupported clause '$other'")
+      }
+    val tgt = snap.as("__t")
+    val srcA = src.as("__s")
+    val joinOn = col(s"__t.$key") === col(s"__s.$key")
+    val updated = update.map { case (condTxt, assigns) =>
+      val cond = condTxt
+        .map(c => coalesce(expr(canon(c)), lit(false)))
+        .getOrElse(lit(true))
+      val projected = assigns match {
+        case None => tFields.map(f =>
+          col(s"__s.${f.name}").cast(f.dataType).as(f.name))
+        case Some(as) => tFields.map { f =>
+          as.find { case (c, _) =>
+            c.substring(c.lastIndexOf('.') + 1).trim
+              .equalsIgnoreCase(f.name)
+          } match {
+            case Some((_, e)) =>
+              expr(canon(e)).cast(f.dataType).as(f.name)
+            case None => col(s"__t.${f.name}").as(f.name)
+          }
+        }
+      }
+      tgt.join(srcA, joinOn, "inner").filter(cond).select(projected: _*)
+    }
+    val inserted =
+      if (insertStar)
+        Some(srcA.join(tgt, joinOn, "left_anti").select(tFields.map(f =>
+          col(s"__s.${f.name}").cast(f.dataType).as(f.name)): _*))
+      else insertCols.map { case (cs, vs) =>
+        val byCol = cs.map(_.toLowerCase).zip(vs).toMap
+        srcA.join(tgt, joinOn, "left_anti").select(tFields.map { f =>
+          byCol.get(f.name.toLowerCase) match {
+            case Some(v) => expr(canon(v)).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      }
+    val batch = (updated.toSeq ++ inserted.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE INTO $name: no supported clause found in '$clauses'"))
+    LakeLayout.upsertIntoLakeOcc(spark, path, batch, key,
+      writerId = "sql", batchId = bid)
   }
 
   /** A view pinned to one committed version — its name encodes the

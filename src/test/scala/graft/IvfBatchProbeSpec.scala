@@ -155,4 +155,60 @@ class IvfBatchProbeSpec extends SparkSuite {
         s"probe $id: tail twin must rank first, got ${withTail(id)}")
     }
   }
+
+  test("FILTERED batch serving equals per-probe filtered serving — raw and compressed paths") {
+    import graft.operators.{ProductQuant, Similarity}
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-fbatch")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.buildPqSidecar(spark, idx)
+    val w = Some($"label" === Similarity.FilterLabel)
+    val probeRows = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(5)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val probes = probeRows.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray))
+
+    def perProbe(rows: Array[org.apache.spark.sql.Row])
+        : Map[Long, Seq[(Long, Double, Int)]] = rows
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(3), r.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+
+    // raw batch: the predicate applies inside the probed cells
+    val rawBatch = perProbe(IvfIndex.probeTopKBatch(spark, idx, probeRows,
+      k = 5, nprobe = 4, excludeSelf = true, where = w).collect())
+    probes.foreach { case (id, emb) =>
+      val single = IvfIndex.probeTopK(spark, idx, emb, k = 5, nprobe = 4,
+        excludeId = Some(id), where = w).collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(2), i + 1) }.toSeq
+      assert(rawBatch.getOrElse(id, Seq.empty) == single,
+        s"probe $id: filtered batch ${rawBatch.get(id)} != $single")
+    }
+
+    // compressed batch: the predicate applies at the exact re-rank,
+    // the shortlist widened by the ~10 % survivor rate — per-probe
+    // parity with the single-probe compressed filtered path at the
+    // SAME widths
+    val wide = ProductQuant.RerankShortlist * 10
+    val adcBatch = perProbe(IvfIndex.probeTopKBatchAdc(spark, idx,
+      probeRows, k = 5, nprobe = 4, shortlist = wide,
+      excludeSelf = true, where = w).collect())
+    probes.foreach { case (id, emb) =>
+      val single = IvfIndex.probeTopKAdc(spark, idx, emb, k = 5,
+        nprobe = 4, shortlist = wide, excludeId = Some(id), where = w)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(2), i + 1) }.toSeq
+      assert(adcBatch.getOrElse(id, Seq.empty) == single,
+        s"probe $id: filtered batch-ADC ${adcBatch.get(id)} != $single")
+    }
+    // every served row satisfies the predicate on both paths
+    (IvfIndex.probeTopKBatch(spark, idx, probeRows, k = 5, nprobe = 4,
+        excludeSelf = true, where = w).collect() ++
+      IvfIndex.probeTopKBatchAdc(spark, idx, probeRows, k = 5,
+        nprobe = 4, shortlist = wide, excludeSelf = true, where = w)
+        .collect())
+      .foreach(r => assert(r.getInt(2) == Similarity.FilterLabel,
+        s"non-matching row served: $r"))
+  }
 }

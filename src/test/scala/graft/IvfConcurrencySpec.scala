@@ -180,4 +180,31 @@ class IvfConcurrencySpec extends SparkSuite {
       .map(_.getPath.getName).filter(_.contains("-stage-")).toSeq
     assert(stray.isEmpty, s"no staging may survive the race: $stray")
   }
+
+  test("a mid-create (empty) claim is not-yet-committed: readers skip it instead of resolving to a broken root") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-eclaim")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    val before = IvfIndex.committedGen(spark, idx)
+    val pemb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+      .collect().head
+      .getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    val served = IvfIndex.probeTopK(spark, idx, pemb, k = 5)
+      .collect().toSeq
+    // simulate a concurrent publisher between its exclusive create and
+    // its content write: an EMPTY claim file for a higher generation
+    val claims = new org.apache.hadoop.fs.Path(s"$idx/_gen")
+    val fs = claims.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(claims, "7"), false).close()
+    // readers must still resolve and serve the real generation — an
+    // empty claim resolved as live would point them at "$idx/" itself
+    assert(IvfIndex.committedGen(spark, idx) == before,
+      "an empty claim must read as not-yet-committed")
+    assert(IvfIndex.probeTopK(spark, idx, pemb, k = 5)
+      .collect().toSeq == served,
+      "serving must be unaffected by a mid-create claim")
+    fs.delete(new org.apache.hadoop.fs.Path(claims, "7"), false)
+  }
 }

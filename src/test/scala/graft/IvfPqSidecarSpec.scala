@@ -127,4 +127,50 @@ class IvfPqSidecarSpec extends SparkSuite {
       excludeId = Some(pid2)).collect().toSeq
     assert(adc == raw, s"serving after refreshes must stay exact")
   }
+
+  test("FILTERED compressed serving equals the brute-force filtered scan at widened nprobe/shortlist, and stays codes-only") {
+    import graft.operators.{ProductQuant, Similarity}
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-fpq")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.buildPqSidecar(spark, idx)
+    val pemb = probesOf(1).head._2
+
+    // at full nprobe + exhaustive shortlist, the filtered compressed
+    // path must EQUAL the oracle-checked brute-force filtered scan —
+    // the compressed tier's recall contract made exact
+    val exact = Similarity.sFilteredTopk(spark, sfDir).collect().toSeq
+    val cells = spark.read.parquet(
+      s"${IvfIndex.layoutRoot(spark, idx)}/centroids").count().toInt
+    val corpus = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .count().toInt
+    val served = IvfIndex.probeTopKAdc(spark, idx, pemb,
+      k = 10, nprobe = cells, shortlist = corpus,
+      excludeId = Some(Similarity.ProbeId),
+      where = Some($"label" === Similarity.FilterLabel)).collect().toSeq
+    assert(served == exact,
+      s"filtered compressed serving must equal the filtered scan\n" +
+        s"adc:   $served\nexact: $exact")
+
+    // at production widths (survivor-rate-widened shortlist): every
+    // row satisfies the predicate, recall stays high, and the plan
+    // still reads codes — never floats — at the shortlist stage
+    val df = IvfIndex.probeTopKAdc(spark, idx, pemb, k = 10,
+      shortlist = ProductQuant.RerankShortlist * 10,
+      excludeId = Some(Similarity.ProbeId),
+      where = Some($"label" === Similarity.FilterLabel))
+    val rows = df.collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getInt(1) == Similarity.FilterLabel),
+      "a filtered compressed probe must never return a non-matching row")
+    val hits = exact.map(_.getLong(0))
+      .count(rows.map(_.getLong(0)).toSet.contains)
+    assert(hits >= 8, s"filtered compressed recall too low: $hits of 10")
+    val plan = df.queryExecution.executedPlan.toString
+    val pqScans = plan.linesIterator.filter(_.contains("pqcodes")).toSeq
+    assert(pqScans.nonEmpty &&
+      pqScans.forall(!_.contains("embedding")),
+      s"the filtered form's pqcodes scan must stay codes-only:\n" +
+        pqScans.mkString("\n"))
+  }
 }

@@ -266,15 +266,21 @@ class LakeSqlSpec extends SparkSuite {
     assert(snap(sqlT) == snap(apiT), "MERGE upsert parity")
 
     // MERGE with a delete clause (three-clause merge; the condition
-    // references a SOURCE-ONLY marker column the table never stores)
+    // references a SOURCE-ONLY marker column the table never stores).
+    // The statement is ONE atomic commit — updates, inserts, and
+    // removals land in a single version, so a reader can never observe
+    // the kept-half-applied state two commits would expose.
     Seq((2L, 0L, "x", true), (888888L, 98L, "kept", false))
       .toDF("id", "grp", "pay", "doomed")
       .createOrReplaceTempView("dml_src2")
+    val vBeforeMerge = LakeLayout.lakeVersions(spark, sqlT).max
     LakeSql.sql(spark,
       """MERGE INTO dml_t USING dml_src2 ON t.id = s.id
          WHEN MATCHED AND doomed THEN DELETE
          WHEN MATCHED THEN UPDATE SET *
          WHEN NOT MATCHED THEN INSERT *""")
+    assert(LakeLayout.lakeVersions(spark, sqlT).max == vBeforeMerge + 1,
+      "the three-clause MERGE must be ONE atomic commit")
     LakeLayout.upsertIntoLakeOcc(spark, apiT,
       spark.table("dml_src2").filter(!$"doomed")
         .select($"id", $"grp", $"pay"),
@@ -292,6 +298,55 @@ class LakeSqlSpec extends SparkSuite {
       "SELECT count(*) FROM dml_t").collect().head.getLong(0)
     assert(viaSql == LakeLayout.readLake(spark, sqlT).get.count(),
       "the registered view must track DML mutations")
+  }
+
+  test("conditional MERGE with column assignments lowers to ONE OCC upsert — parity with the hand-lowered typed equivalent") {
+    val sqlT = stageTable()
+    val apiT = stageTable()
+    LakeSql.register(spark, "cmrg_t", sqlT, key = Some("id"))
+    def snap(t: String): Set[Seq[Any]] =
+      LakeLayout.readLake(spark, t).get.collect().map(_.toSeq).toSet
+    // matched rows 0 and 6 pass the condition, matched row 3 FAILS it
+    // (must stay byte-untouched), 999999 is unmatched (explicit-column
+    // insert with expressions; unnamed columns null-fill — none here)
+    Seq((0L, 60L, "s0"), (3L, 49L, "s3"), (6L, 52L, "s6"),
+      (999999L, 53L, "snew"))
+      .toDF("id", "grp", "pay").createOrReplaceTempView("cmrg_src")
+    val before3 = snap(sqlT).find(_.head == 3L).get
+    val vBefore = LakeLayout.lakeVersions(spark, sqlT).max
+    LakeSql.sql(spark,
+      """MERGE INTO cmrg_t a USING cmrg_src b ON a.id = b.id
+         WHEN MATCHED AND b.grp > 50 THEN
+           UPDATE SET pay = concat(a.pay, '+', b.pay), grp = b.grp
+         WHEN NOT MATCHED THEN
+           INSERT (id, grp, pay) VALUES (b.id, b.grp + 1, upper(b.pay))""")
+    assert(LakeLayout.lakeVersions(spark, sqlT).max == vBefore + 1,
+      "the conditional MERGE must be ONE commit")
+    // the hand-lowered typed equivalent
+    val src = spark.table("cmrg_src")
+    val base = LakeLayout.readLake(spark, apiT).get
+    val updated = base.as("a")
+      .join(src.as("b"), col("a.id") === col("b.id"))
+      .filter(col("b.grp") > 50)
+      .select(col("a.id").as("id"), col("b.grp").as("grp"),
+        concat(col("a.pay"), lit("+"), col("b.pay")).as("pay"))
+    val inserts = src.as("b")
+      .join(base.as("a"), col("b.id") === col("a.id"), "left_anti")
+      .select(col("b.id").as("id"), (col("b.grp") + 1L).as("grp"),
+        upper(col("b.pay")).as("pay"))
+    LakeLayout.upsertIntoLakeOcc(spark, apiT,
+      updated.unionByName(inserts), "id", "api", 20L)
+    assert(snap(sqlT) == snap(apiT), "conditional MERGE parity")
+    assert(snap(sqlT).find(_.head == 3L).get == before3,
+      "a matched row failing the condition must stay untouched")
+    assert(snap(sqlT).exists(r => r.head == 999999L && r(1) == 54L &&
+      r(2) == "SNEW"), "explicit-column INSERT applies its expressions")
+    // MERGE keyed on anything but the registered merge key fails loudly
+    val err = intercept[IllegalArgumentException](LakeSql.sql(spark,
+      """MERGE INTO cmrg_t USING cmrg_src ON t.grp = s.grp
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *"""))
+    assert(err.getMessage.contains("registered merge key"))
   }
 
   test("UPDATE lowers to the OCC upsert of exactly the touched rows — SQL result equals API result") {
@@ -396,10 +451,43 @@ class LakeSqlSpec extends SparkSuite {
       "SELECT count(*) AS n FROM sqlspec_scope VERSION AS OF 2")
       .collect()(0).getLong(0) ==
       LakeLayout.readLakeVersion(sessionB, tB, 2L).count())
-    // a name registered ONLY in B is unknown to A — DESCRIBE fails
-    // loudly there instead of silently using B's binding
+    // a name registered ONLY in B resolves in A through the shared
+    // METASTORE record (the durable name authority) — but A's own
+    // session binding, when present, always wins (asserted above:
+    // A kept tA even after B persisted tB under the same name)
     LakeSql.register(sessionB, "sqlspec_b_only", tB)
-    intercept[IllegalArgumentException](
-      LakeSql.sql(spark, "DESCRIBE HISTORY sqlspec_b_only"))
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM sqlspec_b_only").collect()(0).getLong(0)
+      == LakeLayout.readLake(spark, tB).get.count(),
+      "a fresh session must resolve a lake name from the metastore record")
+  }
+
+  test("a FRESH session resolves lake names from the metastore: SELECT, VERSION AS OF, and DML by bare name") {
+    val t = stageTable()
+    LakeSql.register(spark, "hms_reg_t", t, key = Some("id"))
+    // a brand-new logical session: NO temp views, NO session registry —
+    // only the shared catalog (same contract as a second driver on one
+    // Hive metastore)
+    val fresh = spark.newSession()
+    val n = LakeSql.sql(fresh,
+      "SELECT count(*) AS n FROM hms_reg_t").collect()(0).getLong(0)
+    assert(n == LakeLayout.readLake(fresh, t).get.count(),
+      "SELECT by bare name in a fresh session")
+    val v0 = LakeSql.sql(fresh,
+      "SELECT count(*) AS n FROM hms_reg_t VERSION AS OF 0")
+      .collect()(0).getLong(0)
+    assert(v0 == LakeLayout.readLakeVersion(fresh, t, 0L).count(),
+      "VERSION AS OF by bare name in a fresh session")
+    // DML: the persisted record carries the merge key, so a keyed
+    // operation lowers without re-registering
+    LakeSql.sql(fresh, "DELETE FROM hms_reg_t WHERE grp = -1")
+    assert(LakeLayout.readLake(fresh, t).get
+      .filter(col("grp") === -1L).count() == 0L,
+      "DELETE by bare name in a fresh session")
+    // the originating session sees the fresh session's commit on its
+    // next statement (views advance per statement)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM hms_reg_t WHERE grp = -1")
+      .collect()(0).getLong(0) == 0L)
   }
 }

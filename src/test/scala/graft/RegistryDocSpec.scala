@@ -42,7 +42,8 @@ class RegistryDocSpec extends AnyFunSuite {
       "q_approx_distinct", "q_value_percentiles",
       "r12_envelope_per_source",
       "s_ann_lsh_buckets", "s_ann_topk", "s_ivf_topk", "s_ivf_batch",
-      "s_ivfpq_batch", "s_ivfpq_serve", "s_ivfpq_topk", "s_pq_topk",
+      "s_ivfpq_batch", "s_ivfpq_filtered", "s_ivfpq_serve",
+      "s_ivfpq_topk", "s_ivfsq8_serve", "s_pq_topk",
       "s_semantic_dedup")
     val undocumented = noOracle -- documented
     assert(undocumented.isEmpty,
