@@ -613,9 +613,9 @@ object IvfIndex {
         .agg(avg(VectorFunctions.cosine(col("embedding"), col("centroid"))))
         .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
     // quantization health: codebook fit over a DETERMINISTIC HASH
-    // SAMPLE of the current corpus (`xxhash64(vec_id) % mod = 0`; mod
-    // grows with corpus size, full scan below 4096 rows so tiny
-    // corpora keep full signal) — each sampled vector is encoded ON
+    // SAMPLE of the current corpus (`xxhash64(vec_id) % mod = 0`; full
+    // scan below PqFitFullScanFloor rows so tiny corpora keep full
+    // signal) — each sampled vector is encoded ON
     // THE FLY under the committed codebooks (same deterministic
     // assignment that produced the stored codes, so coded rows score
     // identically) and compared to its reconstruction; tail vectors
@@ -646,7 +646,7 @@ object IvfIndex {
               ProductQuant.codesCol(m, d), (c, j) =>
                 element_at(element_at(col("books"), j + lit(1)),
                   c + lit(1)).getField("cvec")))
-            val mod = if (nVec < 4096L) 1L else PqFitSampleMod
+            val mod = if (nVec < PqFitFullScanFloor) 1L else PqFitSampleMod
             val row = ProductQuant.withUnit(
                 vecs.select(col("vec_id"), col("embedding"))
                   .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0))
@@ -677,8 +677,11 @@ object IvfIndex {
 
   /** Hash-sample modulus for the `pq_fit` maintenance metric: 1-in-8
     * of the corpus per tick (deterministic — the same vectors every
-    * tick, so the metric moves only when the data does). */
+    * tick, so the metric moves only when the data does). Below
+    * [[PqFitFullScanFloor]] vectors the pass stays a full scan: a
+    * sample of a tiny corpus is noisier than it is cheap. */
   val PqFitSampleMod = 8L
+  val PqFitFullScanFloor = 1024L
 
   /** RETRAIN as a new generation — the IVF analogue of compaction,
     * scheduled when [[describeIvf]]'s drift metrics say so. Trains

@@ -221,6 +221,51 @@ class IvfDriftSpec extends SparkSuite {
     assert(adc == raw, "serving parity must hold through maintenance")
   }
 
+  test("pq_fit runs on a deterministic hash SAMPLE above the full-scan floor: pinned sample size, drift still visible") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-sample")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    // grow the corpus past the full-scan floor with shifted twins so a
+    // maintenance tick must SAMPLE (1-in-8), never scan
+    (1 to 3).foreach { i =>
+      IvfIndex.append(spark, idx,
+        graft.sources.Tables.load(spark, sfDir, "embeddings")
+          .select(($"vec_id" + i * 100000L).as("vec_id"), $"label",
+            $"embedding"))
+    }
+    IvfIndex.buildPqSidecar(spark, idx)
+    def health(): (Double, Long, Long) = {
+      val r = IvfIndex.describeIvf(spark, idx).collect()(0)
+      (r.getAs[Double]("pq_fit"), r.getAs[Long]("pq_fit_sample"),
+        r.getAs[Long]("n_vectors"))
+    }
+    val (fit0, sample0, n0) = health()
+    assert(n0 >= IvfIndex.PqFitFullScanFloor,
+      s"the staged corpus must cross the floor: $n0")
+    assert(sample0 > 0 && sample0 < n0,
+      s"the pass must sample, not scan: $sample0 of $n0")
+    assert(fit0 > 0.8, s"sampled fit must still read healthy: $fit0")
+    // deterministic: a second tick samples exactly the same rows
+    assert(health()._2 == sample0,
+      "the hash sample must be identical across ticks")
+    // a drifted wave lands in the sample at its corpus-wide rate and
+    // drags the SAMPLED metric down — sampling loses no drift signal
+    val wave = spark.range(400).select(
+      ($"id" + 800000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (when(pmod(j, lit(2)) === 0, lit(0.125)).otherwise(lit(-0.125)) +
+          (pmod($"id" * 131 + j.cast("long") * 17, lit(11)) - 5)
+            .cast("double") * 0.002).cast("float")).as("embedding"),
+      lit(9).as("label"))
+    IvfIndex.append(spark, idx, wave)
+    val (fit1, sample1, n1) = health()
+    assert(n1 == n0 + 400 && sample1 > sample0,
+      s"the wave must enter the sample at its corpus rate: " +
+        s"$sample0 -> $sample1")
+    assert(fit1 < fit0,
+      s"sampled fit must DROP on a drifted wave: $fit0 -> $fit1")
+  }
+
   test("a centroid retrain re-derives the sidecar the previous generation carried — serving never silently decays to raw scans") {
     val idx = java.nio.file.Files.createTempDirectory("graft-pq-regen")
       .toString
