@@ -665,14 +665,27 @@ object IvfIndex {
             .parquet(tailFiles.toSeq.sorted: _*).count()
         (fit, if (nVec > 0) tailRows.toDouble / nVec else 0.0, sampled)
     }
+    // SQ8 tail: rows appended after the int8 sidecar's snapshot
+    // (parquet footer counts — no data pages open). No fit metric
+    // exists by construction — with no codebook there is nothing to
+    // drift — so the tail fraction is the tier's whole health story,
+    // and a fleet dashboard reading only this row sees it.
+    val sq8Tail = readSq8Sidecar(fs, root) match {
+      case None => 0.0
+      case Some((_, snapFiles)) =>
+        val tailFiles = listVectorFiles(fs, s"$root/vectors") -- snapFiles
+        if (tailFiles.isEmpty || nVec == 0L) 0.0
+        else s.read.option("basePath", s"$root/vectors")
+          .parquet(tailFiles.toSeq.sorted: _*).count().toDouble / nVec
+    }
     Seq((k.toLong, nVec, counts.count(_ == 0L).toLong,
       counts.head, counts.last, meanOcc, pct(0.5), pct(0.9),
       if (meanOcc > 0) counts.last / meanOcc else 0.0, meanSim,
-      pqFit, pqTail, pqFitSample))
+      pqFit, pqTail, pqFitSample, sq8Tail))
       .toDF("n_cells", "n_vectors", "empty_cells", "min_occupancy",
         "max_occupancy", "mean_occupancy", "p50_occupancy",
         "p90_occupancy", "occupancy_skew", "mean_centroid_sim",
-        "pq_fit", "pq_tail_frac", "pq_fit_sample")
+        "pq_fit", "pq_tail_frac", "pq_fit_sample", "sq8_tail_frac")
   }
 
   /** Hash-sample modulus for the `pq_fit` maintenance metric: 1-in-8
@@ -814,7 +827,7 @@ object IvfIndex {
     val root0 = layoutRoot(s, indexPath)
     val fs0 = fsOf(s, root0)
     val hadSidecar = readPqSidecar(fs0, root0).isDefined
-    val sq8Snap = readSq8Sidecar(fs0, root0).map(_._2)
+    val hadSq8 = readSq8Sidecar(fs0, root0).isDefined
     val d = describeIvf(s, indexPath).collect()(0)
     val skew = d.getAs[Double]("occupancy_skew")
     val fit = d.getAs[Double]("mean_centroid_sim")
@@ -822,16 +835,11 @@ object IvfIndex {
     val pqTail = d.getAs[Double]("pq_tail_frac")
     val nVec = d.getAs[Long]("n_vectors")
     val any = nVec > 0
-    // SQ8 tail: rows appended after the sidecar snapshot (parquet
-    // footer counts — no data pages open). No fit metric exists by
-    // construction: with no codebook there is nothing to drift, so
-    // the tail fraction is the ONLY refresh trigger besides a retrain
-    val sq8Tail = sq8Snap.fold(0.0) { snapFiles =>
-      val tailFiles = listVectorFiles(fs0, s"$root0/vectors") -- snapFiles
-      if (tailFiles.isEmpty || !any) 0.0
-      else s.read.option("basePath", s"$root0/vectors")
-        .parquet(tailFiles.toSeq.sorted: _*).count().toDouble / nVec
-    }
+    // SQ8 tail comes from the health row (describeIvf measures it from
+    // footer counts). No fit metric exists by construction: with no
+    // codebook there is nothing to drift, so the tail fraction is the
+    // ONLY refresh trigger besides a retrain
+    val sq8Tail = d.getAs[Double]("sq8_tail_frac")
     val trigger = any && (skew > maxSkew || fit < minFit)
     if (trigger) rebuild(s, indexPath, cells, iters)
     val refresh = hadSidecar && any &&
@@ -840,7 +848,7 @@ object IvfIndex {
     // a retrain ALWAYS re-derives a carried SQ8 tier (the new
     // generation starts bare); otherwise append-encode when the raw
     // tail is paying float-scan cost on too many probes
-    val sq8Refresh = sq8Snap.isDefined && any &&
+    val sq8Refresh = hadSq8 && any &&
       (trigger || sq8Tail > maxPqTail)
     if (sq8Refresh) buildSq8Sidecar(s, indexPath)
     IvfMaintenanceReport(skew, fit, trigger, pqFit, pqTail, refresh,

@@ -1066,12 +1066,25 @@ object LakeLayout {
     * cap, paying a huge range-sample shuffle for a tiny batch. Treat
     * anything at/above the configured default as UNKNOWN and fall back
     * to rows × estimated-row-width (from the schema's default sizes —
-    * the same per-type table the optimizer itself uses). */
+    * the same per-type table the optimizer itself uses).
+    *
+    * JOIN-derived batches (a MERGE lowering's target⋈source) get the
+    * same fallback: without CBO row counts the optimizer's join
+    * estimate is a MULTIPLICATIVE guess over the inputs — a few-MB
+    * merge batch can "estimate" terabytes, pinning sizeParts at the
+    * 4096-file cap and turning one small commit into thousands of
+    * stat-and-bloomed files (measured: the conditional-MERGE drive at
+    * 74 s vs 2 s). One exact count of the batch is the cheaper, honest
+    * price. */
   private def insertBytesEstimate(df: DataFrame): BigInt = {
-    val stats = df.queryExecution.optimizedPlan.stats
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
     val unknown = BigInt(
       df.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (stats.sizeInBytes < unknown) stats.sizeInBytes
+    val joinInflated = plan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isDefined
+    if (!joinInflated && stats.sizeInBytes < unknown) stats.sizeInBytes
     else {
       val rowWidth = math.max(8L,
         df.schema.fields.map(_.dataType.defaultSize.toLong).sum)
@@ -2029,6 +2042,32 @@ object LakeLayout {
         inRange(f, k) && bloom.forall(b => bloomMayContain(b, h))
       }
     }
+  }
+
+  /** The DISTRIBUTED sibling of [[readLakeForKeys]]: rows of the
+    * CURRENT snapshot whose `key` range-intersects a key FRAME —
+    * keys stay a DataFrame (never collected to the driver, so a
+    * million-key merge source is fine), and only the files whose
+    * [minKey, maxKey] intersects some key are read (one small range
+    * join of the manifest's file list against the distinct keys —
+    * the same pruning the upsert's touch set uses), deletion vectors
+    * applied. The returned rows are a SUPERSET of the exact matches
+    * (range bounds, not per-key equality) — callers join it against
+    * their key frame, which is exactly what a MERGE lowering does.
+    * Cost: O(touched files), never O(table); an empty table or an
+    * all-miss key set reads zero files. */
+  def readLakeMatching(spark: SparkSession, tablePath: String,
+      keys: DataFrame, key: String): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = latestLakeCommit(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"readLakeMatching: $tablePath has no committed version"))
+    val files = resolveFiles(fs, table, cur)
+    val touched = touchedFilePaths(spark, files, keys, key)
+    val hit = files.filter(f => touched(f.path))
+    if (hit.isEmpty) readLake(spark, tablePath).get.limit(0)
+    else filesFrame(spark, tablePath, hit, commitSchema(cur))
   }
 
   /** POINT LOOKUP through manifest-level data skipping: rows of the

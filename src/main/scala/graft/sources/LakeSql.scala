@@ -514,8 +514,11 @@ object LakeSql {
     * value (UPDATE) or null-fill (explicit-column INSERT). Constraints
     * gate inside the lowered operation. Scale: the SET * forms never
     * read the table (file-granular touch sets); the assignment form
-    * reads the target snapshot once for its join — the standard
-    * Delta-merge cost — while the commit itself stays file-granular. */
+    * reads only the files whose key range intersects the source keys
+    * ([[LakeLayout.readLakeMatching]] — the touch-set pruning as a
+    * read), so a key-local source costs O(touched files) where a
+    * naive Delta-style merge would scan the table; the commit itself
+    * stays file-granular. */
   private def mergeResult(spark: SparkSession, name: String,
       tAlias: Option[String], srcName: String, sAlias: Option[String],
       on: String, clauses: String): DataFrame = {
@@ -662,7 +665,14 @@ object LakeSql {
         case other => throw new IllegalArgumentException(
           s"MERGE INTO $name: unsupported clause '$other'")
       }
-    val tgt = snap.as("__t")
+    // the join reads only the files whose key range intersects the
+    // source's keys (the upsert touch-set pruning, as a read) — a
+    // key-local merge source costs O(touched files), never a table
+    // scan; the anti-join below stays exact because a file pruned out
+    // provably holds no source key
+    val tgt = LakeLayout
+      .readLakeMatching(spark, path, src.select(col(key)), key)
+      .as("__t")
     val srcA = src.as("__s")
     val joinOn = col(s"__t.$key") === col(s"__s.$key")
     val updated = update.map { case (condTxt, assigns) =>

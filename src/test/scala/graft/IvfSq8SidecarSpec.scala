@@ -96,9 +96,15 @@ class IvfSq8SidecarSpec extends SparkSuite {
     assert(twin.getAs[Long]("vec_id") == pid + 1000000L &&
       twin.getAs[Double]("sim") == 1.0,
       s"appended exact twin must rank first through the tail: $twin")
+    // the health row reports the tier's tail — the one metric the
+    // codebook-free tier has
+    def sq8Tail(): Double = IvfIndex.describeIvf(spark, idx)
+      .collect()(0).getAs[Double]("sq8_tail_frac")
+    assert(sq8Tail() > 0.0, "describeIvf must report the SQ8 tail")
 
     // re-encode absorbs the tail (no training job — append-encode only)
     IvfIndex.buildSq8Sidecar(spark, idx)
+    assert(sq8Tail() == 0.0, "re-encode must absorb the SQ8 tail")
     assertParity(idx, "after sidecar re-encode")
     val twin2 = IvfIndex.probeTopKSq8(spark, idx, pemb, k = 1,
       excludeId = Some(pid)).collect().head

@@ -349,6 +349,33 @@ class LakeSqlSpec extends SparkSuite {
     assert(err.getMessage.contains("registered merge key"))
   }
 
+  test("readLakeMatching (the conditional MERGE's target read) opens only the files whose key range intersects the key frame") {
+    // four range-disjoint files (no follow-up upsert — that tiny
+    // rewrite would collapse the table to one file and leave nothing
+    // to prune)
+    val t = java.nio.file.Files.createTempDirectory("graft-lakesql-m")
+      .toString
+    LakeLayout.commitLakeVersion(
+      (0L until 3000L).map(k => (k, k % 5, s"p$k")).toDF("id", "grp", "pay")
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      t, "ck", 0L, statsKey = Some("id"))
+    // key-local frame: ids 0..9 live in one range-partitioned file
+    val keys = (0L until 10L).toDF("id")
+    val m = LakeLayout.readLakeMatching(spark, t, keys, "id")
+    val filesRead = m.select(input_file_name()).distinct().count()
+    val allFiles = LakeLayout.readLake(spark, t).get
+      .select(input_file_name()).distinct().count()
+    assert(filesRead >= 1 && filesRead < allFiles,
+      s"a key-local frame must prune: read $filesRead of $allFiles files")
+    // superset contract: joining back gives exactly the true matches
+    val matched = m.join(keys, Seq("id"), "left_semi")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val truth = LakeLayout.readLake(spark, t).get
+      .filter($"id" < 10).select($"id").collect().map(_.getLong(0)).toSet
+    assert(matched == truth, s"pruned read must lose no match: " +
+      s"${truth -- matched} missing")
+  }
+
   test("UPDATE lowers to the OCC upsert of exactly the touched rows — SQL result equals API result") {
     val sqlT = stageTable()
     val apiT = stageTable()
