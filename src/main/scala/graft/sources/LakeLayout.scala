@@ -1068,14 +1068,19 @@ object LakeLayout {
     * to rows × estimated-row-width (from the schema's default sizes —
     * the same per-type table the optimizer itself uses).
     *
-    * JOIN-derived batches (a MERGE lowering's target⋈source) get the
-    * same fallback: without CBO row counts the optimizer's join
-    * estimate is a MULTIPLICATIVE guess over the inputs — a few-MB
-    * merge batch can "estimate" terabytes, pinning sizeParts at the
-    * 4096-file cap and turning one small commit into thousands of
-    * stat-and-bloomed files (measured: the conditional-MERGE drive at
-    * 74 s vs 2 s). One exact count of the batch is the cheaper, honest
-    * price. */
+    * JOIN-derived batches (a MERGE lowering's target⋈source, a CDC
+    * change set) must NOT trust the top-level estimate: without CBO
+    * row counts the optimizer's join estimate is a MULTIPLICATIVE
+    * guess over the inputs — a few-MB merge batch can "estimate"
+    * terabytes, pinning sizeParts at the 4096-file cap and turning one
+    * small commit into thousands of stat-and-bloomed files (measured:
+    * the conditional-MERGE drive at 74 s vs ~3 s). For those, SUM THE
+    * LEAVES instead: file-backed leaves report real bytes, and every
+    * upsert batch here is a KEY-UNIQUE merge (joins on the table's
+    * merge key, then filters/anti-joins/unions), so its output volume
+    * is bounded by its inputs — a free, honest upper bound where an
+    * exact `count()` would re-evaluate the whole change-set plan once
+    * per commit (measured +10 % on the CDC-replication drive). */
   private def insertBytesEstimate(df: DataFrame): BigInt = {
     val plan = df.queryExecution.optimizedPlan
     val stats = plan.stats
@@ -1086,11 +1091,17 @@ object LakeLayout {
     }.isDefined
     if (!joinInflated && stats.sizeInBytes < unknown) stats.sizeInBytes
     else {
-      val rowWidth = math.max(8L,
-        df.schema.fields.map(_.dataType.defaultSize.toLong).sum)
-      stats.rowCount match {
-        case Some(n) => n * rowWidth
-        case None => BigInt(df.count()) * rowWidth // one bounded pass
+      val leafSizes = plan.collectLeaves().map(_.stats.sizeInBytes)
+      if (joinInflated && leafSizes.nonEmpty &&
+          leafSizes.forall(_ < unknown))
+        leafSizes.sum
+      else {
+        val rowWidth = math.max(8L,
+          df.schema.fields.map(_.dataType.defaultSize.toLong).sum)
+        stats.rowCount match {
+          case Some(n) => n * rowWidth
+          case None => BigInt(df.count()) * rowWidth // one bounded pass
+        }
       }
     }
   }
