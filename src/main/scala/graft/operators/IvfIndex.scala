@@ -1510,6 +1510,90 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** BATCH serving from the SQ8 tier — [[probeTopKBatchAdc]]'s shape
+    * minus the LUT machinery (asymmetric int8 scoring needs no
+    * codebook: each candidate costs ONE codegen'd dot of its byte
+    * codes against the broadcast probe): cell ranking per probe over
+    * the packed 1-row model, 4×-compressed codes-only scan of the
+    * probed-cell union, per-probe shortlist window (model columns shed
+    * before the exchange), raw tail unioned, exact cosine re-rank of
+    * shortlist ∪ tail. `where` follows the compressed-tier filtered
+    * contract (predicate at the exact re-rank; widen `shortlist` by
+    * the survivor rate). Exact per-probe parity with [[probeTopKSq8]]
+    * is spec-pinned. */
+  def probeTopKSq8Batch(s: SparkSession, indexPath: String,
+      probes: DataFrame, k: Int = 10,
+      nprobe: Int = Similarity.IvfProbes,
+      shortlist: Int = ScalarQuant.Shortlist,
+      excludeSelf: Boolean = false,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one resolution pins generation + sidecar + tail diff together
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, root)
+    val (codesDir, snapshot) = readSq8Sidecar(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"probeTopKSq8Batch: no committed SQ8 sidecar under $root — " +
+          "run buildSq8Sidecar first"))
+    val ranked = rankProbeCells(s, root, probes, nprobe)
+    val cellsNeeded = ranked.select($"pcell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // int8 stage: codes-only scan of the probed-cell union, each hit
+    // scored by one dot against its broadcast probe (scaling by 127 or
+    // the probe's norm cannot change a per-probe ordering — skipped)
+    val codes = s.read.parquet(codesDir)
+      .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+    val sqHits = codes
+      .join(broadcast(ranked), $"cell" === $"pcell")
+      .withColumn("approx", VectorFunctions.dot(
+        transform($"q", c => c.cast("double")),
+        transform($"probe_emb", x => x.cast("double"))))
+    val sqKept = if (excludeSelf) sqHits.filter($"vec_id" =!= $"probe_id")
+      else sqHits
+    // shed the probe vector before the per-probe window — the ranking
+    // exchange carries three narrow columns, never the embeddings
+    val shortlisted = sqKept
+      .select($"probe_id", $"vec_id", $"approx")
+      .withColumn("arank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"approx".desc, $"vec_id")))
+      .filter($"arank" <= shortlist)
+      .select($"probe_id", $"vec_id")
+    // uncompacted tail: appended after the sidecar — always candidates
+    val tailFiles = listVectorFiles(fs, s"$root/vectors") -- snapshot
+    val cand =
+      if (tailFiles.isEmpty) shortlisted
+      else shortlisted.union(
+        s.read.option("basePath", s"$root/vectors")
+          .parquet(tailFiles.toSeq.sorted: _*)
+          .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+          .select($"cell", $"vec_id")
+          .join(broadcast(ranked.select($"probe_id", $"pcell")),
+            $"cell" === $"pcell")
+          .select($"probe_id", $"vec_id"))
+    // exact re-rank of shortlist ∪ tail only; the metadata predicate
+    // applies HERE — the one stage whose scan carries those columns
+    val rerankBase = s.read.parquet(s"$root/vectors")
+      .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
+    val hits = where.fold(rerankBase)(rerankBase.filter)
+      .select($"vec_id", $"label", $"embedding")
+      .join(broadcast(cand.distinct()), Seq("vec_id"))
+      .join(broadcast(probes.select($"probe_id", $"embedding"
+        .as("probe_emb"))), Seq("probe_id"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine($"embedding", $"probe_emb"), 3))
+      .filter(!isnan($"sim") && $"sim".isNotNull)
+    val kept = if (excludeSelf) hits.filter($"vec_id" =!= $"probe_id")
+      else hits
+    kept
+      .select($"probe_id", $"vec_id", $"label", $"sim")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+  }
+
   /** Process-lifetime staged PERSISTED index per (sfDir, corpus
     * fingerprint) — the same staging pattern as the lake registry
     * drives (LakeLayout.stagedBase): the timed registry span measures
@@ -1646,11 +1730,27 @@ object IvfIndex {
       where = Some($"label" === Similarity.FilterLabel))
   }
 
+  /** Registry drive: BATCH serving from the SQ8 tier — the same
+    * 25-probe frame as the other batch drives through
+    * [[probeTopKSq8Batch]]. Rows-only by design (engine-local
+    * centroids); correctness is pinned by the batch-vs-per-probe SQ8
+    * parity spec plus the codes scan's no-floats plan assertion. */
+  def sIvfSq8Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < 25)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    probeTopKSq8Batch(s, stagedSq8Index(s, dir), probes,
+      k = 5, nprobe = Similarity.IvfProbes, excludeSelf = true)
+      .orderBy($"probe_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("s_ivf_batch" -> (sIvfBatch _),
       "s_ivfpq_serve" -> (sIvfPqServe _),
       "s_ivfpq_batch" -> (sIvfPqBatch _),
       "s_ivfpq_filtered" -> (sIvfPqFiltered _),
-      "s_ivfsq8_serve" -> (sIvfSq8Serve _))
+      "s_ivfsq8_serve" -> (sIvfSq8Serve _),
+      "s_ivfsq8_batch" -> (sIvfSq8Batch _))
   val oracle: Map[String, String] = Map.empty
 }

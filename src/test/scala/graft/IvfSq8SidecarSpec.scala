@@ -139,6 +139,54 @@ class IvfSq8SidecarSpec extends SparkSuite {
       s"beyond-grace versions are reclaimed: markers=$markers dirs=$names")
   }
 
+  test("BATCH SQ8 serving equals per-probe SQ8 serving — plain and filtered — and its wide scan reads codes, never floats") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-sq8b")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.buildSq8Sidecar(spark, idx)
+    val probeRows = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(5)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val probes = probesOf(5)
+
+    def perProbe(rows: Array[org.apache.spark.sql.Row])
+        : Map[Long, Seq[(Long, Double, Int)]] = rows
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(3), r.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+
+    val batchDf = IvfIndex.probeTopKSq8Batch(spark, idx, probeRows,
+      k = 5, nprobe = 4, excludeSelf = true)
+    val batch = perProbe(batchDf.collect())
+    probes.foreach { case (id, emb) =>
+      val single = IvfIndex.probeTopKSq8(spark, idx, emb, k = 5,
+        nprobe = 4, excludeId = Some(id)).collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(2), i + 1) }.toSeq
+      assert(batch.getOrElse(id, Seq.empty) == single,
+        s"probe $id: SQ8 batch ${batch.get(id)} != per-probe $single")
+    }
+    // the shortlist stage's wide scan reads codes, never floats
+    val plan = batchDf.queryExecution.executedPlan.toString
+    val sqScans = plan.linesIterator.filter(_.contains("sq8codes")).toSeq
+    assert(sqScans.nonEmpty && sqScans.forall(!_.contains("embedding")),
+      s"the batch sq8codes scan must stay codes-only:\n" +
+        sqScans.mkString("\n"))
+
+    // FILTERED batch parity at the widened shortlist
+    val w = Some($"label" === Similarity.FilterLabel)
+    val wide = graft.operators.ScalarQuant.Shortlist * 10
+    val fBatch = perProbe(IvfIndex.probeTopKSq8Batch(spark, idx,
+      probeRows, k = 5, nprobe = 4, shortlist = wide,
+      excludeSelf = true, where = w).collect())
+    probes.foreach { case (id, emb) =>
+      val single = IvfIndex.probeTopKSq8(spark, idx, emb, k = 5,
+        nprobe = 4, shortlist = wide, excludeId = Some(id), where = w)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(2), i + 1) }.toSeq
+      assert(fBatch.getOrElse(id, Seq.empty) == single,
+        s"probe $id: filtered SQ8 batch ${fBatch.get(id)} != $single")
+    }
+  }
+
   test("a centroid retrain re-derives the SQ8 tier the previous generation carried") {
     val idx = java.nio.file.Files.createTempDirectory("graft-sq8-regen")
       .toString

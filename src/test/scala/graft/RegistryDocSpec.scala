@@ -43,7 +43,7 @@ class RegistryDocSpec extends AnyFunSuite {
       "r12_envelope_per_source",
       "s_ann_lsh_buckets", "s_ann_topk", "s_ivf_topk", "s_ivf_batch",
       "s_ivfpq_batch", "s_ivfpq_filtered", "s_ivfpq_serve",
-      "s_ivfpq_topk", "s_ivfsq8_serve", "s_pq_topk",
+      "s_ivfpq_topk", "s_ivfsq8_batch", "s_ivfsq8_serve", "s_pq_topk",
       "s_semantic_dedup")
     val undocumented = noOracle -- documented
     assert(undocumented.isEmpty,
