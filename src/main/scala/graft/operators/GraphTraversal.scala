@@ -264,7 +264,21 @@ object GraphTraversal {
     *    back flat, superseded snapshots deleted eagerly) so AQE never
     *    re-optimizes an unbounded tree.
     * The teleport term is a driver literal from ONE bounded count —
-    * the only scalar that leaves the cluster. */
+    * the only scalar that leaves the cluster.
+    *
+    * DECLARED SEMANTICS (not the textbook definition — the DuckDB
+    * oracle pins exactly these choices, so do not read "PageRank" as
+    * Brin–Page without checking them against your graph):
+    *  - a node with NO inbound edges leaves the rank frame after the
+    *    first sweep (`rank'` is built by grouping inflow over `dst`),
+    *    taking its teleport mass with it — on a bidirectional edge
+    *    list (the caller contract here) no such node exists;
+    *  - DANGLING mass is not redistributed: a node with no outbound
+    *    edges absorbs its rank rather than teleporting it back into
+    *    the graph, so ranks on a directed graph with sinks sum below
+    *    1. Callers needing textbook semantics on general directed
+    *    graphs must add the dangling-mass term and a node-preserving
+    *    outer join. */
   def pageRank(edges: DataFrame, iters: Int = PageRankIters): DataFrame = {
     val s = edges.sparkSession
     val sc = s.sparkContext

@@ -338,20 +338,59 @@ object IvfIndex {
     }
   }
 
+  private val LsyncFileName = "lsync-([0-9a-f]+)-v(\\d+)-.*".r
+
+  /** Files belonging to an IN-FLIGHT or CRASHED sync wave: lsync-tagged
+    * data files whose `_lakesync/<srcTag>-<v>` mark is absent at the
+    * index root. The sync protocol OWNS these — its recovery sweeps and
+    * redoes the wave — so every fold that carries vectors between
+    * generations (rebuild's snapshot and diff rounds, the straggler
+    * sweep) must SKIP them: folding a partial wave would duplicate it
+    * against the redo, and folding a complete-but-unmarked wave races
+    * the mark. Marked waves fold like any other vectors. This is the
+    * sync/rebuild arbitration BY CONSTRUCTION: the mark file is the
+    * commit point on both sides. */
+  private def unmarkedLsyncFiles(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, files: Set[String]): Set[String] = {
+    val tagged = files.filter(f =>
+      LsyncFileName.pattern.matcher(
+        f.substring(f.lastIndexOf('/') + 1)).matches())
+    if (tagged.isEmpty) Set.empty
+    else {
+      val markDir = hp(s"$indexPath/_lakesync")
+      val marks: Set[String] =
+        if (!fs.exists(markDir)) Set.empty
+        else fs.listStatus(markDir).iterator
+          .filter(_.isFile).map(_.getPath.getName).toSet
+      tagged.filter { f =>
+        f.substring(f.lastIndexOf('/') + 1) match {
+          case LsyncFileName(tag, v) => !marks.contains(s"$tag-$v")
+          case _ => false
+        }
+      }
+    }
+  }
+
   /** Fold into the LIVE generation any files appended to its SOURCE
     * (grace) generation after the previous rebuild's final sweep —
-    * the backstop that runs at the start of every rebuild, BEFORE the
-    * grace generation can be reclaimed by this rebuild's publish.
-    * Assignment uses the live generation's own frozen centroids
-    * (exactly an [[append]] of those vectors), so it is safe on a
-    * committed generation. */
+    * the backstop that runs at the start of every rebuild AND every
+    * sync pass, BEFORE the grace generation can be reclaimed by a
+    * publish. This is also how a sync wave that completed just after a
+    * rebuild's cutover reaches the new generation (its files landed in
+    * what is now the grace dir). Assignment uses the live generation's
+    * own frozen centroids (exactly an [[append]] of those vectors), so
+    * it is safe on a committed generation. Unmarked sync-wave files
+    * are skipped, NOT incorporated — their own sync's recovery or a
+    * later marked state decides their fate
+    * ([[unmarkedLsyncFiles]]). */
   private def sweepSourceStragglers(s: SparkSession,
       indexPath: String): Unit = {
     val fs = fsOf(s, indexPath)
     val live = layoutRoot(s, indexPath)
     readSource(fs, hp(live)).foreach { case (srcVecDir, incorporated) =>
       if (srcVecDir != s"$live/vectors" && fs.exists(hp(srcVecDir))) {
-        val extras = listVectorFiles(fs, srcVecDir) -- incorporated
+        val listed = listVectorFiles(fs, srcVecDir) -- incorporated
+        val extras = listed -- unmarkedLsyncFiles(fs, indexPath, listed)
         if (extras.nonEmpty) {
           foldIn(s, srcVecDir, extras,
             s.read.parquet(s"$live/centroids"), s"$live/vectors")
@@ -465,29 +504,59 @@ object IvfIndex {
     * generation cutovers). Crash recovery is idempotent: a version
     * with no mark first sweeps its tagged files, then redoes the whole
     * wave — a crash between move and mark can never double-serve.
-    * Update/delete change rows are rejected loudly (an IVF index is
-    * append-only between retrains — route corrections through
-    * [[rebuild]] after fixing the lake). Contract mirrors [[rebuild]]:
+    * DELETE change rows fold into the tombstone sidecar (full-set
+    * publish, idempotent under redo) — the lake's takedown reaches
+    * every serving path on the next probe, and the next [[rebuild]]
+    * compacts it physically. UPDATE change rows are rejected loudly
+    * (an IVF index is append-only between retrains — route
+    * corrections through [[rebuild]] after fixing the lake), as is a
+    * re-insert of a currently-tombstoned id (the stale row is still
+    * physically resident until a rebuild). Contract mirrors [[rebuild]]:
     * single sync maintainer per (lake, index) pair, and a crashed
     * sync's recovery must run before the next rebuild cutover.
     * Returns the number of lake versions ingested this pass. */
   def syncFromLake(s: SparkSession, lakePath: String,
       indexPath: String): Long = {
     VectorFunctions.register(s)
+    // fold any MARKED wave a previous pass left stranded in the grace
+    // generation (a rebuild cutover landed between that wave's moves
+    // and now) — one listing + a diff when quiet, the same backstop
+    // rebuild and maintainIvf run first
+    sweepSourceStragglers(s, indexPath)
+    val startGen = committedGen(s, indexPath)
     val root = layoutRoot(s, indexPath)
     val fs = fsOf(s, indexPath)
     val markDir = hp(s"$indexPath/_lakesync")
     val srcTag = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(lakePath).toLong
         & 0xffffffffL)
+    // the mark NAME keys on a 32-bit path hash; the BODY carries the
+    // full source path — verify it, so two lakes whose hashes collide
+    // fail loudly instead of silently counting each other's versions
+    // as synced (data never served)
     val synced: Set[Long] =
       if (!fs.exists(markDir)) Set.empty
       else fs.listStatus(markDir).iterator
-        .map(_.getPath.getName)
-        .filter(_.startsWith(s"$srcTag-"))
-        .map(_.drop(srcTag.length + 1))
-        .flatMap(v => if (v.nonEmpty && v.forall(_.isDigit))
-          Some(v.toLong) else None)
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(s"$srcTag-"))
+        .flatMap { st =>
+          val v = st.getPath.getName.drop(srcTag.length + 1)
+          if (v.isEmpty || !v.forall(_.isDigit)) None
+          else {
+            val in = fs.open(st.getPath)
+            val body =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            body.linesIterator
+              .collectFirst { case l if l.startsWith("src ") => l.drop(4) }
+              .foreach(src => require(src == lakePath,
+                s"syncFromLake: mark ${st.getPath.getName} under " +
+                  s"$indexPath records source '$src', not '$lakePath' — " +
+                  s"two lake paths collide on tag $srcTag; give this " +
+                  "index a dedicated path per source lake"))
+            Some(v.toLong)
+          }
+        }
         .toSet
     val versions = graft.sources.LakeLayout.lakeVersions(s, lakePath)
       .filterNot(synced).sorted
@@ -507,12 +576,35 @@ object IvfIndex {
       }
       val ch = graft.streaming.CdfStream
         .changesForVersion(s, lakePath, v, "vec_id")
-      require(ch.filter(col("_change").isin("update", "delete")).isEmpty,
-        s"syncFromLake: version $v of $lakePath carries update/delete " +
+      require(ch.filter(col("_change") === "update").isEmpty,
+        s"syncFromLake: version $v of $lakePath carries update " +
           "changes — an IVF index is append-only between retrains; fix " +
           "the lake, then rebuild the index")
+      // DELETE changes fold into the tombstone sidecar (full-set
+      // publish — idempotent under crash-redo, so it can precede the
+      // mark like the file moves do); every serving path anti-joins
+      // the committed set, and the next rebuild compacts it physically.
+      // A lake key deleted and later RE-INSERTED is rejected loudly:
+      // the original row is still physically in its cell until a
+      // rebuild, so admitting the new row would leave two rows (one
+      // stale) behind one vec_id once the tombstone lifts.
+      val dels = ch.filter(col("_change") === "delete")
+        .select(col("vec_id"))
       val wave = ch.filter(col("_change") === "insert")
         .select(col("vec_id"), col("label"), col("embedding"))
+      readTombstoneDir(fs, root).foreach { dir =>
+        require(wave.join(broadcast(
+            s.read.parquet(dir).select(col("vec_id"))),
+            Seq("vec_id"), "left_semi").isEmpty,
+          s"syncFromLake: version $v of $lakePath re-inserts tombstoned " +
+            "vec_ids — rebuild the index to compact its tombstones " +
+            "before re-inserting a deleted id")
+      }
+      if (!dels.isEmpty) {
+        val cur = readTombstoneDir(fs, root)
+          .map(d => s.read.parquet(d).select(col("vec_id")))
+        publishTombstones(s, root, cur.fold(dels)(_.union(dels)))
+      }
       val stage = hp(s"$indexPath/.lsync-stage-$srcTag-v$v")
       fs.delete(stage, true)
       assignCells(wave, centsDf)
@@ -549,6 +641,27 @@ object IvfIndex {
       try out.write(s"src $lakePath\nv $v\n".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+    }
+    // a rebuild cutover DURING this pass leaves this pass's work in
+    // the now-grace generation (the cutover's own fold rounds carry
+    // only waves marked before they listed — unmarked ones are
+    // deliberately skipped, [[unmarkedLsyncFiles]]): fold the marked
+    // waves forward immediately instead of waiting for the next
+    // maintenance pass, and re-publish the grace tombstone set onto
+    // the new live root — idempotent, since a tombstone for a row the
+    // rebuild already compacted away is a no-op at serving.
+    if (committedGen(s, indexPath) != startGen) {
+      sweepSourceStragglers(s, indexPath)
+      val newRoot = layoutRoot(s, indexPath)
+      if (newRoot != root)
+        readTombstoneDir(fs, root).foreach { d =>
+          if (fs.exists(hp(d))) {
+            val old = s.read.parquet(d).select(col("vec_id"))
+            val cur = readTombstoneDir(fs, newRoot)
+              .map(nd => s.read.parquet(nd).select(col("vec_id")))
+            publishTombstones(s, newRoot, cur.fold(old)(_.union(old)))
+          }
+        }
     }
     versions.size.toLong
   }
@@ -678,14 +791,24 @@ object IvfIndex {
         else s.read.option("basePath", s"$root/vectors")
           .parquet(tailFiles.toSeq.sorted: _*).count().toDouble / nVec
     }
+    // tombstone fraction: committed deletes still physically resident
+    // (served-around by the anti-join) as a share of the corpus — the
+    // measured trigger for a compacting retrain, next to the tails
+    val tombFrac = readTombstoneDir(fs, root) match {
+      case None => 0.0
+      case Some(dir) =>
+        if (nVec == 0L) 0.0
+        else tryRead(dir).fold(0.0)(_.count().toDouble / nVec)
+    }
     Seq((k.toLong, nVec, counts.count(_ == 0L).toLong,
       counts.head, counts.last, meanOcc, pct(0.5), pct(0.9),
       if (meanOcc > 0) counts.last / meanOcc else 0.0, meanSim,
-      pqFit, pqTail, pqFitSample, sq8Tail))
+      pqFit, pqTail, pqFitSample, sq8Tail, tombFrac))
       .toDF("n_cells", "n_vectors", "empty_cells", "min_occupancy",
         "max_occupancy", "mean_occupancy", "p50_occupancy",
         "p90_occupancy", "occupancy_skew", "mean_centroid_sim",
-        "pq_fit", "pq_tail_frac", "pq_fit_sample", "sq8_tail_frac")
+        "pq_fit", "pq_tail_frac", "pq_fit_sample", "sq8_tail_frac",
+        "tomb_frac")
   }
 
   /** Hash-sample modulus for the `pq_fit` maintenance metric: 1-in-8
@@ -741,10 +864,28 @@ object IvfIndex {
     // is incorporated by the train+assign read below; everything a
     // concurrent append lands after it shows up as a listing diff and
     // is folded in exactly once
-    var snap = listVectorFiles(fs, liveVecDir)
+    // every listing this rebuild folds from skips IN-FLIGHT sync waves
+    // (lsync-tagged files with no mark): their own sync's recovery owns
+    // them — folding a partial wave here would duplicate it against
+    // the redo ([[unmarkedLsyncFiles]])
+    def listFoldable(): Set[String] = {
+      val l = listVectorFiles(fs, liveVecDir)
+      l -- unmarkedLsyncFiles(fs, indexPath, l)
+    }
+    var snap = listFoldable()
     require(snap.nonEmpty,
       s"rebuild: $indexPath has no vectors to retrain on")
-    val vecs = readVectorFiles(s, liveVecDir, snap)
+    // COMPACTION of deletes: the retrain neither trains on nor carries
+    // a tombstoned vector — anti-join the live generation's committed
+    // tombstone set (broadcast; bounded by deletes-between-retrains)
+    // from the training snapshot AND every fold-in wave. The new
+    // generation is published with NO tombstone sidecar: the delete
+    // becomes physical at the cutover.
+    val liveTombs = readTombstoneDir(fs, live)
+      .map(d => broadcast(s.read.parquet(d).select($"vec_id")))
+    def dropTombs(df: DataFrame): DataFrame =
+      liveTombs.fold(df)(t => df.join(t, Seq("vec_id"), "left_anti"))
+    val vecs = dropTombs(readVectorFiles(s, liveVecDir, snap))
     val cents = Similarity.trainIvfCentroidsFrom(s,
       vecs.select($"vec_id", $"embedding"), cells, iters)
     val centsDf = cents.zipWithIndex
@@ -759,12 +900,14 @@ object IvfIndex {
     // fold in waves an overlapping append landed since the snapshot —
     // re-diff until quiet so a publish never drops a completed append
     var attempts = 0
-    var fresh = listVectorFiles(fs, liveVecDir) -- snap
+    var fresh = listFoldable() -- snap
     while (fresh.nonEmpty && attempts < 5) {
-      foldIn(s, liveVecDir, fresh, centsDf, s"$stage/vectors")
+      assignCells(dropTombs(readVectorFiles(s, liveVecDir, fresh)), centsDf)
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$stage/vectors")
       snap ++= fresh
       attempts += 1
-      fresh = listVectorFiles(fs, liveVecDir) -- snap
+      fresh = listFoldable() -- snap
     }
     if (fresh.nonEmpty) {
       fs.delete(stage, true)
@@ -783,9 +926,11 @@ object IvfIndex {
     // next rebuild's start-of-run sweep is the backstop for anything
     // still in flight). Resolve the just-claimed dir from the log.
     val newRoot = s"$indexPath/${listClaims(fs, indexPath)(gen)}"
-    val late = listVectorFiles(fs, liveVecDir) -- snap
+    val late = listFoldable() -- snap
     if (late.nonEmpty) {
-      foldIn(s, liveVecDir, late, centsDf, s"$newRoot/vectors")
+      assignCells(dropTombs(readVectorFiles(s, liveVecDir, late)), centsDf)
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$newRoot/vectors")
       writeSource(fs, hp(newRoot), liveVecDir, snap ++ late)
     }
   }
@@ -794,7 +939,7 @@ object IvfIndex {
   final case class IvfMaintenanceReport(skew: Double, fit: Double,
       rebuilt: Boolean, pqFit: Double = 0.0, pqTail: Double = 0.0,
       sidecarRebuilt: Boolean = false, sq8Tail: Double = 0.0,
-      sq8Rebuilt: Boolean = false)
+      sq8Rebuilt: Boolean = false, tombFrac: Double = 0.0)
 
   /** ONE-CALL measured maintenance — the policy layer over
     * [[describeIvf]] + [[rebuild]] + [[buildPqSidecar]], mirroring
@@ -818,8 +963,8 @@ object IvfIndex {
       maxSkew: Double = 4.0, minFit: Double = 0.15,
       cells: Int = Similarity.IvfCells,
       iters: Int = Similarity.IvfIters,
-      minPqFit: Double = 0.85, maxPqTail: Double = 0.25)
-      : IvfMaintenanceReport = {
+      minPqFit: Double = 0.85, maxPqTail: Double = 0.25,
+      maxTombFrac: Double = 0.25): IvfMaintenanceReport = {
     // fold grace-generation stragglers in FIRST (one listing + a diff
     // when quiet) so the health reading — and any triggered retrain —
     // sees every wave, including one stranded by a cutover race
@@ -840,7 +985,13 @@ object IvfIndex {
     // codebook there is nothing to drift, so the tail fraction is the
     // ONLY refresh trigger besides a retrain
     val sq8Tail = d.getAs[Double]("sq8_tail_frac")
-    val trigger = any && (skew > maxSkew || fit < minFit)
+    // tombstones accumulate until a retrain compacts them: each
+    // resident deleted row pays anti-join + (on compressed tiers) a
+    // wasted shortlist slot per probe, so the fraction is a retrain
+    // trigger exactly like skew and fit
+    val tombFrac = d.getAs[Double]("tomb_frac")
+    val trigger = any &&
+      (skew > maxSkew || fit < minFit || tombFrac > maxTombFrac)
     if (trigger) rebuild(s, indexPath, cells, iters)
     val refresh = hadSidecar && any &&
       (trigger || pqFit < minPqFit || pqTail > maxPqTail)
@@ -852,7 +1003,7 @@ object IvfIndex {
       (trigger || sq8Tail > maxPqTail)
     if (sq8Refresh) buildSq8Sidecar(s, indexPath)
     IvfMaintenanceReport(skew, fit, trigger, pqFit, pqTail, refresh,
-      sq8Tail, sq8Refresh)
+      sq8Tail, sq8Refresh, tombFrac)
   }
 
   /** Serve a top-k query from the persisted index: rank cells against
@@ -892,7 +1043,7 @@ object IvfIndex {
     val scanned = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(probeCells: _*))
     val kept0 = excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
-    where.fold(kept0)(kept0.filter)
+    antiTombstones(s, root, where.fold(kept0)(kept0.filter))
       .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))
       .filter(!isnan($"sim") && $"sim".isNotNull)
       .select($"vec_id", $"label", $"sim")
@@ -967,7 +1118,7 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted
     val cand0 = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
-    val cand = where.fold(cand0)(cand0.filter)
+    val cand = antiTombstones(s, root, where.fold(cand0)(cand0.filter))
     val hits = cand
       .join(broadcast(ranked), $"cell" === $"pcell")
       .withColumn("sim",
@@ -1012,10 +1163,11 @@ object IvfIndex {
     * match_count search, `reference/archon-workflow.md:38-57`). Codes
     * carry no metadata, so the predicate applies at the EXACT re-rank,
     * whose float scan holds the metadata columns; the ADC shortlist is
-    * computed over unfiltered codes, so callers WIDEN `shortlist` by
-    * the predicate's survivor rate (the same lever the raw filtered
-    * path pulls on nprobe) — the spec pins exact parity with the
-    * brute-force filtered scan at widened nprobe + shortlist. */
+    * computed over unfiltered codes and WIDENS ITSELF by the measured
+    * survivor rate ([[widenedShortlist]] — one narrow scan of the
+    * probed-cell union, shared across the batch), capped at
+    * exhaustive. `shortlist` names the post-filter width the caller
+    * wants, selectivity-independent. */
   def probeTopKBatchAdc(s: SparkSession, indexPath: String,
       probes: DataFrame, k: Int = 10,
       nprobe: Int = Similarity.IvfProbes,
@@ -1060,6 +1212,10 @@ object IvfIndex {
       .drop("books")
     val cellsNeeded = ranked.select($"pcell").distinct()
       .collect().map(_.getInt(0)).sorted
+    // measured widening over the probed-cell UNION (shared across the
+    // batch — one narrow scan, not one per probe)
+    val effShortlist = where.fold(shortlist)(p =>
+      widenedShortlist(s, root, cellsNeeded.toSeq, shortlist, p))
     // ADC stage: codes-only scan of the probed-cell union, each hit
     // scored against its probe's LUT — per-probe top-`shortlist` with
     // the single-probe path's exact ordering (adc desc, vec_id)
@@ -1079,7 +1235,7 @@ object IvfIndex {
       .select($"probe_id", $"vec_id", $"adc")
       .withColumn("arank", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")))
-      .filter($"arank" <= shortlist)
+      .filter($"arank" <= effShortlist)
       .select($"probe_id", $"vec_id")
     // uncompacted tail: appended after the sidecar — always candidates
     // for every probe whose probed cells they landed in
@@ -1099,7 +1255,8 @@ object IvfIndex {
     // applies HERE — the one stage whose scan carries those columns
     val rerankBase = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
-    val hits = where.fold(rerankBase)(rerankBase.filter)
+    val hits = antiTombstones(s, root,
+        where.fold(rerankBase)(rerankBase.filter))
       .select($"vec_id", $"label", $"embedding")
       .join(broadcast(cand.distinct()), Seq("vec_id"))
       .join(broadcast(probes.select($"probe_id", $"embedding"
@@ -1278,10 +1435,11 @@ object IvfIndex {
     * sidecar exists. */
   /** `where` is the FILTERED compressed form: codes carry no metadata,
     * so the predicate applies at the exact re-rank (whose float scan
-    * holds the metadata columns) and callers WIDEN `shortlist` by the
-    * predicate's survivor rate — the filtered-ANN lever on the
-    * compressed tier, spec-pinned equal to the brute-force filtered
-    * scan at widened nprobe + shortlist. */
+    * holds the metadata columns) and the ADC shortlist WIDENS ITSELF
+    * by the measured survivor rate ([[widenedShortlist]]), capped at
+    * exhaustive — `shortlist` names the post-filter width the caller
+    * wants, selectivity-independent; spec-pinned equal to the
+    * brute-force filtered scan at DEFAULT widths. */
   def probeTopKAdc(s: SparkSession, indexPath: String,
       probe: Array[Double], k: Int = 10,
       nprobe: Int = Similarity.IvfProbes,
@@ -1316,11 +1474,17 @@ object IvfIndex {
         r.getAs[scala.collection.Seq[Double]]("cvec").toArray
     }
     val lut = ProductQuant.lutFor(cb.map(_.toArray), probeU)
+    // measured widening: a predicate thins the exact re-rank's input,
+    // so the unfiltered ADC cut is widened by the measured survivor
+    // rate (capped at exhaustive) — recall no longer rides a
+    // caller-managed width
+    val effShortlist = where.fold(shortlist)(p =>
+      widenedShortlist(s, root, probeCells, shortlist, p))
     val adcBase = s.read.parquet(codesDir)
       .filter($"cell".isin(probeCells: _*))
     val adcCand = excludeId.fold(adcBase)(id => adcBase.filter($"vec_id" =!= id))
       .withColumn("adc", ProductQuant.adcScore(lut, m, ks))
-      .orderBy($"adc".desc, $"vec_id").limit(shortlist)
+      .orderBy($"adc".desc, $"vec_id").limit(effShortlist)
       .select($"vec_id")
     // uncompacted tail: appended after the sidecar — always candidates
     val tail = listVectorFiles(fs, s"$root/vectors") -- snapshot
@@ -1335,9 +1499,11 @@ object IvfIndex {
     val scanned0 = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(probeCells: _*))
       .join(broadcast(cand.distinct()), Seq("vec_id"), "left_semi")
-    // metadata predicate at the exact re-rank — the one stage whose
-    // scan carries the metadata columns (codes don't)
-    val scanned = where.fold(scanned0)(scanned0.filter)
+    // metadata predicate + tombstone anti-join at the exact re-rank —
+    // the one stage whose scan carries the metadata columns (codes
+    // don't)
+    val scanned = antiTombstones(s, root,
+      where.fold(scanned0)(scanned0.filter))
     excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
       .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))
       .filter(!isnan($"sim") && $"sim".isNotNull)
@@ -1443,6 +1609,173 @@ object IvfIndex {
     if (versions.isEmpty) None else readSq8Marker(fs, root, versions.max)
   }
 
+  // ------------------------------------------------ tombstone sidecar
+  /** TOMBSTONE SIDECAR — the DELETE path to the serving surface. The
+    * lake deletes in O(deleted keys) (`deleteFromLake`, DV deletes, SQL
+    * DELETE — the takedown/GDPR shape), but an IVF layout cannot cheaply
+    * remove a row from a cell-partitioned parquet dir; before this tier
+    * a deleted vector kept SERVING until the next full retrain. The
+    * sidecar is the PQ/SQ8 marker-publish recipe with no model at all —
+    * one versioned set of deleted ids:
+    *
+    *   <root>/tombs-<n>/...parquet   (vec_id — the FULL current set)
+    *   <root>/_tomb/<n>              (marker naming the dir, written
+    *                                  LAST via exclusive create)
+    *
+    * Every serving path anti-joins the resolved set at its EXACT
+    * re-rank stage — the same stage the `where` predicate rides — so a
+    * tombstoned id never leaves any tier (raw/ADC/SQ8 × single/batch ×
+    * plain/filtered). On compressed tiers tombstoned rows still occupy
+    * ADC/SQ8 shortlist slots until a rebuild compacts them (they carry
+    * no metadata at the codes scan); the fraction is bounded by
+    * [[maintainIvf]]'s `maxTombFrac` retrain trigger, and callers widen
+    * `shortlist` exactly as they do for a `where` survivor rate.
+    * Publishing FULL sets (not deltas) keeps replay idempotent — a
+    * re-published union is byte-equivalent — and keeps resolution one
+    * marker read; the set is small by policy (deletes between retrains),
+    * so a single coalesced file suffices. [[rebuild]] compacts: the
+    * retrain anti-joins live tombstones from its training snapshot and
+    * every fold-in wave, and the new generation starts with NO sidecar —
+    * the delete becomes physical at the cutover. */
+  private def publishTombstones(s: SparkSession, root: String,
+      tombs: DataFrame): Unit = {
+    val fs = fsOf(s, root)
+    val tombDir = hp(s"$root/_tomb")
+    val prior =
+      if (!fs.exists(tombDir)) Set.empty[Long]
+      else fs.listStatus(tombDir).iterator
+        .flatMap(st => claimGen(st.getPath.getName)).toSet
+    val n = prior.foldLeft(-1L)(math.max) + 1L
+    val rel = s"tombs-$n"
+    tombs.select(col("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$rel")
+    fs.mkdirs(tombDir)
+    val marker = new org.apache.hadoop.fs.Path(tombDir, n.toString)
+    try {
+      val out = fs.create(marker, false) // exclusive — the commit point
+      try out.write(s"d $rel\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e @ (_: java.io.IOException |
+                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+        fs.delete(hp(s"$root/$rel"), true)
+        throw new IllegalStateException(
+          s"publishTombstones lost the marker race for version $n under " +
+            s"$root — tombstones are single-maintainer by contract " +
+            "(the sync/rebuild maintainer); this build's dir was " +
+            "discarded", e)
+    }
+    // reclaim below the grace version; markers before dirs, as always
+    prior.filter(_ < n - 1).foreach { v =>
+      readTombMarker(fs, root, v).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(tombDir, v.toString), false)
+        fs.delete(hp(d), true)
+      }
+    }
+  }
+
+  private def readTombMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, n: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(hp(s"$root/_tomb"), n.toString)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.collectFirst { case l if l.startsWith("d ") =>
+        s"$root/${l.drop(2).trim}"
+      }
+    }
+  }
+
+  /** Resolve the committed tombstone set ONCE: the dir of the max
+    * versioned marker, or None when the generation carries no deletes. */
+  private def readTombstoneDir(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[String] = {
+    val tombDir = hp(s"$root/_tomb")
+    val versions =
+      if (!fs.exists(tombDir)) Set.empty[Long]
+      else fs.listStatus(tombDir).iterator
+        .flatMap(st => claimGen(st.getPath.getName)).toSet
+    if (versions.isEmpty) None else readTombMarker(fs, root, versions.max)
+  }
+
+  /** What the last filtered-compressed probe MEASURED and CHOSE —
+    * (survivor rate over the probed cells, effective shortlist) — the
+    * observability hook for the auto-widening below (the spec reads
+    * it; a fleet would export it). */
+  private[graft] val lastFilterWidening =
+    new java.util.concurrent.atomic.AtomicReference[(Double, Int)]((1.0, 0))
+
+  /** MEASURED shortlist widening for the filtered compressed tiers.
+    * Codes carry no metadata, so a `where` predicate can only apply at
+    * the exact re-rank — of an UNFILTERED shortlist, only ~rate·|list|
+    * rows survive, so a selective predicate at a fixed width silently
+    * degrades recall. Instead of a caller-managed contract, MEASURE
+    * the survivor rate — one narrow scan of the predicate's columns
+    * over the probed cells (column-pruned at the parquet reader;
+    * O(probed rows), never the corpus) — and widen the shortlist to
+    * 2·⌈asked/rate⌉ (EXPECTED survivors ≈ 2× what the caller asked
+    * for — the margin absorbs survivor clustering low in the
+    * approximate order), capped at the probed row count (exhaustive =
+    * exact, the natural ceiling; a selective predicate at production
+    * widths usually lands here). Zero survivors means the filtered
+    * result is empty at any width — the original shortlist is kept
+    * and the probe returns empty honestly. The measured (rate, width)
+    * pair lands in [[lastFilterWidening]]. */
+  private def widenedShortlist(s: SparkSession, root: String,
+      cells: Seq[Int], shortlist: Int,
+      pred: org.apache.spark.sql.Column): Int = {
+    import s.implicits._
+    val row = s.read.parquet(s"$root/vectors")
+      .filter($"cell".isin(cells.map(Int.box): _*))
+      .agg(count(lit(1)).as("total"),
+        count(when(pred, 1)).as("kept")).head()
+    val (total, kept) = (row.getLong(0), row.getLong(1))
+    val eff =
+      if (kept <= 0L || total <= 0L) shortlist
+      else {
+        val rate = kept.toDouble / total
+        math.max(shortlist,
+          math.min(2.0 * math.ceil(shortlist / rate),
+            total.toDouble).toInt)
+      }
+    lastFilterWidening.set(
+      (if (total > 0) kept.toDouble / total else 1.0, eff))
+    eff
+  }
+
+  /** Anti-join the resolved tombstone set out of a candidate frame —
+    * the one stage every serving path shares. The set rides a
+    * broadcast (bounded by deletes-between-retrains, the
+    * [[maintainIvf]] `maxTombFrac` policy); no tombstones = no join. */
+  private def antiTombstones(s: SparkSession, root: String,
+      df: DataFrame): DataFrame =
+    readTombstoneDir(fsOf(s, root), root).fold(df)(dir =>
+      df.join(broadcast(s.read.parquet(dir).select(col("vec_id"))),
+        Seq("vec_id"), "left_anti"))
+
+  /** Direct takedown: fold `ids` (a frame carrying `vec_id`) into the
+    * live generation's tombstone set — the serving-surface twin of
+    * [[graft.sources.LakeLayout.deleteFromLake]] for callers not
+    * routing deletes through a lake. Takes effect on the NEXT probe
+    * (every serving path anti-joins the committed set); the next
+    * [[rebuild]] makes it physical. Single maintainer per index, like
+    * every sidecar — a lost marker race fails loudly. */
+  def tombstoneIds(s: SparkSession, indexPath: String,
+      ids: DataFrame): Unit = {
+    val root = layoutRoot(s, indexPath)
+    val fs = fsOf(s, root)
+    val incoming = ids.select(col("vec_id"))
+    val all = readTombstoneDir(fs, root)
+      .map(d => s.read.parquet(d).select(col("vec_id")).union(incoming))
+      .getOrElse(incoming)
+    publishTombstones(s, root, all)
+  }
+
   /** Serving from the SQ8 tier: the shortlist stage scans only
     * (vec_id, q) of the probed cells — 4× smaller than the float scan,
     * on the same nprobe/cells partition pruning (spec asserts the
@@ -1451,8 +1784,9 @@ object IvfIndex {
     * appended after the sidecar). Scoring is asymmetric: the exact
     * unit probe against the byte codes, one codegen'd dot per row.
     * `where` follows the compressed-tier filtered contract: the
-    * predicate applies at the exact re-rank; widen `shortlist` by the
-    * survivor rate. Fails loudly if no committed sidecar exists. */
+    * predicate applies at the exact re-rank and the shortlist widens
+    * itself by the measured survivor rate ([[widenedShortlist]]).
+    * Fails loudly if no committed sidecar exists. */
   def probeTopKSq8(s: SparkSession, indexPath: String,
       probe: Array[Double], k: Int = 10,
       nprobe: Int = Similarity.IvfProbes,
@@ -1479,6 +1813,9 @@ object IvfIndex {
       .map { case (i, c) => (c.zip(probeU).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
     val pu = array(probeU.map(lit): _*)
+    // measured widening — same survivor-rate lever as the ADC tier
+    val effShortlist = where.fold(shortlist)(p =>
+      widenedShortlist(s, root, probeCells, shortlist, p))
     val codeBase = s.read.parquet(codesDir)
       .filter($"cell".isin(probeCells: _*))
     val sqCand = excludeId.fold(codeBase)(id =>
@@ -1486,7 +1823,7 @@ object IvfIndex {
       .withColumn("approx",
         VectorFunctions.dot(transform($"q", c => c.cast("double")), pu)
           / 127.0)
-      .orderBy($"approx".desc, $"vec_id").limit(shortlist)
+      .orderBy($"approx".desc, $"vec_id").limit(effShortlist)
       .select($"vec_id")
     // uncompacted tail: appended after the sidecar — always candidates
     val tail = listVectorFiles(fs, s"$root/vectors") -- snapshot
@@ -1501,7 +1838,8 @@ object IvfIndex {
     val scanned0 = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(probeCells: _*))
       .join(broadcast(cand.distinct()), Seq("vec_id"), "left_semi")
-    val scanned = where.fold(scanned0)(scanned0.filter)
+    val scanned = antiTombstones(s, root,
+      where.fold(scanned0)(scanned0.filter))
     excludeId.fold(scanned)(id => scanned.filter($"vec_id" =!= id))
       .withColumn("sim", round(VectorFunctions.cosine($"embedding", pc), 3))
       .filter(!isnan($"sim") && $"sim".isNotNull)
@@ -1518,9 +1856,9 @@ object IvfIndex {
     * probed-cell union, per-probe shortlist window (model columns shed
     * before the exchange), raw tail unioned, exact cosine re-rank of
     * shortlist ∪ tail. `where` follows the compressed-tier filtered
-    * contract (predicate at the exact re-rank; widen `shortlist` by
-    * the survivor rate). Exact per-probe parity with [[probeTopKSq8]]
-    * is spec-pinned. */
+    * contract (predicate at the exact re-rank; the shortlist widens
+    * itself by the measured survivor rate, [[widenedShortlist]]).
+    * Exact per-probe parity with [[probeTopKSq8]] is spec-pinned. */
   def probeTopKSq8Batch(s: SparkSession, indexPath: String,
       probes: DataFrame, k: Int = 10,
       nprobe: Int = Similarity.IvfProbes,
@@ -1540,6 +1878,9 @@ object IvfIndex {
     val ranked = rankProbeCells(s, root, probes, nprobe)
     val cellsNeeded = ranked.select($"pcell").distinct()
       .collect().map(_.getInt(0)).sorted
+    // measured widening over the probed-cell union, shared by the batch
+    val effShortlist = where.fold(shortlist)(p =>
+      widenedShortlist(s, root, cellsNeeded.toSeq, shortlist, p))
     // int8 stage: codes-only scan of the probed-cell union, each hit
     // scored by one dot against its broadcast probe (scaling by 127 or
     // the probe's norm cannot change a per-probe ordering — skipped)
@@ -1558,7 +1899,7 @@ object IvfIndex {
       .select($"probe_id", $"vec_id", $"approx")
       .withColumn("arank", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"approx".desc, $"vec_id")))
-      .filter($"arank" <= shortlist)
+      .filter($"arank" <= effShortlist)
       .select($"probe_id", $"vec_id")
     // uncompacted tail: appended after the sidecar — always candidates
     val tailFiles = listVectorFiles(fs, s"$root/vectors") -- snapshot
@@ -1576,7 +1917,8 @@ object IvfIndex {
     // applies HERE — the one stage whose scan carries those columns
     val rerankBase = s.read.parquet(s"$root/vectors")
       .filter($"cell".isin(cellsNeeded.map(Int.box).toSeq: _*))
-    val hits = where.fold(rerankBase)(rerankBase.filter)
+    val hits = antiTombstones(s, root,
+        where.fold(rerankBase)(rerankBase.filter))
       .select($"vec_id", $"label", $"embedding")
       .join(broadcast(cand.distinct()), Seq("vec_id"))
       .join(broadcast(probes.select($"probe_id", $"embedding"
@@ -1708,15 +2050,15 @@ object IvfIndex {
 
   /** Registry drive: FILTERED serving from the COMPRESSED persisted
     * index — [[probeTopKAdc]] with the standard metadata predicate
-    * (`label = FilterLabel`, ~10 % of the corpus), `shortlist` widened
-    * by the predicate's survivor rate so the filtered top-k survives
-    * the unfiltered ADC cut: filtered + compressed is the query a
+    * (`label = FilterLabel`, ~10 % of the corpus) at DEFAULT widths:
+    * the shortlist widens itself by the MEASURED survivor rate
+    * ([[widenedShortlist]]), so filtered + compressed — the query a
     * serving fleet actually runs (the reference's KB search is a
-    * source-filtered match_count search). Rows-only by design
-    * (engine-local centroids and codebooks); correctness is pinned by
-    * the filtered-parity spec — exact equality with the oracle-checked
-    * brute-force filtered scan at widened nprobe/shortlist — plus the
-    * codes scan's no-floats plan assertion. */
+    * source-filtered match_count search) — carries no caller-managed
+    * recall contract. Rows-only by design (engine-local centroids and
+    * codebooks); correctness is pinned by the filtered-parity spec —
+    * exact equality with the oracle-checked brute-force filtered scan
+    * — plus the codes scan's no-floats plan assertion. */
   def sIvfPqFiltered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val probe = Tables.load(s, dir, "embeddings")
@@ -1725,7 +2067,6 @@ object IvfIndex {
       .getAs[scala.collection.Seq[Float]]("embedding")
       .map(_.toDouble).toArray
     probeTopKAdc(s, stagedPqIndex(s, dir), probe,
-      shortlist = ProductQuant.RerankShortlist * 10,
       excludeId = Some(Similarity.ProbeId),
       where = Some($"label" === Similarity.FilterLabel))
   }

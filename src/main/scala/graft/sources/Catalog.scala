@@ -110,15 +110,34 @@ object Catalog {
   def persistLakeRegistration(spark: SparkSession, name: String,
       tablePath: String, key: Option[String]): Unit =
     if (lookupLakeRegistration(spark, name) != Some((tablePath, key))) {
+      // name/key are interpolated into DDL below — enforce the ident
+      // contract HERE, not only at the LakeSql.register call site, so
+      // a direct caller can neither break the statement nor inject
+      val identRe = "[A-Za-z_][A-Za-z0-9_]*"
+      require(name.matches(identRe),
+        s"lake registration name must be a plain SQL identifier, " +
+          s"got '$name'")
+      key.foreach(k => require(k.matches(identRe),
+        s"lake merge key must be a plain SQL identifier, got '$k'"))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $LakeRegistryDb")
       spark.sql(s"DROP TABLE IF EXISTS $LakeRegistryDb.$name")
       val props = s"'graft.lake.path'='${tablePath.replace("'", "''")}'" +
-        key.map(k => s", 'graft.lake.key'='$k'").getOrElse("")
+        key.map(k => s", 'graft.lake.key'='${k.replace("'", "''")}'")
+          .getOrElse("")
       // a marker table carries no data — only the properties matter;
-      // parquet source keeps it readable (empty) if ever selected
-      spark.sql(
+      // parquet source keeps it readable (empty) if ever selected.
+      // DROP+CREATE is non-atomic: a concurrent registrar can land its
+      // CREATE in the window. If the record it left matches ours, the
+      // registration is in place — the lost race is benign; any other
+      // failure is real.
+      try spark.sql(
         s"""CREATE TABLE $LakeRegistryDb.$name (graft_lake_marker INT)
             USING parquet TBLPROPERTIES ($props)""")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (lookupLakeRegistration(spark, name) !=
+              Some((tablePath, key))) throw e
+      }
     }
 
   /** The persisted (path, key) record for a lake name, if any. */

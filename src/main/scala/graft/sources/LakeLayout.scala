@@ -1080,7 +1080,13 @@ object LakeLayout {
     * merge key, then filters/anti-joins/unions), so its output volume
     * is bounded by its inputs — a free, honest upper bound where an
     * exact `count()` would re-evaluate the whole change-set plan once
-    * per commit (measured +10 % on the CDC-replication drive). */
+    * per commit (measured +10 % on the CDC-replication drive).
+    * BELIEVABLE join estimates are kept: the override applies only
+    * when the top-level estimate is implausible (at/above the unknown
+    * default, or orders of magnitude past the leaf sum — the
+    * multiplicative-guess signature), so a genuinely expanding
+    * one-to-many batch still sizes by what the optimizer saw instead
+    * of under-partitioning into oversized files. */
   private def insertBytesEstimate(df: DataFrame): BigInt = {
     val plan = df.queryExecution.optimizedPlan
     val stats = plan.stats
@@ -1093,8 +1099,12 @@ object LakeLayout {
     else {
       val leafSizes = plan.collectLeaves().map(_.stats.sizeInBytes)
       if (joinInflated && leafSizes.nonEmpty &&
-          leafSizes.forall(_ < unknown))
-        leafSizes.sum
+          leafSizes.forall(_ < unknown)) {
+        val leafSum = leafSizes.sum
+        if (stats.sizeInBytes < unknown &&
+            stats.sizeInBytes <= leafSum * 8) stats.sizeInBytes
+        else leafSum
+      }
       else {
         val rowWidth = math.max(8L,
           df.schema.fields.map(_.dataType.defaultSize.toLong).sum)
@@ -2069,16 +2079,85 @@ object LakeLayout {
     * all-miss key set reads zero files. */
   def readLakeMatching(spark: SparkSession, tablePath: String,
       keys: DataFrame, key: String): DataFrame = {
-    val table = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = latestLakeCommit(spark, tablePath)
       .getOrElse(throw new IllegalArgumentException(
         s"readLakeMatching: $tablePath has no committed version"))
+    val hit = readLakeMatchingFiles(spark, tablePath, cur, keys, key)
+    if (hit.isEmpty) readLake(spark, tablePath).get.limit(0)
+    else filesFrame(spark, tablePath, hit, commitSchema(cur))
+  }
+
+  /** [[readLakeMatching]]'s pruned file list — package-private so specs
+    * can count exactly which files the read would open. */
+  private[graft] def readLakeMatchingFiles(spark: SparkSession,
+      tablePath: String, cur: LakeCommit, keys: DataFrame,
+      key: String): Seq[LakeFile] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val files = resolveFiles(fs, table, cur)
     val touched = touchedFilePaths(spark, files, keys, key)
     val hit = files.filter(f => touched(f.path))
-    if (hit.isEmpty) readLake(spark, tablePath).get.limit(0)
-    else filesFrame(spark, tablePath, hit, commitSchema(cur))
+    bloomRefineMatching(spark, tablePath, table, fs, cur, hit, keys, key)
+  }
+
+  /** Total decoded bloom bytes [[bloomRefineMatching]] will broadcast
+    * before giving up on refinement — the metadata-plane bound (blooms
+    * are capped at 128 KiB each, so this covers ~128 range-surviving
+    * candidates; past that, range pruning alone already did its job or
+    * the source is table-wide and refinement would cost more than the
+    * reads it saves). */
+  private val BloomRefineCapBytes = 16L * 1024 * 1024
+
+  /** BLOOM refinement for [[readLakeMatching]]: range bounds keep any
+    * file whose [min, max] straddles a source key, but a SCATTERED
+    * source (the GDPR/takedown merge shape) straddles almost every
+    * file while actually living in few — the per-file key blooms the
+    * table already maintains answer "definitely not here" per file.
+    * The source keys stay a DataFrame: each key is hashed ONCE through
+    * the stored column's string cast (the builder's own recipe, so the
+    * two sides can never drift), the range-surviving files' decoded
+    * bloom words ride ONE small broadcast, and a single
+    * keys×candidates pass keeps exactly the files some key may hit —
+    * mod-first double hashing unrolled over [[BloomHashes]] probes,
+    * all codegen built-ins. Files without a resolvable bloom stay
+    * candidates (skipping is an optimization, never a gate); fewer
+    * than two bloomed candidates or an over-cap broadcast skips the
+    * refinement job entirely. */
+  private def bloomRefineMatching(spark: SparkSession, tablePath: String,
+      table: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, cur: LakeCommit,
+      hit: Seq[LakeFile], keys: DataFrame, key: String): Seq[LakeFile] = {
+    import spark.implicits._
+    val resolved: Map[String, String] = hit.flatMap(f =>
+      resolveBloom(fs, table, tablePath, f).map(f.path -> _)).toMap
+    if (resolved.size < 2) return hit
+    val decoded = resolved.toSeq.map { case (p, b64) =>
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      (p, bytes.length / 8,
+        Seq.fill(bytes.length / 8)(bb.getLong()))
+    }
+    if (decoded.iterator.map(_._2 * 8L).sum > BloomRefineCapBytes)
+      return hit
+    val colType = commitSchema(cur)
+      .flatMap(_.fields.find(_.name == key)).map(_.dataType)
+    val keyStr = colType.fold(col(key))(c => col(key).cast(c))
+      .cast("string")
+    val joined = keys.select(keyStr.as("__kv")).distinct()
+      .crossJoin(broadcast(decoded.toDF("__p", "__nw", "__w")))
+      .withColumn("__bits", col("__nw").cast("long") * 64L)
+      // mod-first (see bloomMayContain): both hashes reduced into
+      // [0, bits) before combining, so ANSI mode can never overflow
+      .withColumn("__h1", pmod(xxhash64(col("__kv")), col("__bits")))
+      .withColumn("__h2", pmod(xxhash64(col("__kv"), lit(1L)),
+        col("__bits")))
+    val test = (0 until BloomHashes).map(i => expr(
+      s"(element_at(__w, cast(pmod(__h1 + ${i}L * __h2, __bits) / 64 " +
+        s"as int) + 1) & shiftleft(1L, cast(pmod(__h1 + ${i}L * __h2, " +
+        "__bits) % 64 as int))) != 0")).reduce(_ && _)
+    val mayHave = joined.filter(test).select(col("__p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    hit.filter(f => !resolved.contains(f.path) || mayHave(f.path))
   }
 
   /** POINT LOOKUP through manifest-level data skipping: rows of the

@@ -111,11 +111,21 @@ object LakeSql {
   /** Resolve a lake name: this session's registry first, then the
     * shared metastore record (which hydrates the session registry and
     * publishes the current-snapshot view under the statement's own
-    * spelling, so case-sensitive sessions resolve what they typed). */
+    * spelling, so case-sensitive sessions resolve what they typed).
+    * A temp view THIS SESSION created under the name — and the
+    * registry doesn't own — blocks hydration: re-publishing the lake
+    * view would silently clobber the session's own view, and DML on
+    * the bare name would mutate a lake the session never registered.
+    * The session keeps its view; an explicit [[register]] is the
+    * opt-in that takes the name over. */
   private def resolve(spark: SparkSession,
       name: String): Option[(String, String, Option[String])] =
     registryOf(spark).get(name.toLowerCase).orElse {
-      Catalog.lookupLakeRegistration(spark, name).map { case (p, k) =>
+      val shadowedByTempView =
+        try spark.catalog.getTable(name).isTemporary
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (shadowedByTempView) None
+      else Catalog.lookupLakeRegistration(spark, name).map { case (p, k) =>
         val entry = (name, p, k)
         registryOf(spark)(name.toLowerCase) = entry
         Catalog.registerLakeView(spark, p, name)
@@ -544,8 +554,18 @@ object LakeSql {
     }
     if (isRegistered(spark, srcName)) refreshView(spark, srcName)
     val src = spark.table(srcName)
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit}
+    // standard MERGE errors when a target row matches more than one
+    // source row; the lowerings below would instead write one
+    // replacement per duplicate — breaking the key-uniqueness
+    // invariant the touch-set pruning and anti-joins rely on. One
+    // narrow aggregate over the source (the small side) guards it.
+    require(src.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      s"MERGE INTO $name: source '$srcName' carries duplicate values " +
+        s"of merge key '$key' — a MERGE source must match each target " +
+        "row at most once; deduplicate the source first")
     val bid = sqlBatchId.incrementAndGet()
-    import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val r = clauses.trim match {
       case mergeUpsertRe() =>
         LakeLayout.upsertIntoLakeOcc(spark, path, src, key,

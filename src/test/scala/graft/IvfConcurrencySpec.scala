@@ -181,6 +181,80 @@ class IvfConcurrencySpec extends SparkSuite {
     assert(stray.isEmpty, s"no staging may survive the race: $stray")
   }
 
+  test("an in-flight sync racing a rebuild cutover: zero duplicates, zero lost waves, whichever wins") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-syncrace")
+      .toString
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-ivf-syncrace-lake").toString
+    IvfIndex.build(spark, sfDir, idx)
+    def dupCount(): Long = {
+      val root = IvfIndex.layoutRoot(spark, idx)
+      spark.read.parquet(s"$root/vectors")
+        .groupBy($"vec_id").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).count()
+    }
+    graft.sources.LakeLayout.appendToLake(spark, lake, wave(800000L, 40),
+      "s", 1L, statsKey = Some("vec_id"))
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L)
+    val n0 = nVectors(idx)
+
+    // the widest interleaving: the sync's whole wave (moves + mark)
+    // lands while the rebuild is fully staged — its fold rounds must
+    // carry the MARKED wave into the published generation exactly once
+    graft.sources.LakeLayout.appendToLake(spark, lake, wave(840000L, 40),
+      "s", 2L, statsKey = Some("vec_id"))
+    IvfIndex.rebuildImpl(spark, idx, 16, 4, () =>
+      assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L))
+    assert(nVectors(idx) == n0 + 40,
+      s"the mid-rebuild sync wave must survive the cutover: " +
+        s"$n0 + 40 != ${nVectors(idx)}")
+    assert(dupCount() == 0L, "the folded wave must not duplicate")
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 0L,
+      "the wave is marked — a re-sync is a no-op")
+    assert(nVectors(idx) == n0 + 40 && dupCount() == 0L)
+
+    // CRASHED sync: a wave whose mark was lost (crash between moves
+    // and mark) is an UNMARKED partial — the next rebuild must skip
+    // it (the sync protocol owns it), and the sync's own recovery
+    // then redoes it into the new generation, exactly once
+    graft.sources.LakeLayout.appendToLake(spark, lake, wave(880000L, 40),
+      "s", 3L, statsKey = Some("vec_id"))
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L)
+    val markDir = new org.apache.hadoop.fs.Path(s"$idx/_lakesync")
+    val fs = markDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marks = fs.listStatus(markDir).map(_.getPath).sortBy(_.getName)
+    fs.delete(marks.last, false)
+    IvfIndex.rebuild(spark, idx)
+    assert(nVectors(idx) == n0 + 40,
+      "a rebuild must not fold an unmarked sync wave: " +
+        s"${nVectors(idx)} != $n0 + 40")
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
+      "recovery redoes the unmarked wave into the new generation")
+    assert(nVectors(idx) == n0 + 80 && dupCount() == 0L,
+      s"the redone wave must serve exactly once: ${nVectors(idx)}")
+  }
+
+  test("the claim log stays bounded: 10 straight rebuilds keep at most 2 claims and 2 generation dirs") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-claims")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    IvfIndex.build(spark, sfDir, idx)
+    for (_ <- 1 to 10) {
+      IvfIndex.rebuild(spark, idx, cells = 16, iters = 2)
+      val claims = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$idx/_gen"))
+        .map(_.getPath.getName).toSeq
+      assert(claims.size <= 2,
+        s"reclamation must keep the claim log at live+grace: $claims")
+      val gens = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .map(_.getPath.getName).filter(_.startsWith("g")).toSeq
+      assert(gens.size <= 2,
+        s"reclamation must keep at most live+grace dirs: $gens")
+    }
+    assert(IvfIndex.committedGen(spark, idx).contains(10L))
+  }
+
   test("a mid-create (empty) claim is not-yet-committed: readers skip it instead of resolving to a broken root") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-eclaim")
       .toString

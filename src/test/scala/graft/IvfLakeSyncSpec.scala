@@ -97,4 +97,109 @@ class IvfLakeSyncSpec extends SparkSuite {
       IvfIndex.syncFromLake(spark, lake, idx))
     assert(err.getMessage.contains("append-only"))
   }
+
+  test("lake DELETE reaches every serving path via the tombstone sidecar; rebuild compacts it physically") {
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-tomb-lake").toString
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-tomb-idx").toString
+    IvfIndex.build(spark, sfDir, idx)
+
+    // a wave of exact twins (ids shifted by 1e6) flows stream → lake →
+    // index, then both compressed sidecars commit, so all six serving
+    // paths are live
+    val probeRow = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(1).collect().head
+    val pid = probeRow.getAs[Long]("vec_id")
+    val twin = pid + 1000000L
+    val pemb = probeRow.getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    def wave(lo: Long, hi: Long) =
+      graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"label", $"embedding")
+    LakeLayout.appendToLake(spark, lake, wave(0L, 25L), "vecstream", 1L,
+      statsKey = Some("vec_id"))
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L)
+    IvfIndex.buildPqSidecar(spark, idx)
+    IvfIndex.buildSq8Sidecar(spark, idx)
+
+    val probes = Seq((pid, pemb)).toDF("probe_id", "embedding")
+    // exhaustive widths: recall can't excuse a tombstone leak
+    val wide = 100000
+    def servedIds(): Map[String, Seq[Long]] = Map(
+      "raw" -> IvfIndex.probeTopK(spark, idx, pemb, k = 5,
+        excludeId = Some(pid)).collect().map(_.getAs[Long]("vec_id")).toSeq,
+      "rawBatch" -> IvfIndex.probeTopKBatch(spark, idx, probes, k = 5,
+        excludeSelf = true).collect().map(_.getAs[Long]("vec_id")).toSeq,
+      "adc" -> IvfIndex.probeTopKAdc(spark, idx, pemb, k = 5,
+        shortlist = wide, excludeId = Some(pid))
+        .collect().map(_.getAs[Long]("vec_id")).toSeq,
+      "adcBatch" -> IvfIndex.probeTopKBatchAdc(spark, idx, probes, k = 5,
+        shortlist = wide, excludeSelf = true)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq,
+      "sq8" -> IvfIndex.probeTopKSq8(spark, idx, pemb, k = 5,
+        shortlist = wide, excludeId = Some(pid))
+        .collect().map(_.getAs[Long]("vec_id")).toSeq,
+      "sq8Batch" -> IvfIndex.probeTopKSq8Batch(spark, idx, probes, k = 5,
+        shortlist = wide, excludeSelf = true)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq)
+    servedIds().foreach { case (path, ids) =>
+      assert(ids.headOption.contains(twin),
+        s"$path must serve the synced twin first before the delete: $ids")
+    }
+
+    // TAKEDOWN: delete the twin from the lake, sync — no serving path
+    // may return it, at any width
+    LakeLayout.deleteFromLake(spark, lake,
+      Seq(twin).toDF("vec_id"), "vec_id", "takedown", 2L)
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
+      "the delete version must sync")
+    val afterDelete = servedIds()
+    afterDelete.foreach { case (path, ids) =>
+      assert(!ids.contains(twin),
+        s"$path still serves the tombstoned id: $ids")
+    }
+    val health = IvfIndex.describeIvf(spark, idx).collect()(0)
+    assert(health.getAs[Double]("tomb_frac") > 0.0,
+      "describeIvf must report the resident tombstone fraction")
+
+    // replay-idempotent: a second sync sees nothing new and serving is
+    // byte-identical
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 0L)
+    assert(servedIds() == afterDelete,
+      "a replayed sync must not change serving")
+
+    // re-inserting a tombstoned id before the compacting rebuild is
+    // rejected loudly — its stale row is still physically resident
+    LakeLayout.appendToLake(spark, lake, wave(0L, 1L), "vecstream", 3L,
+      statsKey = Some("vec_id"))
+    val err = intercept[IllegalArgumentException](
+      IvfIndex.syncFromLake(spark, lake, idx))
+    assert(err.getMessage.contains("tombstoned"))
+    // park the poisoned version as synced so the rest of the test can
+    // proceed (the operator told the caller to rebuild first)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // REBUILD compacts: the id leaves the physical layout and the new
+    // generation starts with no tombstone sidecar
+    IvfIndex.rebuild(spark, idx)
+    val root = IvfIndex.layoutRoot(spark, idx)
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter($"vec_id" === twin).isEmpty,
+      "rebuild must compact the tombstoned vector away")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_tomb")),
+      "the rebuilt generation must start with no tombstone sidecar")
+    assert(IvfIndex.describeIvf(spark, idx).collect()(0)
+      .getAs[Double]("tomb_frac") == 0.0)
+    // with tombstones compacted, the parked re-insert now syncs clean
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
+      "after the compacting rebuild the re-insert version syncs")
+    val top = IvfIndex.probeTopK(spark, idx, pemb, k = 1,
+      excludeId = Some(pid)).collect().head
+    assert(top.getAs[Long]("vec_id") == twin &&
+      top.getAs[Double]("sim") == 1.0,
+      s"the re-inserted twin must serve again after compaction: $top")
+  }
 }

@@ -57,6 +57,59 @@ class LakeBloomSkipSpec extends SparkSuite {
       s"dv-deleted key must not resurface through the bloom path: $after")
   }
 
+  test("readLakeMatching refines range survivors by the per-file blooms: a scattered merge source opens measurably fewer files") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-bloom-match").toString + "/t"
+    // hash-spread: every file's [min,max] spans nearly the whole
+    // domain, so RANGE pruning keeps all 8 for any in-domain key —
+    // exactly the scattered-source shape where the blooms must decide
+    val base = (0L until 4000L).map(k => (k, s"p$k")).toDF("id", "pay")
+      .repartition(8, pmod($"id", lit(8)))
+    LakeLayout.commitLakeVersion(base, t, "ck", 0L,
+      statsKey = Some("id"), bloomBits = 8192)
+    val cur = LakeLayout.latestLakeCommit(spark, t).get
+    val n = cur.files.size
+    assert(n >= 4 && cur.files.forall(_.bloom.isDefined),
+      s"staging must give several bloomed files: $n")
+
+    // two present keys, as a FRAME (never collected): the refined set
+    // is a strict subset of the range survivors (ranges overlap, so
+    // range pruning alone keeps all $n)
+    val keys = Seq(24L, 137L).toDF("id")
+    val refined = LakeLayout.readLakeMatchingFiles(spark, t, cur,
+      keys, "id")
+    assert(refined.size < n && refined.size <= 3,
+      s"blooms must refine the range survivors: ${refined.size} of $n")
+    // the read stays a correct superset of the exact matches
+    val got = LakeLayout.readLakeMatching(spark, t, keys, "id")
+      .filter($"id".isin(24L, 137L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(24L, 137L), s"refined read must keep matches: $got")
+
+    // keys absent from the table (but inside every file's range):
+    // range pruning alone would open all 8 — blooms reject them all
+    val absent = Seq(999999L, 888888L, 777777L).toDF("id")
+    val none = LakeLayout.readLakeMatchingFiles(spark, t, cur,
+      absent, "id")
+    assert(none.size <= 1,
+      s"absent scattered keys must prune nearly everything: ${none.size}")
+
+    // a bloom-less table keeps the range-only behavior (skipping is an
+    // optimization, never a gate)
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft-bloom-match-off").toString + "/t"
+    LakeLayout.commitLakeVersion(base, plain, "ck", 0L,
+      statsKey = Some("id"))
+    val plainCur = LakeLayout.latestLakeCommit(spark, plain).get
+    val plainFiles = LakeLayout.readLakeMatchingFiles(spark, plain,
+      plainCur, keys, "id")
+    assert(plainFiles.size == plainCur.files.size,
+      s"bloom-less candidates all stay: ${plainFiles.size} of " +
+        s"${plainCur.files.size}")
+    assert(LakeLayout.readLakeMatching(spark, plain, keys, "id")
+      .filter($"id".isin(24L, 137L)).count() == 2)
+  }
+
   test("string keys skip the same way, and bloom-less tables stay correct (all files candidates)") {
     val t = java.nio.file.Files
       .createTempDirectory("graft-bloom-str").toString + "/t"

@@ -517,4 +517,61 @@ class LakeSqlSpec extends SparkSuite {
       "SELECT count(*) AS n FROM hms_reg_t WHERE grp = -1")
       .collect()(0).getLong(0) == 0L)
   }
+
+  test("a session's OWN temp view is never clobbered by metastore hydration; explicit register is the opt-in") {
+    val t = stageTable()
+    LakeSql.register(spark, "hms_shadow_t", t, key = Some("id"))
+    val fresh = spark.newSession()
+    // the fresh session creates ITS OWN temp view under the lake's
+    // metastore-registered name BEFORE ever mentioning the lake
+    fresh.range(3).toDF("id").createOrReplaceTempView("hms_shadow_t")
+    assert(LakeSql.sql(fresh,
+      "SELECT count(*) AS n FROM hms_shadow_t").collect()(0).getLong(0)
+      == 3L,
+      "the session's own temp view must win over metastore hydration")
+    // DML on the bare name must NOT silently mutate the lake the
+    // session never registered: whatever surfaces (a loud pass-through
+    // failure), the lake's version history is untouched
+    val vBefore = LakeLayout.lakeVersions(spark, t).max
+    intercept[Exception] {
+      LakeSql.sql(fresh, "DELETE FROM hms_shadow_t WHERE id = 1")
+    }
+    assert(LakeLayout.lakeVersions(spark, t).max == vBefore,
+      "a shadowed name's DML must never reach the lake")
+    // explicit register() takes the name over — the documented opt-in
+    LakeSql.register(fresh, "hms_shadow_t", t, key = Some("id"))
+    assert(LakeSql.sql(fresh,
+      "SELECT count(*) AS n FROM hms_shadow_t").collect()(0).getLong(0)
+      == LakeLayout.readLake(fresh, t).get.count())
+  }
+
+  test("MERGE rejects a source carrying duplicate merge keys — the standard multiple-matches error, before any commit") {
+    val t = stageTable()
+    LakeSql.register(spark, "dupmerge_t", t, key = Some("id"))
+    Seq((5L, 1L, "a"), (5L, 2L, "b"), (9999999L, 3L, "c"))
+      .toDF("id", "grp", "pay").createOrReplaceTempView("dupmerge_src")
+    val vBefore = LakeLayout.lakeVersions(spark, t).max
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        """MERGE INTO dupmerge_t USING dupmerge_src
+           ON dupmerge_t.id = dupmerge_src.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    assert(LakeLayout.lakeVersions(spark, t).max == vBefore,
+      "a rejected MERGE must not commit")
+    // key-unique sources still merge fine through every form
+    Seq((5L, 7L, "ok"), (9999999L, 3L, "c"))
+      .toDF("id", "grp", "pay").createOrReplaceTempView("dupmerge_ok")
+    LakeSql.sql(spark,
+      """MERGE INTO dupmerge_t USING dupmerge_ok
+         ON dupmerge_t.id = dupmerge_ok.id
+         WHEN MATCHED THEN UPDATE SET grp = dupmerge_ok.grp
+         WHEN NOT MATCHED THEN INSERT *""")
+    val got = LakeLayout.readLake(spark, t).get
+      .filter($"id".isin(5L, 9999999L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((5L, 7L), (9999999L, 3L)), s"merge applied: $got")
+  }
 }
