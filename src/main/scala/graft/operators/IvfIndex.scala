@@ -1215,7 +1215,8 @@ object IvfIndex {
     // measured widening over the probed-cell UNION (shared across the
     // batch — one narrow scan, not one per probe)
     val effShortlist = where.fold(shortlist)(p =>
-      widenedShortlist(s, root, cellsNeeded.toSeq, shortlist, p))
+      widenedShortlist(s, root, cellsNeeded.toSeq, shortlist, p)) +
+      tombstoneSlack(s, root)
     // ADC stage: codes-only scan of the probed-cell union, each hit
     // scored against its probe's LUT — per-probe top-`shortlist` with
     // the single-probe path's exact ordering (adc desc, vec_id)
@@ -1479,7 +1480,8 @@ object IvfIndex {
     // rate (capped at exhaustive) — recall no longer rides a
     // caller-managed width
     val effShortlist = where.fold(shortlist)(p =>
-      widenedShortlist(s, root, probeCells, shortlist, p))
+      widenedShortlist(s, root, probeCells, shortlist, p)) +
+      tombstoneSlack(s, root)
     val adcBase = s.read.parquet(codesDir)
       .filter($"cell".isin(probeCells: _*))
     val adcCand = excludeId.fold(adcBase)(id => adcBase.filter($"vec_id" =!= id))
@@ -1758,6 +1760,18 @@ object IvfIndex {
       df.join(broadcast(s.read.parquet(dir).select(col("vec_id"))),
         Seq("vec_id"), "left_anti"))
 
+  /** EXACT shortlist compensation for resident tombstones on the
+    * compressed tiers: a tombstoned row still holds codes, so it can
+    * occupy an ADC/SQ8 shortlist slot only to be anti-joined away at
+    * the exact re-rank — up to |tombstones| asked-for slots vanish.
+    * Widening by the tombstone COUNT (one footer-sized count of the
+    * tiny tombstone file; zero cost when no sidecar exists — the
+    * common case) restores the caller's width as a GUARANTEE, not an
+    * expectation: at most that many slots can be lost. */
+  private def tombstoneSlack(s: SparkSession, root: String): Int =
+    readTombstoneDir(fsOf(s, root), root).fold(0)(dir =>
+      s.read.parquet(dir).count().toInt)
+
   /** Direct takedown: fold `ids` (a frame carrying `vec_id`) into the
     * live generation's tombstone set — the serving-surface twin of
     * [[graft.sources.LakeLayout.deleteFromLake]] for callers not
@@ -1815,7 +1829,8 @@ object IvfIndex {
     val pu = array(probeU.map(lit): _*)
     // measured widening — same survivor-rate lever as the ADC tier
     val effShortlist = where.fold(shortlist)(p =>
-      widenedShortlist(s, root, probeCells, shortlist, p))
+      widenedShortlist(s, root, probeCells, shortlist, p)) +
+      tombstoneSlack(s, root)
     val codeBase = s.read.parquet(codesDir)
       .filter($"cell".isin(probeCells: _*))
     val sqCand = excludeId.fold(codeBase)(id =>
@@ -1880,7 +1895,8 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted
     // measured widening over the probed-cell union, shared by the batch
     val effShortlist = where.fold(shortlist)(p =>
-      widenedShortlist(s, root, cellsNeeded.toSeq, shortlist, p))
+      widenedShortlist(s, root, cellsNeeded.toSeq, shortlist, p)) +
+      tombstoneSlack(s, root)
     // int8 stage: codes-only scan of the probed-cell union, each hit
     // scored by one dot against its broadcast probe (scaling by 127 or
     // the probe's norm cannot change a per-probe ordering — skipped)

@@ -98,4 +98,50 @@ class IvfFilterWideningSpec extends SparkSuite {
     assert(none.isEmpty, s"zero-survivor predicate must serve empty: " +
       none.mkString(", "))
   }
+
+  test("tombstones cannot eat the shortlist: compressed tiers widen by the tombstone count") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-tomb-slack")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)
+    val probeRow = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(1).collect().head
+    val pid = probeRow.getAs[Long]("vec_id")
+    val twin = pid + 1000000L
+    val pemb = probeRow.getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    // an exact twin, CODED into both sidecars (built after the append),
+    // so it owns the #1 shortlist slot on every compressed tier
+    IvfIndex.append(spark, idx,
+      graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .filter($"vec_id" === pid)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"label",
+          $"embedding"))
+    IvfIndex.buildPqSidecar(spark, idx)
+    IvfIndex.buildSq8Sidecar(spark, idx)
+    val rawTop = IvfIndex.probeTopKSq8(spark, idx, pemb, k = 1,
+      excludeId = Some(pid)).collect().head
+    assert(rawTop.getAs[Long]("vec_id") == twin &&
+      rawTop.getAs[Double]("sim") == 1.0, s"twin must lead: $rawTop")
+
+    // tombstone the twin: a shortlist of ONE would hold only the
+    // tombstoned leader and serve empty after the anti-join — the
+    // tombstone-count slack must restore the runner-up
+    IvfIndex.tombstoneIds(spark, idx, Seq(twin).toDF("vec_id"))
+    val truth = IvfIndex.probeTopK(spark, idx, pemb, k = 1,
+      excludeId = Some(pid)).collect().toSeq
+    assert(truth.nonEmpty && truth.head.getAs[Long]("vec_id") != twin)
+    val sq8 = IvfIndex.probeTopKSq8(spark, idx, pemb, k = 1,
+      shortlist = 1, excludeId = Some(pid)).collect().toSeq
+    assert(sq8 == truth,
+      s"SQ8 shortlist=1 must survive a tombstoned leader\n" +
+        s"sq8: $sq8\ntruth: $truth")
+    // ADC at width 1: the slack guarantees a NON-EMPTY, non-tombstoned
+    // answer (without it the single slot holds the tombstoned twin and
+    // the probe serves empty); exact agreement with the cosine truth
+    // is the usual PQ margin contract, not width-1 behavior
+    val adc = IvfIndex.probeTopKAdc(spark, idx, pemb, k = 1,
+      shortlist = 1, excludeId = Some(pid)).collect().toSeq
+    assert(adc.nonEmpty && adc.head.getAs[Long]("vec_id") != twin,
+      s"ADC shortlist=1 must survive a tombstoned leader: $adc")
+  }
 }
