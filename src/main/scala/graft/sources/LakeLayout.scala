@@ -2780,7 +2780,7 @@ object LakeLayout {
             "not long-castable — Z-ordered maintenance needs the same " +
             "integer/date/timestamp axes as OPTIMIZE-ZORDER")
       }
-      zorderFrame(df, key, ts)
+      zorderFrame(df, Seq(key, ts))
         .repartitionByRange(nFiles, col("zkey"))
         .sortWithinPartitions(col("zkey"))
         .drop("zkey")
@@ -3045,26 +3045,36 @@ object LakeLayout {
     * reads the FILE stats ([[fileStats]], true min/max per file),
     * never the bin extents, so clamping affects layout quality only,
     * not correctness. */
-  private def zorderFrame(df: DataFrame, c1: String, c2: String): DataFrame = {
-    val ext = df.agg(
-      percentile_approx(col(c1).cast("long"), lit(0.001), lit(10000))
-        .as("z_alo"),
-      percentile_approx(col(c1).cast("long"), lit(0.999), lit(10000))
-        .as("z_ahi"),
-      percentile_approx(col(c2).cast("long"), lit(0.001), lit(10000))
-        .as("z_blo"),
-      percentile_approx(col(c2).cast("long"), lit(0.999), lit(10000))
-        .as("z_bhi"))
-    df.withColumn("z_a", col(c1).cast("long"))
-      .withColumn("z_b", col(c2).cast("long"))
-      .crossJoin(ext)
-      .withColumn("z_a", least(greatest(col("z_a"), col("z_alo")), col("z_ahi")))
-      .withColumn("z_b", least(greatest(col("z_b"), col("z_blo")), col("z_bhi")))
-      .withColumn("z_abin", expr(bin16Sql("z_a", "z_alo", "z_ahi")))
-      .withColumn("z_bbin", expr(bin16Sql("z_b", "z_blo", "z_bhi")))
-      .withColumn("zkey", zkey2(col("z_abin"), col("z_bbin")))
-      .drop("z_a", "z_b", "z_alo", "z_ahi", "z_blo", "z_bhi",
-        "z_abin", "z_bbin")
+  private def zorderFrame(df: DataFrame, dims: Seq[String]): DataFrame = {
+    val n = dims.size
+    require(n >= 2 && n <= 6,
+      s"z-order takes 2..6 dimensions, got $n (${dims.mkString(", ")})")
+    // bits per axis so the interleaved key stays inside a non-negative
+    // long: 16 for 2-3 axes (the classic Morton widths), narrower past
+    // that — resolution per axis trades against axis count, exactly
+    // the Z-order contract
+    val bits = math.min(16, 62 / n)
+    val extCols = dims.zipWithIndex.flatMap { case (c, i) => Seq(
+      percentile_approx(col(c).cast("long"), lit(0.001), lit(10000))
+        .as(s"z_lo_$i"),
+      percentile_approx(col(c).cast("long"), lit(0.999), lit(10000))
+        .as(s"z_hi_$i"))
+    }
+    val ext = df.agg(extCols.head, extCols.tail: _*)
+    val clamped = dims.zipWithIndex.foldLeft(df.crossJoin(ext)) {
+      case (acc, (c, i)) =>
+        acc
+          .withColumn(s"z_v_$i", least(greatest(col(c).cast("long"),
+            col(s"z_lo_$i")), col(s"z_hi_$i")))
+          .withColumn(s"z_bin_$i",
+            expr(binSql(s"z_v_$i", s"z_lo_$i", s"z_hi_$i", bits)))
+    }
+    val zkey = dims.indices.map(i =>
+      shiftleft(spreadBitsEvery(col(s"z_bin_$i"), bits, n), i))
+      .reduce(_ bitwiseOR _)
+    clamped.withColumn("zkey", zkey)
+      .drop(dims.indices.flatMap(i =>
+        Seq(s"z_v_$i", s"z_bin_$i", s"z_lo_$i", s"z_hi_$i")): _*)
   }
 
   /** Re-Z-ORDER the whole table on (`key`, `tsKey`) as an OCC
@@ -3092,9 +3102,27 @@ object LakeLayout {
   def optimizeLakeZOrderOcc(spark: SparkSession, tablePath: String,
       key: String, tsKey: String, writerId: String,
       maxAttempts: Int = 8, targetFileMB: Int = 128,
-      minFiles: Int = 1): Long = {
+      minFiles: Int = 1): Long =
+    optimizeLakeZOrderOcc(spark, tablePath, Seq(key, tsKey), writerId,
+      maxAttempts, targetFileMB, minFiles)
+
+  /** The N-AXIS form (2..6 long-castable dimensions): each file covers
+    * a compact N-dimensional box. Manifest-level pruning rides the
+    * first two axes (minKey/maxKey + the recorded second-axis bounds,
+    * same as the 2-axis form); axes three and up prune at the PARQUET
+    * layer — row-group and page min/max stats are tight within a file
+    * because the interleave clusters every axis, so a pushed filter on
+    * ANY dimension skips most row groups. Per-axis resolution narrows
+    * as axes multiply (62 interleaved bits shared — 16/16/16 bits at
+    * 2-3 axes, 15 at 4), the standard Z-order trade. */
+  def optimizeLakeZOrderOcc(spark: SparkSession, tablePath: String,
+      dims: Seq[String], writerId: String, maxAttempts: Int,
+      targetFileMB: Int, minFiles: Int): Long = {
     require(writerId.nonEmpty && !writerId.contains("/"),
       "writerId must be a non-empty path-safe token")
+    require(dims.size >= 2 && dims.distinct.size == dims.size,
+      s"z-order needs >=2 distinct dimensions, got ${dims.mkString(", ")}")
+    val key = dims.head
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val rnd = new scala.util.Random(writerId.hashCode)
@@ -3108,7 +3136,7 @@ object LakeLayout {
         "optimizeLakeZOrderOcc needs file-granular manifests (run a " +
           "single-writer full compaction once to convert a legacy table)")
       val df = filesFrame(spark, tablePath, cur.files, commitSchema(cur))
-      Seq(key, tsKey).foreach { c =>
+      dims.foreach { c =>
         import org.apache.spark.sql.types._
         val ok = df.schema(c).dataType match {
           case ByteType | ShortType | IntegerType | LongType |
@@ -3128,7 +3156,7 @@ object LakeLayout {
         (bytes / (targetFileMB * 1024L * 1024L)).toInt)
       val v = cur.version + 1
       val dataRel = s"data/${versionName(v)}-$writerId-zord"
-      zorderFrame(df, key, tsKey)
+      zorderFrame(df, dims)
         .repartitionByRange(nFiles, col("zkey"))
         .sortWithinPartitions(col("zkey"))
         .drop("zkey")
@@ -3138,10 +3166,10 @@ object LakeLayout {
       if (tryPublishManifest(fs, table, v, dataRel,
           s"zorder-occ:$writerId", -1L,
           withKeyBlooms(spark, tablePath, dataRel,
-            fileStats(spark, tablePath, dataRel, Some(key), Some(tsKey)),
+            fileStats(spark, tablePath, dataRel, Some(key), dims.lift(1)),
             commitSchema(cur).map(_.fieldNames.toSeq).getOrElse(Seq(key))),
           s"-$writerId-zord", cur.schemaJson, op = "compact",
-          parentFiles = cur.files, tsClusterCol = Some(tsKey)))
+          parentFiles = cur.files, tsClusterCol = dims.lift(1)))
         return v
       // claim raced: the winner may have rewritten rows we just
       // re-ordered — drop the orphan and recompute from the new tip
@@ -3398,9 +3426,32 @@ object LakeLayout {
     * SQL-expressible (CASE + div), so the oracle reproduces every bin
     * bit-exactly. */
   private def bin16Sql(v: String, lo: String, hi: String): String =
+    binSql(v, lo, hi, 16)
+
+  /** [[bin16Sql]] at an arbitrary bin width — the N-axis interleave
+    * narrows per-axis resolution as axes multiply (62 bits shared).
+    * Same overflow-safe integer split: small ranges scale into the
+    * bin space exactly (`(v−lo)·maxBin div range`, product < 2⁴⁷);
+    * large ranges step-divide. */
+  private def binSql(v: String, lo: String, hi: String,
+      bits: Int): String = {
+    val buckets = 1L << bits
+    val maxBin = buckets - 1
     s"""CASE WHEN $hi - $lo >= 2147483648
-        THEN ($v - $lo) div (($hi - $lo) div 65536 + 1)
-        ELSE (($v - $lo) * 65535) div greatest($hi - $lo, 1) END"""
+        THEN ($v - $lo) div (($hi - $lo) div $buckets + 1)
+        ELSE (($v - $lo) * $maxBin) div greatest($hi - $lo, 1) END"""
+  }
+
+  /** Spread a `bits`-wide value so consecutive input bits land
+    * `stride` positions apart — the generalized shift-mask spread for
+    * an N-axis Morton key (axis i is the same spread shifted left by
+    * i). A fold of ≤16 masked shifts, all codegen'd bitwise Columns;
+    * [[spreadBits16]] stays the hand-tuned 2-axis ladder the oracle
+    * twin reproduces. */
+  def spreadBitsEvery(c: Column, bits: Int, stride: Int): Column =
+    (0 until bits).map(i =>
+      shiftleft(c.bitwiseAND(lit(1L << i)), i * (stride - 1)))
+      .reduce(_ bitwiseOR _)
 
   /** Events + a `zkey` column: both dimensions binned to 16 bits
     * ([[bin16Sql]]), then Morton-interleaved ([[zkey2]]). Extents come

@@ -162,8 +162,10 @@ object LakeSql {
     s"(?is)^\\s*RESTORE\\s+($ident)\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
   private val optimizeRe =
     s"(?is)^\\s*OPTIMIZE\\s+($ident)\\s+BY\\s+($ident)\\s*;?\\s*$$".r
+  // 2..6 comma-separated dimensions; each validated as an ident after
+  // the split (the regex admits the LIST shape, the code the members)
   private val optimizeZorderRe =
-    s"(?is)^\\s*OPTIMIZE\\s+($ident)\\s+ZORDER\\s+BY\\s*\\(\\s*($ident)\\s*,\\s*($ident)\\s*\\)\\s*;?\\s*$$".r
+    s"(?is)^\\s*OPTIMIZE\\s+($ident)\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$$".r
   private val vacuumRe =
     s"(?is)^\\s*VACUUM\\s+($ident)(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$".r
   private val addConstraintRe =
@@ -236,10 +238,14 @@ object LakeSql {
         val v = LakeLayout.compactLakeOcc(spark, pathOf(spark, name),
           key, writerId = "sql")
         Seq((name, v)).toDF("table_name", "version")
-      case optimizeZorderRe(name, key, tsKey) =>
+      case optimizeZorderRe(name, dimList) =>
         import spark.implicits._
+        val dims = dimList.split(",").map(_.trim).toSeq
+        dims.foreach(d => require(d.matches(ident),
+          s"OPTIMIZE $name ZORDER BY: '$d' is not a plain identifier"))
         val v = LakeLayout.optimizeLakeZOrderOcc(spark,
-          pathOf(spark, name), key, tsKey, writerId = "sql")
+          pathOf(spark, name), dims, writerId = "sql",
+          maxAttempts = 8, targetFileMB = 128, minFiles = 1)
         Seq((name, v)).toDF("table_name", "version")
       case addConstraintRe(name, cname, check) =>
         import spark.implicits._

@@ -1296,6 +1296,62 @@ class LakeLayoutSpec extends SparkSuite {
     assert(LakeLayout.readLake(spark, table).get.count() == 16001L)
   }
 
+  test("optimizeLakeZOrderOcc: a THIRD axis clusters at the parquet layer — per-file extents shrink where the 2-axis interleave scatters them") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    // three ~independent axes over coprime moduli: no 2-axis interleave
+    // can accidentally cluster the third
+    val rows = (0L until 24000L)
+      .map(i => (i % 97, (i * 31) % 89, (i * 57) % 83, i))
+      .toDF("a", "b", "c", "row_id")
+    LakeLayout.commitLakeVersion(
+      rows.repartitionByRange(8, $"a").sortWithinPartitions($"a"),
+      table, "ck", 0L, statsKey = Some("a"), tsStatsKey = Some("b"))
+    def meanExtent(colName: String): Double =
+      LakeLayout.readLake(spark, table).get
+        .withColumn("__f", input_file_name())
+        .groupBy($"__f")
+        .agg((max(col(colName)) - min(col(colName))).as("ext"))
+        .agg(avg($"ext")).head().getDouble(0)
+    // 2-axis interleave on (a, b): c scatters — every file spans ~the
+    // whole c domain
+    LakeLayout.optimizeLakeZOrderOcc(spark, table, "a", "b", "opt",
+      minFiles = 64)
+    val extC2 = meanExtent("c")
+    assert(extC2 > 60.0,
+      s"2-axis z-order must scatter the third axis (domain 0..82): $extC2")
+    // 3-axis interleave: c now clusters — the parquet row-group/page
+    // stats a pushed c-filter prunes on are tight within each file
+    LakeLayout.optimizeLakeZOrderOcc(spark, table, Seq("a", "b", "c"),
+      "opt", 8, 128, 64)
+    val extC3 = meanExtent("c")
+    assert(extC3 < 0.6 * extC2,
+      s"3-axis z-order must cluster the third axis: $extC3 vs 2-axis $extC2")
+    // the first two axes keep (coarser) locality — resolution per axis
+    // narrows as axes multiply, it must not vanish
+    assert(meanExtent("a") < 80.0 && meanExtent("b") < 80.0,
+      s"first axes keep locality: a=${meanExtent("a")} b=${meanExtent("b")}")
+    // row identity
+    assert(LakeLayout.readLake(spark, table).get.count() == 24000L &&
+      LakeLayout.readLake(spark, table).get.agg(sum($"row_id")).head()
+        .getLong(0) == (0L until 24000L).sum,
+      "OPTIMIZE must be row-identity")
+    // the SQL surface lowers the N-column list (file-count knobs stay
+    // API-side, so only the lowering is asserted here)
+    graft.sources.LakeSql.register(spark, "z3_t", table)
+    val vBefore = LakeLayout.lakeVersions(spark, table).max
+    graft.sources.LakeSql.sql(spark, "OPTIMIZE z3_t ZORDER BY (a, b, c)")
+    assert(LakeLayout.lakeVersions(spark, table).max == vBefore + 1,
+      "SQL OPTIMIZE ZORDER with a 3-column list must commit a version")
+    assert(LakeLayout.readLake(spark, table).get.count() == 24000L)
+    // duplicate axes fail loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeLayout.optimizeLakeZOrderOcc(spark, table,
+        Seq("a", "a"), "opt", 8, 128, 1)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("optimizeLakeZOrderOcc racing an ingest writer: loser recomputes, final state serializable") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-zoptrace").toString
