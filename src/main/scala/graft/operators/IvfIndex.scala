@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   *   <indexPath>/g<N>-<tag>/centroids/...parquet   (K rows of model state)
   *   <indexPath>/_gen/<N>                          (atomic commit claim)
   *
+  * Each generation may additionally carry versioned SIDECARS, all on
+  * the same marker-publish recipe (dirs named inside an
+  * exclusive-created marker, one grace version, lost race = loud):
+  * PQ codes+books (`_pq`), SQ8 codes (`_sq8`), and TOMBSTONES
+  * (`_tomb` — deleted ids every serving path anti-joins at its exact
+  * re-rank; a rebuild compacts them physically and publishes bare).
+  * Lake ingest marks (`_lakesync`) live at the INDEX root so they
+  * survive cutovers.
+  *
   * and every probe reads ONLY its `nprobe` nearest cells — partition
   * pruning at the FileIndex, so a probe's scan cost is
   * ~nprobe/cells of the corpus regardless of corpus size, with zero
