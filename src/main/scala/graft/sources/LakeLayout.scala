@@ -3505,6 +3505,44 @@ object LakeLayout {
         sum(col("zkey")).as("zkey_sum"))
       .orderBy(col("event_type"))
 
+  /** Events + a THREE-axis `zkey` over (user_id, ts, event_id) — the
+    * generalized interleave ([[spreadBitsEvery]] at stride 3, 16 bits
+    * per axis, 48-bit keys) with min/max extents, the same registry
+    * shape as [[zorderKeyed]]. The DuckDB oracle reproduces the
+    * 16-term masked-shift spread verbatim, pinning the N-axis
+    * machinery cross-engine the way [[qZorderKeyStats]] pins the
+    * 2-axis ladder. */
+  def zorder3Keyed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val ext = ev.agg(
+      min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+      min(col("ts")).as("t_lo"), max(col("ts")).as("t_hi"),
+      min(col("event_id")).as("e_lo"), max(col("event_id")).as("e_hi"))
+    ev.crossJoin(ext)
+      .withColumn("u_bin", expr(binSql("user_id", "u_lo", "u_hi", 16)))
+      .withColumn("t_bin", expr(binSql("ts", "t_lo", "t_hi", 16)))
+      .withColumn("e_bin", expr(binSql("event_id", "e_lo", "e_hi", 16)))
+      .withColumn("zkey",
+        spreadBitsEvery(col("u_bin"), 16, 3)
+          .bitwiseOR(shiftleft(spreadBitsEvery(col("t_bin"), 16, 3), 1))
+          .bitwiseOR(shiftleft(spreadBitsEvery(col("e_bin"), 16, 3), 2)))
+      .drop("u_lo", "u_hi", "t_lo", "t_hi", "e_lo", "e_hi",
+        "u_bin", "t_bin", "e_bin")
+  }
+
+  /** 48-bit keys: the per-type SUM rides DECIMAL on both engines (a
+    * long sum would overflow past ~30 k keys; the repo's cross-engine
+    * rule — sums go through DECIMAL — applies to integers this wide
+    * too). */
+  def qZorder3KeyStats(spark: SparkSession, sfDir: String): DataFrame =
+    zorder3Keyed(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("zkey")).as("zkey_min"),
+        max(col("zkey")).as("zkey_max"),
+        sum(col("zkey").cast("decimal(38,0)")).as("zkey_sum"))
+      .orderBy(col("event_type"))
+
   /** The five shift-mask stages + binning, verbatim in DuckDB integer
     * SQL (`//` = integer division on BIGINTs, same truncation as
     * Spark's `div` for the non-negative operands used here). */
@@ -3536,6 +3574,40 @@ object LakeLayout {
          CAST(MIN(zkey) AS BIGINT) AS zkey_min,
          CAST(MAX(zkey) AS BIGINT) AS zkey_max,
          CAST(SUM(zkey) AS BIGINT) AS zkey_sum
+       FROM keyed GROUP BY event_type ORDER BY event_type"""
+  }
+
+  /** [[qZorder3KeyStats]]'s twin: the generalized stride-3 spread as
+    * its raw definition — 16 masked shifts, bit i of the bin landing
+    * at position 3·i (axis offset added by the outer shift). */
+  val qZorder3KeyStatsSql: String = {
+    def spread3(x: String): String =
+      (0 until 16).map(i => s"(($x & ${1L << i}) << ${2 * i})")
+        .mkString("(", " | ", ")")
+    def bin(v: String, lo: String, hi: String): String =
+      s"""CASE WHEN $hi - $lo >= 2147483648
+          THEN ($v - $lo) // (($hi - $lo) // 65536 + 1)
+          ELSE (($v - $lo) * 65535) // GREATEST($hi - $lo, 1) END"""
+    s"""WITH ext AS (
+         SELECT MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+           MIN(epoch_ns(ts)) AS t_lo, MAX(epoch_ns(ts)) AS t_hi,
+           MIN(event_id) AS e_lo, MAX(event_id) AS e_hi
+         FROM events),
+       binned AS (
+         SELECT event_type,
+           ${bin("user_id", "u_lo", "u_hi")} & 65535 AS ub,
+           ${bin("epoch_ns(ts)", "t_lo", "t_hi")} & 65535 AS tb,
+           ${bin("event_id", "e_lo", "e_hi")} & 65535 AS eb
+         FROM events, ext),
+       keyed AS (
+         SELECT event_type,
+           ${spread3("ub")} | (${spread3("tb")} << 1)
+             | (${spread3("eb")} << 2) AS zkey
+         FROM binned)
+       SELECT event_type, COUNT(*) AS n_events,
+         CAST(MIN(zkey) AS BIGINT) AS zkey_min,
+         CAST(MAX(zkey) AS BIGINT) AS zkey_max,
+         CAST(SUM(zkey) AS DECIMAL(38,0)) AS zkey_sum
        FROM keyed GROUP BY event_type ORDER BY event_type"""
   }
 
@@ -4267,6 +4339,7 @@ object LakeLayout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lake_point_lookup" -> (qLakePointLookup _),
     "q_zorder_key_stats" -> (qZorderKeyStats _),
+    "q_zorder3_key_stats" -> (qZorder3KeyStats _),
     "q_lake_delete" -> (qLakeDelete _),
     "q_lake_dv_delete" -> (qLakeDvDelete _),
     "q_lake_meta_count" -> (qLakeMetaCount _),
@@ -4286,6 +4359,7 @@ object LakeLayout {
   val oracle: Map[String, String] = Map(
     "q_lake_point_lookup" -> qLakePointLookupSql,
     "q_zorder_key_stats" -> qZorderKeyStatsSql,
+    "q_zorder3_key_stats" -> qZorder3KeyStatsSql,
     "q_lake_delete" -> qLakeDeleteSql,
     // merge-on-read twin shares the copy-on-write delete's truth
     "q_lake_dv_delete" -> qLakeDeleteSql,
