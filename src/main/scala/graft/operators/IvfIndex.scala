@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * the same marker-publish recipe (dirs named inside an
   * exclusive-created marker, one grace version, lost race = loud):
   * PQ codes+books (`_pq`), SQ8 codes (`_sq8`), and TOMBSTONES
-  * (`_tomb` — deleted ids every serving path anti-joins at its exact
-  * re-rank; a rebuild compacts them physically and publishes bare).
+  * (`_tomb` — versioned (vec_id, tomb_v) delete/update events every
+  * serving path anti-joins at its exact re-rank against each row's
+  * ingest version `wave_v`; a rebuild compacts the hidden rows
+  * physically and publishes bare).
   * Lake ingest marks (`_lakesync`) live at the INDEX root so they
   * survive cutovers.
   *
@@ -229,8 +231,63 @@ object IvfIndex {
     // live maintainer racing for the next claim (its own claim
     // attempt decides its fate; reclamation must never).
     val grace = gen - 1
-    listClaims(fs, indexPath).foreach { case (g, dirName) =>
+    val claims = listClaims(fs, indexPath)
+    // RESCUE before reclaim: a MARKED sync wave in a dying generation
+    // that no successor ever incorporated would be silently lost with
+    // the dir — breaking the `_lakesync` mark's exactly-once promise
+    // (the mark survives, so the version is never re-synced). The
+    // shape is a wave whose mark landed AFTER the successor's last
+    // straggler sweep listed the dir (the double-cutover race the
+    // single-maintainer contract used to paper over). Every fold
+    // records what it incorporated in the successor's `_SOURCE`, so
+    // "was it carried" is decidable here: fold forward (into the
+    // generation this publish just claimed, under its frozen
+    // centroids — an [[append]], safe on a committed dir) every
+    // lsync-tagged file that is listed, not incorporated, and MARKED.
+    // Unmarked waves stay owned by the sync protocol (its recovery
+    // redoes them from the lake — deleting them here is correct), and
+    // untagged files are never rescued: a plain [[build]] writes no
+    // `_SOURCE` by design (it re-derives from the corpus), so rescuing
+    // untagged vectors past one would duplicate the whole corpus.
+    // Steady state cost: zero — dirs die only when `_SOURCE` already
+    // accounts for their waves, so the rescue set is empty.
+    val newRootDir = s"$indexPath/${claims(gen)}"
+    claims.toSeq.sortBy(_._1).foreach { case (g, dirName) =>
       if (g < grace) {
+        val dyingVecDir = s"$indexPath/$dirName/vectors"
+        if (fs.exists(hp(dyingVecDir))) {
+          val incorporated = claims.get(g + 1)
+            .flatMap(d => readSource(fs, hp(s"$indexPath/$d")))
+            .filter(_._1 == dyingVecDir).map(_._2)
+            .getOrElse(Set.empty[String])
+          val listed = listVectorFiles(fs, dyingVecDir) -- incorporated
+          val tagged = listed.filter(f =>
+            LsyncFileName.pattern.matcher(
+              f.substring(f.lastIndexOf('/') + 1)).matches())
+          val rescue = tagged -- unmarkedLsyncFiles(fs, indexPath, tagged)
+          if (rescue.nonEmpty) {
+            foldIn(s, dyingVecDir, rescue,
+              s.read.parquet(s"$newRootDir/centroids"),
+              s"$newRootDir/vectors")
+            // carry the dying root's LAKE-VERSIONED tombstone events
+            // with the wave — idempotent under the versioned
+            // semantics (an event for an already-compacted row hides
+            // nothing; post-images keep wave_v ≥ tomb_v). MaxValue
+            // direct-takedown events stay behind: their rows were
+            // compacted by the successor rebuild, and re-publishing
+            // them would re-block lawful future re-inserts.
+            readTombstoneDir(fs, s"$indexPath/$dirName").foreach { d =>
+              val versioned = readTombstones(s, d)
+                .filter(col("tomb_v") =!= Long.MaxValue)
+              if (!versioned.isEmpty) {
+                val cur = readTombstoneDir(fs, newRootDir)
+                  .map(nd => readTombstones(s, nd))
+                publishTombstones(s, newRootDir,
+                  cur.fold(versioned)(_.union(versioned)))
+              }
+            }
+          }
+        }
         fs.delete(new org.apache.hadoop.fs.Path(claimsDir(indexPath),
           g.toString), false)
         fs.delete(hp(s"$indexPath/$dirName"), true)
@@ -300,11 +357,20 @@ object IvfIndex {
     * fold-in diffs exact: a file is either in the snapshot (read once)
     * or in a later diff (folded once), never both. */
   private def readVectorFiles(s: SparkSession, vecDir: String,
-      files: Iterable[String]): DataFrame =
-    s.read
+      files: Iterable[String]): DataFrame = {
+    val df = s.read
       .option("basePath", vecDir)
       .parquet(files.toSeq.sorted: _*)
-      .select("vec_id", "label", "embedding")
+    // carry the ingest-version column through folds and rebuilds (its
+    // absence — a pre-versioning file or index — reads as a base row,
+    // −1, predating every lake version); rewriting it keeps the
+    // layout's wave_v uniform across generations
+    val wv =
+      if (df.columns.contains("wave_v")) coalesce(col("wave_v"), lit(-1L))
+      else lit(-1L)
+    df.select(col("vec_id"), col("label"), col("embedding"),
+      wv.as("wave_v"))
+  }
 
   /** Assign `files` (vectors that landed in `srcVecDir` outside a
     * rebuild's snapshot) under `centsDf` and append them into
@@ -459,7 +525,8 @@ object IvfIndex {
     // the only number authority — orphan dirs consume nothing)
     val gen = resolveLive(s, indexPath).fold(0L)(_._1 + 1L)
     val stage = newStage(indexPath, gen)
-    assignCells(Tables.load(s, dir, "embeddings"), centsDf)
+    assignCells(Tables.load(s, dir, "embeddings")
+        .withColumn("wave_v", lit(-1L)), centsDf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$stage/vectors")
     centsDf
@@ -492,7 +559,10 @@ object IvfIndex {
     // assigned it (mutating a committed generation is safe exactly
     // because assignment under its own frozen model stays consistent)
     val root = layoutRoot(s, indexPath)
-    assignCells(vectors, s.read.parquet(s"$root/centroids"))
+    val wv =
+      if (vectors.columns.contains("wave_v")) vectors
+      else vectors.withColumn("wave_v", lit(-1L))
+    assignCells(wv, s.read.parquet(s"$root/centroids"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$root/vectors")
   }
@@ -513,19 +583,27 @@ object IvfIndex {
     * generation cutovers). Crash recovery is idempotent: a version
     * with no mark first sweeps its tagged files, then redoes the whole
     * wave — a crash between move and mark can never double-serve.
-    * DELETE change rows fold into the tombstone sidecar (full-set
-    * publish, idempotent under redo) — the lake's takedown reaches
-    * every serving path on the next probe, and the next [[rebuild]]
-    * compacts it physically. UPDATE change rows are rejected loudly
-    * (an IVF index is append-only between retrains — route
-    * corrections through [[rebuild]] after fixing the lake), as is a
-    * re-insert of a currently-tombstoned id (the stale row is still
-    * physically resident until a rebuild). Contract mirrors [[rebuild]]:
+    * DELETE and UPDATE change rows fold into the tombstone sidecar as
+    * versioned events (full-set publish, idempotent under redo) — the
+    * lake's takedown OR correction reaches every serving path on the
+    * next probe (an update's post-image rides the same version's wave
+    * and serves in place of the hidden pre-image; a re-insert after a
+    * delete serves from its own later version), and the next
+    * [[rebuild]] compacts the hidden rows physically. Only ids taken
+    * down directly via [[tombstoneIds]] reject re-insertion until a
+    * rebuild. Contract mirrors [[rebuild]]:
     * single sync maintainer per (lake, index) pair, and a crashed
     * sync's recovery must run before the next rebuild cutover.
     * Returns the number of lake versions ingested this pass. */
   def syncFromLake(s: SparkSession, lakePath: String,
-      indexPath: String): Long = {
+      indexPath: String): Long =
+    syncFromLakeImpl(s, lakePath, indexPath, _ => ())
+
+  /** [[syncFromLake]] with a test seam: `afterMark` fires after each
+    * version's mark write, before the post-mark cutover verification —
+    * the widest point of the sync/rebuild reclamation race. */
+  private[graft] def syncFromLakeImpl(s: SparkSession, lakePath: String,
+      indexPath: String, afterMark: Long => Unit): Long = {
     VectorFunctions.register(s)
     // fold any MARKED wave a previous pass left stranded in the grace
     // generation (a rebuild cutover landed between that wave's moves
@@ -570,10 +648,23 @@ object IvfIndex {
     val versions = graft.sources.LakeLayout.lakeVersions(s, lakePath)
       .filterNot(synced).sorted
     if (versions.isEmpty) return 0L
-    val centsDf = s.read.parquet(s"$root/centroids")
-    val vecsDir = hp(s"$root/vectors")
     versions.foreach { v =>
       val prefix = s"lsync-$srcTag-v$v-"
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+      attempts += 1
+      require(attempts <= 5,
+        s"syncFromLake: version $v of $lakePath kept losing its " +
+          "generation to concurrent rebuild cutovers (5 attempts) — " +
+          "quiesce rebuilds during sync or slow their cadence")
+      // re-resolve the LIVE generation PER VERSION (and per redo): a
+      // cutover during an earlier version must not leave later waves
+      // writing into a dead — or mkdirs-resurrected ghost — root
+      val genAtStart = committedGen(s, indexPath)
+      val root = layoutRoot(s, indexPath)
+      val centsDf = s.read.parquet(s"$root/centroids")
+      val vecsDir = hp(s"$root/vectors")
       // crash recovery: an UNMARKED partial wave is swept before redo
       if (fs.exists(vecsDir)) {
         val it = fs.listFiles(vecsDir, true)
@@ -585,34 +676,40 @@ object IvfIndex {
       }
       val ch = graft.streaming.CdfStream
         .changesForVersion(s, lakePath, v, "vec_id")
-      require(ch.filter(col("_change") === "update").isEmpty,
-        s"syncFromLake: version $v of $lakePath carries update " +
-          "changes — an IVF index is append-only between retrains; fix " +
-          "the lake, then rebuild the index")
-      // DELETE changes fold into the tombstone sidecar (full-set
-      // publish — idempotent under crash-redo, so it can precede the
-      // mark like the file moves do); every serving path anti-joins
-      // the committed set, and the next rebuild compacts it physically.
-      // A lake key deleted and later RE-INSERTED is rejected loudly:
-      // the original row is still physically in its cell until a
-      // rebuild, so admitting the new row would leave two rows (one
-      // stale) behind one vec_id once the tombstone lifts.
-      val dels = ch.filter(col("_change") === "delete")
-        .select(col("vec_id"))
-      val wave = ch.filter(col("_change") === "insert")
+      // DELETE and UPDATE changes fold into the tombstone sidecar as
+      // VERSIONED events (vec_id, tomb_v = v) — full-set publish,
+      // idempotent under crash-redo, so it can precede the mark like
+      // the file moves do. An update's post-image rides this same
+      // version's wave with wave_v = v, so the event hides exactly the
+      // OLDER rows of the id (wave_v < v) and the correction serves on
+      // the next probe; a delete has no post-image, and a later lake
+      // re-insert lands at a later version — above the event — and
+      // serves immediately. Publishing the events BEFORE the wave
+      // moves means a probe mid-sync sees the delete-half applied
+      // first (the id briefly absent), never two rows of one id. Only
+      // an id taken down DIRECTLY ([[tombstoneIds]], tomb_v =
+      // MaxValue) rejects re-insertion: no lake version rises above
+      // MaxValue, so admitting the row would store data that never
+      // serves.
+      val tombs = ch.filter(col("_change").isin("delete", "update"))
+        .select(col("vec_id"), lit(v).as("tomb_v"))
+      val wave = ch.filter(col("_change").isin("insert", "update"))
         .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("wave_v", lit(v))
       readTombstoneDir(fs, root).foreach { dir =>
-        require(wave.join(broadcast(
-            s.read.parquet(dir).select(col("vec_id"))),
-            Seq("vec_id"), "left_semi").isEmpty,
-          s"syncFromLake: version $v of $lakePath re-inserts tombstoned " +
-            "vec_ids — rebuild the index to compact its tombstones " +
-            "before re-inserting a deleted id")
+        val perma = readTombstones(s, dir)
+          .filter(col("tomb_v") === Long.MaxValue)
+          .select(col("vec_id"))
+        require(wave.join(broadcast(perma), Seq("vec_id"), "left_semi")
+            .isEmpty,
+          s"syncFromLake: version $v of $lakePath re-inserts vec_ids " +
+            "taken down directly (tombstoneIds) — rebuild the index " +
+            "to compact its tombstones before re-inserting them")
       }
-      if (!dels.isEmpty) {
+      if (!tombs.isEmpty) {
         val cur = readTombstoneDir(fs, root)
-          .map(d => s.read.parquet(d).select(col("vec_id")))
-        publishTombstones(s, root, cur.fold(dels)(_.union(dels)))
+          .map(d => readTombstones(s, d))
+        publishTombstones(s, root, cur.fold(tombs)(_.union(tombs)))
       }
       val stage = hp(s"$indexPath/.lsync-stage-$srcTag-v$v")
       fs.delete(stage, true)
@@ -650,6 +747,42 @@ object IvfIndex {
       try out.write(s"src $lakePath\nv $v\n".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      afterMark(v)
+      // post-mark arbitration: a cutover DURING this version can have
+      // reclaimed the generation the wave landed in before any sweep
+      // saw the mark — and a written mark means nothing would ever
+      // redo it. Filenames die at folds but `wave_v` rides the data,
+      // so verify by CONTENT: fold marked stragglers forward, carry
+      // tombstones, then count this wave's rows under the CURRENT
+      // live root; a short count = the wave died with its dir —
+      // unmark and redo against the new generation.
+      if (committedGen(s, indexPath) == genAtStart) committed = true
+      else {
+        sweepSourceStragglers(s, indexPath)
+        val newRoot = layoutRoot(s, indexPath)
+        if (newRoot != root)
+          readTombstoneDir(fs, root).foreach { d =>
+            if (fs.exists(hp(d))) {
+              val old = readTombstones(s, d)
+              val cur = readTombstoneDir(fs, newRoot)
+                .map(nd => readTombstones(s, nd))
+              publishTombstones(s, newRoot, cur.fold(old)(_.union(old)))
+            }
+          }
+        val expected = wave.count()
+        val landedDf = s.read.option("mergeSchema", "true")
+          .parquet(s"$newRoot/vectors")
+        val landed =
+          if (!landedDf.columns.contains("wave_v")) 0L
+          else landedDf.filter(col("wave_v") === v)
+            .join(broadcast(wave.select(col("vec_id"))), Seq("vec_id"),
+              "left_semi")
+            .count()
+        if (landed == expected) committed = true
+        else fs.delete(
+          new org.apache.hadoop.fs.Path(markDir, s"$srcTag-$v"), false)
+      }
+      }
     }
     // a rebuild cutover DURING this pass leaves this pass's work in
     // the now-grace generation (the cutover's own fold rounds carry
@@ -665,9 +798,9 @@ object IvfIndex {
       if (newRoot != root)
         readTombstoneDir(fs, root).foreach { d =>
           if (fs.exists(hp(d))) {
-            val old = s.read.parquet(d).select(col("vec_id"))
+            val old = readTombstones(s, d)
             val cur = readTombstoneDir(fs, newRoot)
-              .map(nd => s.read.parquet(nd).select(col("vec_id")))
+              .map(nd => readTombstones(s, nd))
             publishTombstones(s, newRoot, cur.fold(old)(_.union(old)))
           }
         }
@@ -884,16 +1017,22 @@ object IvfIndex {
     var snap = listFoldable()
     require(snap.nonEmpty,
       s"rebuild: $indexPath has no vectors to retrain on")
-    // COMPACTION of deletes: the retrain neither trains on nor carries
-    // a tombstoned vector — anti-join the live generation's committed
-    // tombstone set (broadcast; bounded by deletes-between-retrains)
-    // from the training snapshot AND every fold-in wave. The new
-    // generation is published with NO tombstone sidecar: the delete
-    // becomes physical at the cutover.
+    // COMPACTION of deletes and superseded pre-images: the retrain
+    // neither trains on nor carries a HIDDEN vector — drop rows whose
+    // id has a tombstone event postdating their wave (the serving
+    // predicate, broadcast; bounded by events-between-retrains) from
+    // the training snapshot AND every fold-in wave. Current rows —
+    // update post-images, re-inserts after a delete — carry over. The
+    // new generation is published with NO tombstone sidecar: the
+    // hidden rows become physical absences at the cutover.
     val liveTombs = readTombstoneDir(fs, live)
-      .map(d => broadcast(s.read.parquet(d).select($"vec_id")))
+      .map(d => broadcast(readTombstones(s, d)
+        .select($"vec_id".as("__t_id"), $"tomb_v".as("__t_v"))))
     def dropTombs(df: DataFrame): DataFrame =
-      liveTombs.fold(df)(t => df.join(t, Seq("vec_id"), "left_anti"))
+      liveTombs.fold(df)(t => df.join(t,
+        df("vec_id") === col("__t_id") &&
+          coalesce(df("wave_v"), lit(-1L)) < col("__t_v"),
+        "left_anti"))
     val vecs = dropTombs(readVectorFiles(s, liveVecDir, snap))
     val cents = Similarity.trainIvfCentroidsFrom(s,
       vecs.select($"vec_id", $"embedding"), cells, iters)
@@ -1621,33 +1760,57 @@ object IvfIndex {
   }
 
   // ------------------------------------------------ tombstone sidecar
-  /** TOMBSTONE SIDECAR — the DELETE path to the serving surface. The
-    * lake deletes in O(deleted keys) (`deleteFromLake`, DV deletes, SQL
-    * DELETE — the takedown/GDPR shape), but an IVF layout cannot cheaply
-    * remove a row from a cell-partitioned parquet dir; before this tier
-    * a deleted vector kept SERVING until the next full retrain. The
+  /** TOMBSTONE SIDECAR — the DELETE and UPDATE path to the serving
+    * surface. The lake deletes and updates in O(touched keys)
+    * (`deleteFromLake`, DV deletes, SQL DELETE/UPDATE/MERGE — the
+    * takedown/GDPR and correction shapes), but an IVF layout cannot
+    * cheaply remove a row from a cell-partitioned parquet dir; before
+    * this tier a deleted vector kept SERVING until the next full
+    * retrain and an updated one could not reach the index at all. The
     * sidecar is the PQ/SQ8 marker-publish recipe with no model at all —
-    * one versioned set of deleted ids:
+    * one versioned set of tombstone EVENTS:
     *
-    *   <root>/tombs-<n>/...parquet   (vec_id — the FULL current set)
+    *   <root>/tombs-<n>/...parquet   ((vec_id, tomb_v) — the FULL
+    *                                  current event set, one row per
+    *                                  delete/update event)
     *   <root>/_tomb/<n>              (marker naming the dir, written
     *                                  LAST via exclusive create)
     *
+    * Events are VERSIONED: `tomb_v` is the lake version of the
+    * delete/update (Long.MaxValue for a direct [[tombstoneIds]]
+    * takedown), and every resident vector carries the `wave_v` it
+    * arrived under (−1 for build/append/rebuild base rows, the lake
+    * version for synced waves — a DATA column, so it survives fold
+    * rewrites between generations). A row is hidden iff SOME event for
+    * its id has `tomb_v > wave_v` — which is exactly "superseded by a
+    * later delete or update": an UPDATE at version v tombstones the
+    * pre-image (every older row of the id) while its post-image, synced
+    * in the same version's wave with `wave_v = v`, keeps serving; a
+    * RE-INSERT after a delete lands at a later version and serves
+    * immediately. One row per event also makes [[tombstoneSlack]]
+    * exact: the lake's key uniqueness means each event hides exactly
+    * one previously-served row, so the event count IS the
+    * hidden-resident row count.
+    *
     * Every serving path anti-joins the resolved set at its EXACT
     * re-rank stage — the same stage the `where` predicate rides — so a
-    * tombstoned id never leaves any tier (raw/ADC/SQ8 × single/batch ×
-    * plain/filtered). On compressed tiers tombstoned rows still occupy
+    * tombstoned row never leaves any tier (raw/ADC/SQ8 × single/batch ×
+    * plain/filtered). On compressed tiers hidden rows still occupy
     * ADC/SQ8 shortlist slots until a rebuild compacts them (they carry
     * no metadata at the codes scan); the fraction is bounded by
-    * [[maintainIvf]]'s `maxTombFrac` retrain trigger, and callers widen
-    * `shortlist` exactly as they do for a `where` survivor rate.
+    * [[maintainIvf]]'s `maxTombFrac` retrain trigger, and the paths
+    * widen `shortlist` by the event count ([[tombstoneSlack]]).
     * Publishing FULL sets (not deltas) keeps replay idempotent — a
     * re-published union is byte-equivalent — and keeps resolution one
-    * marker read; the set is small by policy (deletes between retrains),
+    * marker read; the set is small by policy (events between retrains),
     * so a single coalesced file suffices. [[rebuild]] compacts: the
-    * retrain anti-joins live tombstones from its training snapshot and
-    * every fold-in wave, and the new generation starts with NO sidecar —
-    * the delete becomes physical at the cutover. */
+    * retrain drops hidden rows (same versioned predicate) from its
+    * training snapshot and every fold-in wave, and the new generation
+    * starts with NO sidecar — the deletes and superseded pre-images
+    * become physical at the cutover while current post-images carry
+    * over. Pre-`tomb_v` sidecars read as `tomb_v = Long.MaxValue`
+    * (hide every resident row of the id — the old id-only semantics);
+    * pre-`wave_v` vectors read as base rows. */
   private def publishTombstones(s: SparkSession, root: String,
       tombs: DataFrame): Unit = {
     val fs = fsOf(s, root)
@@ -1658,7 +1821,7 @@ object IvfIndex {
         .flatMap(st => claimGen(st.getPath.getName)).toSet
     val n = prior.foldLeft(-1L)(math.max) + 1L
     val rel = s"tombs-$n"
-    tombs.select(col("vec_id")).distinct()
+    normalizeTombs(tombs).distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/$rel")
     fs.mkdirs(tombDir)
@@ -1759,24 +1922,49 @@ object IvfIndex {
     eff
   }
 
-  /** Anti-join the resolved tombstone set out of a candidate frame —
-    * the one stage every serving path shares. The set rides a
-    * broadcast (bounded by deletes-between-retrains, the
-    * [[maintainIvf]] `maxTombFrac` policy); no tombstones = no join. */
+  /** Normalize a tombstone frame to the (vec_id, tomb_v) event schema:
+    * id-only frames (pre-versioning sidecars, and direct-takedown
+    * inputs) read as `tomb_v = Long.MaxValue` — hide every resident
+    * row of the id, the original semantics. */
+  private def normalizeTombs(df: DataFrame): DataFrame =
+    if (df.columns.contains("tomb_v"))
+      df.select(col("vec_id"),
+        coalesce(col("tomb_v"), lit(Long.MaxValue)).as("tomb_v"))
+    else df.select(col("vec_id"), lit(Long.MaxValue).as("tomb_v"))
+
+  /** The committed tombstone EVENTS of `dir`, normalized. */
+  private def readTombstones(s: SparkSession, dir: String): DataFrame =
+    normalizeTombs(s.read.parquet(dir))
+
+  /** Anti-join the resolved tombstone events out of a candidate frame —
+    * the one stage every serving path shares. A candidate is dropped
+    * iff some event for its id postdates the wave it arrived under
+    * (`wave_v < tomb_v`; frames or files without `wave_v` read as base
+    * rows, −1 — predating every lake version). The event set rides a
+    * broadcast (bounded by events-between-retrains, the [[maintainIvf]]
+    * `maxTombFrac` policy); no tombstones = no join. */
   private def antiTombstones(s: SparkSession, root: String,
       df: DataFrame): DataFrame =
-    readTombstoneDir(fsOf(s, root), root).fold(df)(dir =>
-      df.join(broadcast(s.read.parquet(dir).select(col("vec_id"))),
-        Seq("vec_id"), "left_anti"))
+    readTombstoneDir(fsOf(s, root), root).fold(df) { dir =>
+      val t = broadcast(readTombstones(s, dir)
+        .select(col("vec_id").as("__t_id"), col("tomb_v").as("__t_v")))
+      val wv =
+        if (df.columns.contains("wave_v"))
+          coalesce(df("wave_v"), lit(-1L))
+        else lit(-1L)
+      df.join(t, df("vec_id") === col("__t_id") && wv < col("__t_v"),
+        "left_anti")
+    }
 
   /** EXACT shortlist compensation for resident tombstones on the
-    * compressed tiers: a tombstoned row still holds codes, so it can
+    * compressed tiers: a hidden row still holds codes, so it can
     * occupy an ADC/SQ8 shortlist slot only to be anti-joined away at
-    * the exact re-rank — up to |tombstones| asked-for slots vanish.
-    * Widening by the tombstone COUNT (one footer-sized count of the
-    * tiny tombstone file; zero cost when no sidecar exists — the
-    * common case) restores the caller's width as a GUARANTEE, not an
-    * expectation: at most that many slots can be lost. */
+    * the exact re-rank — up to |events| asked-for slots vanish (each
+    * event hides exactly one previously-served row — lake key
+    * uniqueness). Widening by the event COUNT (one footer-sized count
+    * of the tiny tombstone file; zero cost when no sidecar exists —
+    * the common case) restores the caller's width as a GUARANTEE, not
+    * an expectation: at most that many slots can be lost. */
   private def tombstoneSlack(s: SparkSession, root: String): Int =
     readTombstoneDir(fsOf(s, root), root).fold(0)(dir =>
       s.read.parquet(dir).count().toInt)
@@ -1792,9 +1980,13 @@ object IvfIndex {
       ids: DataFrame): Unit = {
     val root = layoutRoot(s, indexPath)
     val fs = fsOf(s, root)
-    val incoming = ids.select(col("vec_id"))
+    // a direct takedown is permanent until the compacting rebuild:
+    // tomb_v = MaxValue hides every resident AND future row of the id
+    // (a later lake re-insert of a directly-taken-down id is rejected
+    // by [[syncFromLake]] rather than silently never served)
+    val incoming = normalizeTombs(ids.select(col("vec_id")))
     val all = readTombstoneDir(fs, root)
-      .map(d => s.read.parquet(d).select(col("vec_id")).union(incoming))
+      .map(d => readTombstones(s, d).union(incoming))
       .getOrElse(incoming)
     publishTombstones(s, root, all)
   }
@@ -2111,12 +2303,96 @@ object IvfIndex {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Process-lifetime staged index + lake for the DML-serving drive:
+    * a corpus index joined by a lake of 100 shifted twins
+    * (vec_id + 1e6) that is then CORRECTED and TAKEN DOWN through lake
+    * DML — labels of the first 10 twins updated to 777, the next 10
+    * twins deleted — and synced. The drive below serves from the
+    * result; staging runs once per (sfDir, corpus fingerprint). */
+  private val updateStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private def stagedUpdateIndex(s: SparkSession, dir: String): String =
+    updateStageCache.computeIfAbsent(
+      (dir, Similarity.corpusFingerprint(s, dir)), { _ =>
+        require(s.sparkContext.master.startsWith("local"),
+          "staged registry IVF index uses driver-local temp storage — " +
+            "point build() at shared storage (HDFS/S3) on a non-local " +
+            "master")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-ivf-upd").toString
+        val idx = s"$base/index"
+        val lake = s"$base/lake"
+        build(s, dir, idx)
+        val twins = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 100L)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+            col("embedding"))
+        graft.sources.LakeLayout.appendToLake(s, lake, twins, "seed", 1L,
+          statsKey = Some("vec_id"))
+        graft.sources.LakeLayout.upsertIntoLake(s, lake,
+          twins.filter(col("vec_id") < 1000010L)
+            .withColumn("label", lit(777)),
+          "vec_id", "fix", 2L)
+        graft.sources.LakeLayout.deleteFromLake(s, lake,
+          s.range(1000010L, 1000020L).select(col("id").as("vec_id")),
+          "vec_id", "takedown", 3L)
+        syncFromLake(s, lake, idx)
+        idx
+      })
+
+  /** Registry drive: the lake-DML → sync → serve composition with an
+    * EXACT oracle — the one ANN drive a SQL engine can hash-match,
+    * because full nprobe (= every cell) makes IVF serving brute-force
+    * exact while still riding the whole production path: versioned
+    * tombstone events hide the 10 deleted twins and the 10 superseded
+    * pre-images, the update post-images serve under their wave_v, and
+    * the DuckDB twin computes top-k over the equivalent post-DML
+    * state in pure SQL. */
+  def sIvfUpdateServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = stagedUpdateIndex(s, dir)
+    val pemb = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").collect().head
+      .getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray
+    probeTopK(s, idx, pemb, k = 20, nprobe = Similarity.IvfCells,
+      excludeId = Some(Similarity.ProbeId))
+  }
+
+  /** DuckDB twin of [[sIvfUpdateServe]]: the post-DML corpus is the
+    * base table plus the surviving twins (first 10 relabeled 777, ids
+    * 10..19 absent), brute-force cosine top-20 with the Spark side's
+    * exact NaN/zero-norm guard and tie-break. */
+  val sIvfUpdateServeSql: String =
+    s"""WITH aug AS (
+         SELECT vec_id, label, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000,
+           CASE WHEN vec_id < 10 THEN 777 ELSE label END AS label,
+           embedding
+         FROM embeddings
+         WHERE vec_id < 100 AND NOT (vec_id >= 10 AND vec_id < 20)),
+       p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings
+             WHERE vec_id = ${Similarity.ProbeId}),
+       scored AS (
+         SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], p.p), 3) AS sim
+         FROM aug, p
+         WHERE vec_id <> ${Similarity.ProbeId}
+           AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+       SELECT vec_id, label, sim FROM scored
+       WHERE sim IS NOT NULL AND NOT isnan(sim)
+       ORDER BY sim DESC, vec_id LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("s_ivf_batch" -> (sIvfBatch _),
       "s_ivfpq_serve" -> (sIvfPqServe _),
       "s_ivfpq_batch" -> (sIvfPqBatch _),
       "s_ivfpq_filtered" -> (sIvfPqFiltered _),
       "s_ivfsq8_serve" -> (sIvfSq8Serve _),
-      "s_ivfsq8_batch" -> (sIvfSq8Batch _))
-  val oracle: Map[String, String] = Map.empty
+      "s_ivfsq8_batch" -> (sIvfSq8Batch _),
+      "s_ivf_update_serve" -> (sIvfUpdateServe _))
+  val oracle: Map[String, String] =
+    Map("s_ivf_update_serve" -> sIvfUpdateServeSql)
 }

@@ -234,6 +234,104 @@ class IvfConcurrencySpec extends SparkSuite {
       s"the redone wave must serve exactly once: ${nVectors(idx)}")
   }
 
+  test("a marked sync wave in a dying generation is rescued at reclamation — tombstone events carried with it") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-rescue")
+      .toString
+    IvfIndex.build(spark, sfDir, idx)                    // gen0
+    IvfIndex.rebuild(spark, idx, cells = 16, iters = 2)  // gen1; gen0 = grace
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirOfGen(g: Long): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$idx/_gen/$g"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val gen0Dir = s"$idx/${dirOfGen(0L)}"
+
+    // during the NEXT rebuild — after its start-of-run straggler sweep
+    // and staging — a MARKED wave (plus a versioned tombstone set)
+    // lands in the grace dir gen0: the double-cutover shape. The
+    // publish that claims gen2 reclaims gen0; without the rescue both
+    // would be silently lost (the mark survives, so the lake would
+    // never re-sync the wave).
+    IvfIndex.rebuildImpl(spark, idx, 16, 2, () => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rescue-wave").toString
+      wave(900000L, 10).withColumn("wave_v", lit(7L))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val cellDir = new org.apache.hadoop.fs.Path(s"$gen0Dir/vectors/cell=0")
+      fs.mkdirs(cellDir)
+      fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          assert(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+            cellDir, s"lsync-cafe-v7-${f.getPath.getName}")))
+        }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_lakesync"))
+      val mark = fs.create(
+        new org.apache.hadoop.fs.Path(s"$idx/_lakesync/cafe-7"), true)
+      try mark.write("src /fake/lake\nv 7\n".getBytes("UTF-8"))
+      finally mark.close()
+      // a versioned event in the dying root hides the wave's first id
+      // (wave_v 7 < tomb_v 8); the rescue must carry it
+      Seq((900000L, 8L)).toDF("vec_id", "tomb_v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$gen0Dir/tombs-0")
+      val tm = fs.create(
+        new org.apache.hadoop.fs.Path(s"$gen0Dir/_tomb/0"), true)
+      try tm.write("d tombs-0\n".getBytes("UTF-8")) finally tm.close()
+    })
+
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gen0Dir)),
+      "gen0 must be reclaimed by the gen2 publish")
+    assert(IvfIndex.committedGen(spark, idx).contains(2L))
+    val root = IvfIndex.layoutRoot(spark, idx)
+    val rescued = spark.read.parquet(s"$root/vectors")
+      .filter($"vec_id" >= 900000L && $"vec_id" < 900010L)
+    assert(rescued.count() == 10L,
+      "the marked wave must be rescued into the new generation")
+    assert(rescued.groupBy($"vec_id").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1).isEmpty, "the rescue must not duplicate")
+    def emb(id: Long): Array[Double] = rescued
+      .filter($"vec_id" === id).select($"embedding").collect().head
+      .getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray
+    val top1 = IvfIndex.probeTopK(spark, idx, emb(900001L), k = 1,
+      nprobe = 16).collect().head
+    assert(top1.getAs[Long]("vec_id") == 900001L &&
+      top1.getAs[Double]("sim") == 1.0,
+      s"a rescued vector must serve from the new generation: $top1")
+    val served0 = IvfIndex.probeTopK(spark, idx, emb(900000L), k = 50,
+      nprobe = 16).collect().map(_.getAs[Long]("vec_id"))
+    assert(!served0.contains(900000L),
+      "the carried tombstone event must keep hiding the superseded row")
+  }
+
+  test("a cutover between a sync's mark and its verification: content-verified, committed once, zero duplicates") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivf-postmark").toString
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-ivf-postmark-lake").toString
+    IvfIndex.build(spark, sfDir, idx)
+    graft.sources.LakeLayout.appendToLake(spark, lake, wave(950000L, 30),
+      "s", 1L, statsKey = Some("vec_id"))
+    // the seam fires after the wave's mark lands — a full rebuild
+    // cutover there moves the wave's generation to grace before the
+    // sync's own verification runs; the verification must find the
+    // wave (folded forward by the rebuild or the straggler sweep) by
+    // its wave_v CONTENT and commit without a redo
+    assert(IvfIndex.syncFromLakeImpl(spark, lake, idx,
+      _ => IvfIndex.rebuild(spark, idx, cells = 16, iters = 2)) == 1L)
+    val root = IvfIndex.layoutRoot(spark, idx)
+    val rows = spark.read.parquet(s"$root/vectors")
+      .filter($"vec_id" >= 950000L && $"vec_id" < 950030L)
+    assert(rows.count() == 30L,
+      "the wave must land in the post-cutover generation exactly once")
+    assert(rows.groupBy($"vec_id").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1).isEmpty,
+      "post-mark verification must not re-ingest a surviving wave")
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 0L,
+      "the version stays marked — a re-sync is a no-op")
+  }
+
   test("the claim log stays bounded: 10 straight rebuilds keep at most 2 claims and 2 generation dirs") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-claims")
       .toString

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 class IvfLakeSyncSpec extends SparkSuite {
   import spark.implicits._
 
-  test("stream → lake → index is exactly-once at the serving surface: replays, crash recovery, and update rejection") {
+  test("stream → lake → index is exactly-once at the serving surface: replays, crash recovery, and update corrections") {
     val lake = java.nio.file.Files
       .createTempDirectory("graft-lsync-lake").toString
     val idx = java.nio.file.Files
@@ -88,14 +88,26 @@ class IvfLakeSyncSpec extends SparkSuite {
       "recovery must sweep the partial wave before redoing it")
     assert(probe() == before, "recovery must not change serving")
 
-    // update/delete change rows are rejected loudly — an IVF index is
-    // append-only between retrains
+    // UPDATE change rows sync as versioned tombstone events plus the
+    // post-image wave: the correction reaches serving on the next
+    // probe — no retrain, and never two rows of one id at the surface
     LakeLayout.upsertIntoLake(spark, lake,
       wave(0L, 5L).withColumn("label", lit(99)),
       "vec_id", "fix", 100L)
-    val err = intercept[IllegalArgumentException](
-      IvfIndex.syncFromLake(spark, lake, idx))
-    assert(err.getMessage.contains("append-only"))
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
+      "an update version must sync")
+    val served = IvfIndex.probeTopK(spark, idx, pemb, k = 25,
+      excludeId = Some(pid)).collect()
+    val twinRows = served.filter(_.getAs[Long]("vec_id") == pid + 1000000L)
+    assert(twinRows.length == 1,
+      s"exactly one row of an updated id may serve: ${served.toSeq}")
+    assert(twinRows.head.getAs[Int]("label") == 99 &&
+      twinRows.head.getAs[Double]("sim") == 1.0,
+      s"the update's post-image must serve: ${twinRows.head}")
+    assert(served.map(_.getAs[Long]("vec_id")).distinct.length ==
+      served.length, "serving must stay duplicate-free after updates")
+    // replay-idempotent, same as inserts
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 0L)
   }
 
   test("lake DELETE reaches every serving path via the tombstone sidecar; rebuild compacts it physically") {
@@ -127,26 +139,47 @@ class IvfLakeSyncSpec extends SparkSuite {
     val probes = Seq((pid, pemb)).toDF("probe_id", "embedding")
     // exhaustive widths: recall can't excuse a tombstone leak
     val wide = 100000
-    def servedIds(): Map[String, Seq[Long]] = Map(
+    def servedRows(): Map[String, Seq[(Long, Int)]] = Map(
       "raw" -> IvfIndex.probeTopK(spark, idx, pemb, k = 5,
-        excludeId = Some(pid)).collect().map(_.getAs[Long]("vec_id")).toSeq,
+        excludeId = Some(pid)).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq,
       "rawBatch" -> IvfIndex.probeTopKBatch(spark, idx, probes, k = 5,
-        excludeSelf = true).collect().map(_.getAs[Long]("vec_id")).toSeq,
+        excludeSelf = true).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq,
       "adc" -> IvfIndex.probeTopKAdc(spark, idx, pemb, k = 5,
-        shortlist = wide, excludeId = Some(pid))
-        .collect().map(_.getAs[Long]("vec_id")).toSeq,
+        shortlist = wide, excludeId = Some(pid)).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq,
       "adcBatch" -> IvfIndex.probeTopKBatchAdc(spark, idx, probes, k = 5,
-        shortlist = wide, excludeSelf = true)
-        .collect().map(_.getAs[Long]("vec_id")).toSeq,
+        shortlist = wide, excludeSelf = true).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq,
       "sq8" -> IvfIndex.probeTopKSq8(spark, idx, pemb, k = 5,
-        shortlist = wide, excludeId = Some(pid))
-        .collect().map(_.getAs[Long]("vec_id")).toSeq,
+        shortlist = wide, excludeId = Some(pid)).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq,
       "sq8Batch" -> IvfIndex.probeTopKSq8Batch(spark, idx, probes, k = 5,
-        shortlist = wide, excludeSelf = true)
-        .collect().map(_.getAs[Long]("vec_id")).toSeq)
+        shortlist = wide, excludeSelf = true).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq)
+    def servedIds(): Map[String, Seq[Long]] =
+      servedRows().map { case (p, rows) => p -> rows.map(_._1) }
     servedIds().foreach { case (path, ids) =>
       assert(ids.headOption.contains(twin),
         s"$path must serve the synced twin first before the delete: $ids")
+    }
+
+    // UPDATE: correct the twin's label in the lake, sync — EVERY path
+    // (raw/ADC/SQ8 × single/batch) serves the post-image on the next
+    // probe, exactly once per id, with no retrain
+    LakeLayout.upsertIntoLake(spark, lake,
+      wave(0L, 1L).withColumn("label", lit(777)),
+      "vec_id", "fix", 90L)
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
+      "the update version must sync")
+    servedRows().foreach { case (path, rows) =>
+      assert(rows.headOption.map(_._1).contains(twin),
+        s"$path must still serve the updated twin first: $rows")
+      assert(rows.filter(_._1 == twin) == Seq((twin, 777)),
+        s"$path must serve the update's post-image exactly once: $rows")
+      assert(rows.map(_._1).distinct.length == rows.length,
+        s"$path serves duplicate ids after the update: $rows")
     }
 
     // TAKEDOWN: delete the twin from the lake, sync — no serving path
@@ -170,36 +203,40 @@ class IvfLakeSyncSpec extends SparkSuite {
     assert(servedIds() == afterDelete,
       "a replayed sync must not change serving")
 
-    // re-inserting a tombstoned id before the compacting rebuild is
-    // rejected loudly — its stale row is still physically resident
+    // RE-INSERT after the delete: the new row lands at a LATER lake
+    // version than the tombstone event, so it serves immediately —
+    // exactly once — with no rebuild (the versioned-event semantics)
     LakeLayout.appendToLake(spark, lake, wave(0L, 1L), "vecstream", 3L,
       statsKey = Some("vec_id"))
-    val err = intercept[IllegalArgumentException](
-      IvfIndex.syncFromLake(spark, lake, idx))
-    assert(err.getMessage.contains("tombstoned"))
-    // park the poisoned version as synced so the rest of the test can
-    // proceed (the operator told the caller to rebuild first)
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
+      "a re-insert after a delete syncs clean")
+    val reTop = IvfIndex.probeTopK(spark, idx, pemb, k = 5,
+      excludeId = Some(pid)).collect()
+    assert(reTop.head.getAs[Long]("vec_id") == twin &&
+      reTop.head.getAs[Double]("sim") == 1.0,
+      s"the re-inserted twin must serve again: ${reTop.toSeq}")
+    assert(reTop.count(_.getAs[Long]("vec_id") == twin) == 1,
+      s"exactly one row of the re-inserted id may serve: ${reTop.toSeq}")
+
+    // REBUILD compacts: the hidden pre-images (the original row and
+    // the update's post-image, both superseded) leave the physical
+    // layout, the re-inserted row carries over, and the new generation
+    // starts with no tombstone sidecar
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
-
-    // REBUILD compacts: the id leaves the physical layout and the new
-    // generation starts with no tombstone sidecar
     IvfIndex.rebuild(spark, idx)
     val root = IvfIndex.layoutRoot(spark, idx)
     assert(spark.read.parquet(s"$root/vectors")
-      .filter($"vec_id" === twin).isEmpty,
-      "rebuild must compact the tombstoned vector away")
+      .filter($"vec_id" === twin).count() == 1L,
+      "rebuild must compact the hidden rows and keep the re-insert")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_tomb")),
       "the rebuilt generation must start with no tombstone sidecar")
     assert(IvfIndex.describeIvf(spark, idx).collect()(0)
       .getAs[Double]("tomb_frac") == 0.0)
-    // with tombstones compacted, the parked re-insert now syncs clean
-    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
-      "after the compacting rebuild the re-insert version syncs")
     val top = IvfIndex.probeTopK(spark, idx, pemb, k = 1,
       excludeId = Some(pid)).collect().head
     assert(top.getAs[Long]("vec_id") == twin &&
       top.getAs[Double]("sim") == 1.0,
-      s"the re-inserted twin must serve again after compaction: $top")
+      s"the re-inserted twin must serve after compaction: $top")
   }
 }
