@@ -1083,11 +1083,319 @@ object IvfIndex {
     }
   }
 
+  /** Distributed raw byte copy of (src, dst) file pairs — the
+    * untouched-file fast path of [[compactTombstones]]: no parquet
+    * decode/encode, one stream per file, parallelized over the
+    * executors. Hadoop's Configuration is not Serializable, so the
+    * resolved entries ship as a plain map and each partition rebuilds
+    * one Configuration from them. */
+  private def copyFilesDistributed(s: SparkSession,
+      pairs: Seq[(String, String)]): Unit = {
+    if (pairs.isEmpty) return
+    val confMap: Map[String, String] = {
+      val c = s.sessionState.newHadoopConf()
+      val b = Map.newBuilder[String, String]
+      val it = c.iterator()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    s.sparkContext
+      .parallelize(pairs, math.max(1,
+        math.min(pairs.size, s.sparkContext.defaultParallelism)))
+      .foreachPartition { it: Iterator[(String, String)] =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        it.foreach { case (src, dst) =>
+          val sp = new org.apache.hadoop.fs.Path(src)
+          val dp = new org.apache.hadoop.fs.Path(dst)
+          val sfs = sp.getFileSystem(conf)
+          val dfs = dp.getFileSystem(conf)
+          dfs.mkdirs(dp.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+            false, true, conf)
+        }
+      }
+  }
+
+  /** Scheme-independent path form, for comparing a listing's qualified
+    * paths against `input_file_name()`'s (file:/a vs file:///a). */
+  private def pathKey(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** COMPACT tombstoned rows physically WITHOUT a retrain — the cheap
+    * middle ground between serving-with-anti-join and a full
+    * [[rebuild]]. A tombstoned index pays an anti-join broadcast plus
+    * (on compressed tiers) [[tombstoneSlack]] shortlist slots on EVERY
+    * probe until something makes the hidden rows physical; rebuild does
+    * that but at the price of k-means retraining (iters × corpus
+    * passes) and a full re-encode of every sidecar. Compaction keeps
+    * the FROZEN centroids — rows keep their cells, so there is no
+    * assignment and no shuffle anywhere:
+    *
+    *  - ONE column-pruned pass over (vec_id, wave_v) finds the files
+    *    that actually hold a hidden row (`wave_v < tomb_v` for some
+    *    event — the serving predicate);
+    *  - only THOSE files decode, drop their hidden rows, and rewrite
+    *    (a map-only columnar write under the carried `cell` column);
+    *  - every untouched file BYTE-COPIES into the new generation under
+    *    its existing name — no decode, no encode, raw stream speed
+    *    (for a clustered takedown, almost the whole corpus takes this
+    *    path; lsync-tagged names survive the copy, and their marks
+    *    live at the index root, so the sync protocol's bookkeeping is
+    *    untouched);
+    *  - committed PQ/SQ8 sidecars CARRY instead of retraining:
+    *    codebooks did not move, so codes of undisturbed ids are kept
+    *    as-is and only event-touched ids plus rows the old sidecar
+    *    never encoded (its raw tail, this compaction's fold-ins)
+    *    re-encode — O(events + tail) encode work, never O(corpus);
+    *  - the cutover is the SAME staged-dir + exclusive claim publish
+    *    as rebuild (fold-in diff rounds for racing appends, `_SOURCE`
+    *    manifest, grace generation, loud lost-race), and the new
+    *    generation publishes with NO tombstone sidecar — including
+    *    direct MaxValue takedowns, whose ids become re-insertable
+    *    again exactly as after a rebuild.
+    *
+    * Returns false (and leaves the index untouched) when the live
+    * generation carries no tombstones. [[maintainIvf]] prefers this
+    * over rebuild when ONLY `tomb_frac` crossed its threshold (skew
+    * and fit healthy — the model is fine, the rows are just dead). */
+  def compactTombstones(s: SparkSession, indexPath: String): Boolean =
+    compactTombstonesImpl(s, indexPath, () => ())
+
+  /** [[compactTombstones]] with a test seam (`afterStage` fires after
+    * the compacted generation is staged but before the fold-in diff —
+    * the widest point of the append/compaction race window). */
+  private[graft] def compactTombstonesImpl(s: SparkSession,
+      indexPath: String, afterStage: () => Unit): Boolean = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val fs = fsOf(s, indexPath)
+    sweepSourceStragglers(s, indexPath)
+    val liveRes = resolveLive(s, indexPath)
+    val srcGen = liveRes.map(_._1)
+    val live = liveRes.fold(indexPath)(_._2)
+    val liveVecDir = s"$live/vectors"
+    val tombDir = readTombstoneDir(fs, live)
+    if (tombDir.isEmpty) return false
+    val events = broadcast(readTombstones(s, tombDir.get)
+      .select($"vec_id".as("__t_id"), $"tomb_v".as("__t_v")))
+    def dropTombs(df: DataFrame): DataFrame =
+      df.join(events, df("vec_id") === col("__t_id") &&
+        coalesce(df("wave_v"), lit(-1L)) < col("__t_v"), "left_anti")
+    // read a pinned file set keeping the partition-derived `cell`
+    // column (cells stay valid — the centroids are frozen)
+    def readWithCell(files: Iterable[String]): DataFrame = {
+      val df = s.read.option("basePath", liveVecDir)
+        .parquet(files.toSeq.sorted: _*)
+      val wv =
+        if (df.columns.contains("wave_v")) coalesce(col("wave_v"), lit(-1L))
+        else lit(-1L)
+      df.select(col("vec_id"), col("label"), col("embedding"),
+        wv.as("wave_v"), col("cell"))
+    }
+    def listFoldable(): Set[String] = {
+      val l = listVectorFiles(fs, liveVecDir)
+      l -- unmarkedLsyncFiles(fs, indexPath, l)
+    }
+    var snap = listFoldable()
+    if (snap.isEmpty) return false
+    val gen = srcGen.fold(0L)(_ + 1L)
+    val stage = newStage(indexPath, gen)
+    // ONE column-pruned pass finds the files holding a hidden row
+    val touchedKeys = readWithCell(snap)
+      .select($"vec_id", $"wave_v", input_file_name().as("__f"))
+      .join(events,
+        $"vec_id" === col("__t_id") && $"wave_v" < col("__t_v"),
+        "left_semi")
+      .select($"__f").distinct()
+      .collect().map(r => pathKey(r.getString(0))).toSet
+    val (touched, untouched) =
+      snap.partition(f => touchedKeys.contains(pathKey(f)))
+    if (touched.nonEmpty)
+      dropTombs(readWithCell(touched))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$stage/vectors")
+    else fs.mkdirs(hp(s"$stage/vectors"))
+    val liveKey = pathKey(liveVecDir)
+    copyFilesDistributed(s, untouched.toSeq.sorted.map { f =>
+      val rel = pathKey(f).stripPrefix(liveKey).stripPrefix("/")
+      (f, s"$stage/vectors/$rel")
+    })
+    // the frozen model carries over value-identical — no retrain
+    s.read.parquet(s"$live/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/centroids")
+    afterStage()
+    // fold in waves a racing append landed since the snapshot: their
+    // cells were assigned under the SAME frozen centroids, so the fold
+    // keeps them as-is (no reassignment), dropping hidden rows like
+    // rebuild does
+    def foldCompacted(files: Set[String], destVecDir: String): Unit =
+      if (files.nonEmpty)
+        dropTombs(readWithCell(files))
+          .write.mode("append").partitionBy("cell").parquet(destVecDir)
+    var attempts = 0
+    var fresh = listFoldable() -- snap
+    while (fresh.nonEmpty && attempts < 5) {
+      foldCompacted(fresh, s"$stage/vectors")
+      snap ++= fresh
+      attempts += 1
+      fresh = listFoldable() -- snap
+    }
+    if (fresh.nonEmpty) {
+      fs.delete(stage, true)
+      throw new IllegalStateException(
+        s"compactTombstones of $indexPath: appends are landing faster " +
+          s"than fold-in can absorb them ($attempts rounds) — quiesce " +
+          "the append path during compaction; staging discarded, live " +
+          "index untouched")
+    }
+    writeSource(fs, stage, liveVecDir, snap)
+    // resolve the old generation's sidecars BEFORE the cutover — they
+    // carry across it (the old dir stays on disk as read grace)
+    val oldPq = readPqSidecar(fs, live)
+    val oldSq8 = readSq8Sidecar(fs, live)
+    publishGen(s, indexPath, gen, stage)
+    val newRoot = s"$indexPath/${listClaims(fs, indexPath)(gen)}"
+    val late = listFoldable() -- snap
+    if (late.nonEmpty) {
+      foldCompacted(late, s"$newRoot/vectors")
+      writeSource(fs, hp(newRoot), liveVecDir, snap ++ late)
+    }
+    val eventIds = readTombstones(s, tombDir.get)
+      .select($"vec_id").distinct()
+    if (listVectorFiles(fs, s"$newRoot/vectors").nonEmpty) {
+      oldPq.foreach { case (codesDir, booksDir, snapFiles) =>
+        carryPqSidecar(s, newRoot, codesDir, booksDir, snapFiles, eventIds)
+      }
+      oldSq8.foreach { case (codesDir, snapFiles) =>
+        carrySq8Sidecar(s, newRoot, codesDir, snapFiles, eventIds)
+      }
+    }
+    true
+  }
+
+  /** Split a compacted generation's rows into (carry, re-encode) for a
+    * sidecar carry: rows of files whose RELATIVE name survived the
+    * byte-copy were encoded by the old sidecar iff the old snapshot
+    * listed them — everything else (this compaction's rewrites and
+    * fold-ins, the old sidecar's raw tail) re-encodes, plus every
+    * surviving row of an event-touched id (its old codes are dropped
+    * wholesale: with no wave_v on a code row, an id's pre- and
+    * post-image codes are indistinguishable). Returns (ids whose old
+    * codes must be DROPPED, rows to re-encode, the new generation's
+    * encoded-file snapshot for the fresh marker). */
+  private def splitSidecarCarry(s: SparkSession, newRoot: String,
+      oldSnapshot: Set[String], eventIds: DataFrame)
+      : (DataFrame, DataFrame, Set[String]) = {
+    import s.implicits._
+    val fs = fsOf(s, newRoot)
+    val newVecDir = s"$newRoot/vectors"
+    val newFiles = listVectorFiles(fs, newVecDir)
+    val oldRels = oldSnapshot.map(f =>
+      pathKey(f).substring(pathKey(f).lastIndexOf("/vectors/") + 9))
+    val (matched, unmatched) = newFiles.partition { f =>
+      val k = pathKey(f)
+      oldRels.contains(k.substring(k.lastIndexOf("/vectors/") + 9))
+    }
+    def readFiles(files: Set[String]): DataFrame =
+      if (files.isEmpty)
+        s.read.option("basePath", newVecDir).parquet(newVecDir)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .limit(0)
+      else s.read.option("basePath", newVecDir)
+        .parquet(files.toSeq.sorted: _*)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    val evb = broadcast(eventIds)
+    val reencode = readFiles(matched)
+      .join(evb, Seq("vec_id"), "left_semi")
+      .union(readFiles(unmatched))
+    val dropIds = eventIds.union(
+      readFiles(unmatched).select(col("vec_id"))).distinct()
+    (dropIds, reencode, newFiles)
+  }
+
+  /** Carry a committed PQ sidecar across a [[compactTombstones]]
+    * cutover: the codebooks did not move, so codes of undisturbed ids
+    * are kept byte-as-is and only the [[splitSidecarCarry]] targets
+    * re-encode under the SAME books — O(events + tail) encode work. A
+    * fresh version-0 marker under the new root pins the carried tier
+    * to the new generation's file snapshot. */
+  private def carryPqSidecar(s: SparkSession, newRoot: String,
+      oldCodesDir: String, oldBooksDir: String,
+      oldSnapshot: Set[String], eventIds: DataFrame): Unit = {
+    import s.implicits._
+    val fs = fsOf(s, newRoot)
+    val (dropIds, reencode, newFiles) =
+      splitSidecarCarry(s, newRoot, oldSnapshot, eventIds)
+    val books = s.read.parquet(oldBooksDir)
+    val rows = books.collect()
+    val m = rows.map(_.getAs[Int]("sub")).max + 1
+    val cb = Array.ofDim[Array[Double]](m,
+      rows.map(_.getAs[Int]("code")).max + 1)
+    rows.foreach { r =>
+      cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Double]]("cvec").toArray
+    }
+    val d = cb(0)(0).length
+    val carried = s.read.parquet(oldCodesDir)
+      .join(dropIds, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell", $"codes")
+    val fresh = ProductQuant.withUnit(reencode)
+      .crossJoin(broadcast(ProductQuant.packedBooks(s, cb)))
+      .withColumn("codes", ProductQuant.codesCol(m, d))
+      .select($"vec_id", $"cell", $"codes")
+    carried.union(fresh)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$newRoot/pqcodes-0")
+    books.coalesce(1).write.mode("overwrite")
+      .parquet(s"$newRoot/pqbooks-0")
+    writeSidecarMarker(fs, s"$newRoot/_pq", 0L,
+      "d pqcodes-0 pqbooks-0", newFiles)
+  }
+
+  /** Carry a committed SQ8 sidecar across a [[compactTombstones]]
+    * cutover — [[carryPqSidecar]]'s recipe with no books at all (the
+    * encoding is `round(127·u_i)`, nothing can drift). */
+  private def carrySq8Sidecar(s: SparkSession, newRoot: String,
+      oldCodesDir: String, oldSnapshot: Set[String],
+      eventIds: DataFrame): Unit = {
+    import s.implicits._
+    val fs = fsOf(s, newRoot)
+    val (dropIds, reencode, newFiles) =
+      splitSidecarCarry(s, newRoot, oldSnapshot, eventIds)
+    val carried = s.read.parquet(oldCodesDir)
+      .join(dropIds, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell", $"q")
+    val fresh = ProductQuant.withUnit(reencode)
+      .withColumn("q",
+        transform($"u", x => round(x * 127).cast("tinyint")))
+      .select($"vec_id", $"cell", $"q")
+    carried.union(fresh)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$newRoot/sq8codes-0")
+    writeSidecarMarker(fs, s"$newRoot/_sq8", 0L, "d sq8codes-0", newFiles)
+  }
+
+  /** Exclusive-create a sidecar marker (the PQ/SQ8 commit point) with
+    * the given dir line and encoded-file snapshot. */
+  private def writeSidecarMarker(fs: org.apache.hadoop.fs.FileSystem,
+      markerDir: String, n: Long, dirLine: String,
+      files: Set[String]): Unit = {
+    fs.mkdirs(hp(markerDir))
+    val marker = new org.apache.hadoop.fs.Path(hp(markerDir), n.toString)
+    val body = (dirLine +: files.toSeq.sorted.map("f " + _))
+      .mkString("", "\n", "\n")
+    val out = fs.create(marker, false) // exclusive — the commit point
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** What one [[maintainIvf]] pass saw and did. */
   final case class IvfMaintenanceReport(skew: Double, fit: Double,
       rebuilt: Boolean, pqFit: Double = 0.0, pqTail: Double = 0.0,
       sidecarRebuilt: Boolean = false, sq8Tail: Double = 0.0,
-      sq8Rebuilt: Boolean = false, tombFrac: Double = 0.0)
+      sq8Rebuilt: Boolean = false, tombFrac: Double = 0.0,
+      compacted: Boolean = false)
 
   /** ONE-CALL measured maintenance — the policy layer over
     * [[describeIvf]] + [[rebuild]] + [[buildPqSidecar]], mirroring
@@ -1133,25 +1441,33 @@ object IvfIndex {
     // codebook there is nothing to drift, so the tail fraction is the
     // ONLY refresh trigger besides a retrain
     val sq8Tail = d.getAs[Double]("sq8_tail_frac")
-    // tombstones accumulate until a retrain compacts them: each
-    // resident deleted row pays anti-join + (on compressed tiers) a
-    // wasted shortlist slot per probe, so the fraction is a retrain
-    // trigger exactly like skew and fit
+    // tombstones accumulate until something makes them physical: each
+    // resident hidden row pays anti-join + (on compressed tiers) a
+    // wasted shortlist slot per probe. When ONLY the tombstone
+    // fraction crossed its threshold (skew and fit healthy — the
+    // model is fine, the rows are just dead), [[compactTombstones]]
+    // is the right tool: frozen centroids, untouched files byte-copy,
+    // sidecars carry — no k-means passes, no sidecar re-encode. A
+    // skew/fit trigger still retrains (which also compacts).
     val tombFrac = d.getAs[Double]("tomb_frac")
-    val trigger = any &&
-      (skew > maxSkew || fit < minFit || tombFrac > maxTombFrac)
+    val trigger = any && (skew > maxSkew || fit < minFit)
+    val compactOnly = any && !trigger && tombFrac > maxTombFrac
     if (trigger) rebuild(s, indexPath, cells, iters)
+    else if (compactOnly) compactTombstones(s, indexPath)
+    // compaction CARRIED the sidecars (absorbing their raw tails into
+    // the fresh encoded snapshot), so only a retrain — whose new
+    // generation starts bare — or genuine codebook drift re-derives
     val refresh = hadSidecar && any &&
-      (trigger || pqFit < minPqFit || pqTail > maxPqTail)
+      (trigger || pqFit < minPqFit || (!compactOnly && pqTail > maxPqTail))
     if (refresh) buildPqSidecar(s, indexPath)
     // a retrain ALWAYS re-derives a carried SQ8 tier (the new
     // generation starts bare); otherwise append-encode when the raw
     // tail is paying float-scan cost on too many probes
     val sq8Refresh = hadSq8 && any &&
-      (trigger || sq8Tail > maxPqTail)
+      (trigger || (!compactOnly && sq8Tail > maxPqTail))
     if (sq8Refresh) buildSq8Sidecar(s, indexPath)
     IvfMaintenanceReport(skew, fit, trigger, pqFit, pqTail, refresh,
-      sq8Tail, sq8Refresh, tombFrac)
+      sq8Tail, sq8Refresh, tombFrac, compactOnly)
   }
 
   /** Serve a top-k query from the persisted index: rank cells against
@@ -1803,12 +2119,16 @@ object IvfIndex {
     * Publishing FULL sets (not deltas) keeps replay idempotent — a
     * re-published union is byte-equivalent — and keeps resolution one
     * marker read; the set is small by policy (events between retrains),
-    * so a single coalesced file suffices. [[rebuild]] compacts: the
-    * retrain drops hidden rows (same versioned predicate) from its
-    * training snapshot and every fold-in wave, and the new generation
-    * starts with NO sidecar — the deletes and superseded pre-images
-    * become physical at the cutover while current post-images carry
-    * over. Pre-`tomb_v` sidecars read as `tomb_v = Long.MaxValue`
+    * so a single coalesced file suffices. Two paths make the hidden
+    * rows physical: [[compactTombstones]] (the CHEAP one — frozen
+    * centroids, byte-copied untouched files, carried sidecars;
+    * [[maintainIvf]] prefers it when only `tomb_frac` fired) and
+    * [[rebuild]] (the retrain drops hidden rows — same versioned
+    * predicate — from its training snapshot and every fold-in wave).
+    * Either way the new generation starts with NO sidecar — the
+    * deletes and superseded pre-images become physical at the cutover
+    * while current post-images carry over.
+    * Pre-`tomb_v` sidecars read as `tomb_v = Long.MaxValue`
     * (hide every resident row of the id — the old id-only semantics);
     * pre-`wave_v` vectors read as base rows. */
   private def publishTombstones(s: SparkSession, root: String,
@@ -1974,8 +2294,9 @@ object IvfIndex {
     * [[graft.sources.LakeLayout.deleteFromLake]] for callers not
     * routing deletes through a lake. Takes effect on the NEXT probe
     * (every serving path anti-joins the committed set); the next
-    * [[rebuild]] makes it physical. Single maintainer per index, like
-    * every sidecar — a lost marker race fails loudly. */
+    * [[compactTombstones]] or [[rebuild]] makes it physical. Single
+    * maintainer per index, like every sidecar — a lost marker race
+    * fails loudly. */
   def tombstoneIds(s: SparkSession, indexPath: String,
       ids: DataFrame): Unit = {
     val root = layoutRoot(s, indexPath)
@@ -2385,6 +2706,67 @@ object IvfIndex {
        WHERE sim IS NOT NULL AND NOT isnan(sim)
        ORDER BY sim DESC, vec_id LIMIT 20"""
 
+  /** Process-lifetime staged index for the COMPACTION drive: the same
+    * lake-DML history as [[stagedUpdateIndex]] (twins appended, 10
+    * relabeled 777, 10 deleted) synced in, then
+    * [[compactTombstones]] makes the hidden rows physical under the
+    * frozen centroids — with both compressed sidecars committed
+    * BEFORE the compaction so the drive exercises the sidecar carry,
+    * not just the vector rewrite. */
+  private val compactStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private def stagedCompactIndex(s: SparkSession, dir: String): String =
+    compactStageCache.computeIfAbsent(
+      (dir, Similarity.corpusFingerprint(s, dir)), { _ =>
+        require(s.sparkContext.master.startsWith("local"),
+          "staged registry IVF index uses driver-local temp storage — " +
+            "point build() at shared storage (HDFS/S3) on a non-local " +
+            "master")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-ivf-cmp").toString
+        val idx = s"$base/index"
+        val lake = s"$base/lake"
+        build(s, dir, idx)
+        val twins = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 100L)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+            col("embedding"))
+        graft.sources.LakeLayout.appendToLake(s, lake, twins, "seed", 1L,
+          statsKey = Some("vec_id"))
+        graft.sources.LakeLayout.upsertIntoLake(s, lake,
+          twins.filter(col("vec_id") < 1000010L)
+            .withColumn("label", lit(777)),
+          "vec_id", "fix", 2L)
+        graft.sources.LakeLayout.deleteFromLake(s, lake,
+          s.range(1000010L, 1000020L).select(col("id").as("vec_id")),
+          "vec_id", "takedown", 3L)
+        syncFromLake(s, lake, idx)
+        buildPqSidecar(s, idx)
+        buildSq8Sidecar(s, idx)
+        require(compactTombstones(s, idx),
+          "staged compaction drive: the synced DML must leave tombstones")
+        idx
+      })
+
+  /** Registry drive: the lake-DML → sync → COMPACT → serve composition
+    * with an EXACT oracle — [[compactTombstones]] makes the takedowns
+    * and superseded pre-images physical (frozen centroids, byte-copied
+    * untouched files, carried sidecars), and full-nprobe serving over
+    * the compacted index must hash-match the same pure-SQL post-DML
+    * truth as [[sIvfUpdateServe]]: compaction is serving-invariant by
+    * construction, and this drive pins that against DuckDB. */
+  def sIvfCompactServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = stagedCompactIndex(s, dir)
+    val pemb = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" === Similarity.ProbeId)
+      .select($"embedding").collect().head
+      .getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray
+    probeTopK(s, idx, pemb, k = 20, nprobe = Similarity.IvfCells,
+      excludeId = Some(Similarity.ProbeId))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("s_ivf_batch" -> (sIvfBatch _),
       "s_ivfpq_serve" -> (sIvfPqServe _),
@@ -2392,7 +2774,11 @@ object IvfIndex {
       "s_ivfpq_filtered" -> (sIvfPqFiltered _),
       "s_ivfsq8_serve" -> (sIvfSq8Serve _),
       "s_ivfsq8_batch" -> (sIvfSq8Batch _),
-      "s_ivf_update_serve" -> (sIvfUpdateServe _))
+      "s_ivf_update_serve" -> (sIvfUpdateServe _),
+      "s_ivf_compact_serve" -> (sIvfCompactServe _))
   val oracle: Map[String, String] =
-    Map("s_ivf_update_serve" -> sIvfUpdateServeSql)
+    Map("s_ivf_update_serve" -> sIvfUpdateServeSql,
+      // compaction is serving-invariant: the post-DML truth is the
+      // same as the update drive's
+      "s_ivf_compact_serve" -> sIvfUpdateServeSql)
 }
