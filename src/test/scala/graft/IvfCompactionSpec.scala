@@ -216,6 +216,41 @@ class IvfCompactionSpec extends SparkSuite {
     assert(!r2.compacted && !r2.rebuilt && r2.tombFrac == 0.0, s"$r2")
   }
 
+  test("a direct takedown compacts physically and the id becomes re-insertable again") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cmp-direct").toString
+    val lake = s"$base/lake"
+    val idx = s"$base/index"
+    IvfIndex.build(spark, sfDir, idx)
+    LakeLayout.appendToLake(spark, lake, wave(0L, 10L), "vecstream", 1L,
+      statsKey = Some("vec_id"))
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L)
+    // MaxValue event: hides every resident row AND blocks lake
+    // re-inserts until something compacts it away
+    IvfIndex.tombstoneIds(spark, idx, Seq(1000002L).toDF("vec_id"))
+    LakeLayout.appendToLake(spark, lake,
+      wave(2L, 3L), "vecstream", 2L, statsKey = Some("vec_id"))
+    val blocked = intercept[IllegalArgumentException] {
+      IvfIndex.syncFromLake(spark, lake, idx)
+    }
+    assert(blocked.getMessage.contains("taken down directly"),
+      s"a re-insert of a direct takedown must be rejected: $blocked")
+    assert(IvfIndex.compactTombstones(spark, idx),
+      "a directly-taken-down index must compact")
+    val root = IvfIndex.layoutRoot(spark, idx)
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter($"vec_id" === 1000002L).count() == 0L,
+      "the takedown must leave the physical layout")
+    // the MaxValue event died with the compaction — the pending lake
+    // re-insert now syncs clean and serves
+    assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L,
+      "after compaction the id is lawfully re-insertable")
+    val after = IvfIndex.layoutRoot(spark, idx)
+    assert(spark.read.parquet(s"$after/vectors")
+      .filter($"vec_id" === 1000002L).count() == 1L,
+      "the re-insert must be resident again")
+  }
+
   test("an append racing the compaction folds in exactly once") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-cmp-race").toString
