@@ -1398,12 +1398,15 @@ object IvfIndex {
       compacted: Boolean = false)
 
   /** ONE-CALL measured maintenance — the policy layer over
-    * [[describeIvf]] + [[rebuild]] + [[buildPqSidecar]], mirroring
-    * the lake's `maintainLake`: retrain exactly when the measured
-    * drift says so (`occupancy_skew` above `maxSkew` — hot cells make
-    * probe costs lopsided — or `mean_centroid_sim` below `minFit` —
-    * the frozen model no longer represents the corpus and recall
-    * erodes), never on cadence. The PQ sidecar follows the SAME
+    * [[describeIvf]] + [[rebuild]] + [[compactTombstones]] +
+    * [[buildPqSidecar]], mirroring the lake's `maintainLake`: retrain
+    * exactly when the measured drift says so (`occupancy_skew` above
+    * `maxSkew` — hot cells make probe costs lopsided — or
+    * `mean_centroid_sim` below `minFit` — the frozen model no longer
+    * represents the corpus and recall erodes), never on cadence; a
+    * tombstone fraction above `maxTombFrac` with HEALTHY skew/fit
+    * compacts instead (frozen centroids, carried sidecars — the rows
+    * are dead, the model is not). The PQ sidecar follows the SAME
     * measured template: it refreshes when quantization fit (`pq_fit`,
     * reconstruction cosine) drops below `minPqFit` — append waves
     * from a new distribution degrade ADC ranking against the frozen
