@@ -1025,7 +1025,8 @@ object IvfIndex {
     // update post-images, re-inserts after a delete — carry over. The
     // new generation is published with NO tombstone sidecar: the
     // hidden rows become physical absences at the cutover.
-    val liveTombs = readTombstoneDir(fs, live)
+    val tombDirAtStart = readTombstoneDir(fs, live)
+    val liveTombs = tombDirAtStart
       .map(d => broadcast(readTombstones(s, d)
         .select($"vec_id".as("__t_id"), $"tomb_v".as("__t_v"))))
     def dropTombs(df: DataFrame): DataFrame =
@@ -1080,6 +1081,50 @@ object IvfIndex {
         .write.mode("append").partitionBy("cell")
         .parquet(s"$newRoot/vectors")
       writeSource(fs, hp(newRoot), liveVecDir, snap ++ late)
+    }
+    carryTombstoneDelta(s, live, newRoot, tombDirAtStart)
+  }
+
+  /** Close the in-staging sync window: a sync that ran ENTIRELY inside
+    * a rebuild/compaction's staging window published its tombstone
+    * events to the OLD root AFTER the maintainer read them — the
+    * cutover would discard those events while the sync's mark prevents
+    * any re-sync, silently resurrecting the deleted rows at the
+    * serving surface (the maintainer folded the wave's rows but never
+    * saw its events, and the sync observed no cutover, so its own
+    * re-publish never fires). After the publish, re-read the old
+    * root's committed events and carry the DELTA — events beyond the
+    * set the maintainer compacted against — onto the new generation's
+    * sidecar. Versioned events are idempotent (a carried event for a
+    * row the maintainer already dropped hides nothing), and a MaxValue
+    * direct takedown that landed mid-staging still has its rows
+    * resident in the new generation, so carrying it hides them exactly
+    * as intended. Each tombstone publish creates a NEW versioned dir,
+    * so "same dir" = nothing new — the common case costs one marker
+    * read. If the start dir was itself reclaimed mid-staging (two+
+    * tombstone publishes inside one staging window), the whole current
+    * set carries — over-carrying is safe: superfluous versioned events
+    * are serving no-ops, and a re-carried MaxValue event at worst
+    * rejects a re-insert loudly until the next compaction. Syncs still
+    * in flight ACROSS the publish are covered from their own side (the
+    * post-mark and end-of-pass cutover checks re-publish onto the new
+    * root); this delta covers the ones that COMPLETED before it. */
+  private def carryTombstoneDelta(s: SparkSession, oldRoot: String,
+      newRoot: String, dirAtStart: Option[String]): Unit = {
+    val fs = fsOf(s, oldRoot)
+    readTombstoneDir(fs, oldRoot).foreach { nowDir =>
+      if (!dirAtStart.contains(nowDir)) {
+        val now = readTombstones(s, nowDir)
+        val delta = dirAtStart
+          .filter(d => fs.exists(hp(d)))
+          .map(d => now.except(readTombstones(s, d)))
+          .getOrElse(now)
+        if (!delta.isEmpty) {
+          val cur = readTombstoneDir(fs, newRoot)
+            .map(nd => readTombstones(s, nd))
+          publishTombstones(s, newRoot, cur.fold(delta)(_.union(delta)))
+        }
+      }
     }
   }
 
@@ -1261,6 +1306,10 @@ object IvfIndex {
       foldCompacted(late, s"$newRoot/vectors")
       writeSource(fs, hp(newRoot), liveVecDir, snap ++ late)
     }
+    // events a sync published to the OLD root while this compaction
+    // was staging carry onto the new generation — see the doc on
+    // [[carryTombstoneDelta]]
+    carryTombstoneDelta(s, live, newRoot, tombDir)
     val eventIds = readTombstones(s, tombDir.get)
       .select($"vec_id").distinct()
     if (listVectorFiles(fs, s"$newRoot/vectors").nonEmpty) {

@@ -251,6 +251,62 @@ class IvfCompactionSpec extends SparkSuite {
       "the re-insert must be resident again")
   }
 
+  test("a sync completing entirely inside the staging window keeps its deletes: the tombstone delta carries across the cutover") {
+    // the lost-delete shape: the maintainer reads the event set, a
+    // sync lands a whole version (delete + mark) while it stages, the
+    // cutover publishes — without the delta carry the new generation
+    // would serve the deleted row forever (the mark blocks any
+    // re-sync). Forced here through both maintainers' staging seams.
+    def drive(maintain: (String, () => Unit) => Unit,
+        tag: String): Unit = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-cmp-midsync-$tag").toString
+      val lake = s"$base/lake"
+      val idx = s"$base/index"
+      IvfIndex.build(spark, sfDir, idx)
+      LakeLayout.appendToLake(spark, lake, wave(0L, 10L), "vecstream", 1L,
+        statsKey = Some("vec_id"))
+      assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L)
+      // give the maintainer something to do (an old tombstone)
+      LakeLayout.deleteFromLake(spark, lake,
+        Seq(1000001L).toDF("vec_id"), "vec_id", "takedown", 2L)
+      assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L)
+      maintain(idx, () => {
+        // the mid-staging sync: deletes a row RESIDENT since v1 —
+        // its rows are already in the maintainer's snapshot, its
+        // event postdates the maintainer's read
+        LakeLayout.deleteFromLake(spark, lake,
+          Seq(1000003L).toDF("vec_id"), "vec_id", "takedown", 3L)
+        assert(IvfIndex.syncFromLake(spark, lake, idx) == 1L)
+      })
+      // the delete must hold at the serving surface, at any width
+      val pemb3 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .filter($"vec_id" === 3L).select($"embedding").collect().head
+        .getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray
+      val served = IvfIndex.probeTopK(spark, idx, pemb3, k = 5,
+        nprobe = Similarity.IvfCells).collect()
+        .map(_.getAs[Long]("vec_id"))
+      assert(!served.contains(1000003L),
+        s"[$tag] the mid-staging delete was lost at the cutover: " +
+          s"${served.toSeq}")
+      // and it is not re-syncable (the mark is the exactly-once pin)
+      assert(IvfIndex.syncFromLake(spark, lake, idx) == 0L)
+      // the next compaction makes it physical
+      assert(IvfIndex.compactTombstones(spark, idx))
+      val root = IvfIndex.layoutRoot(spark, idx)
+      assert(spark.read.parquet(s"$root/vectors")
+        .filter($"vec_id" === 1000003L).count() == 0L,
+        s"[$tag] the carried event must compact physically")
+    }
+    drive((idx, seam) =>
+      assert(IvfIndex.compactTombstonesImpl(spark, idx, seam)),
+      "compact")
+    drive((idx, seam) =>
+      IvfIndex.rebuildImpl(spark, idx, Similarity.IvfCells,
+        Similarity.IvfIters, seam),
+      "rebuild")
+  }
+
   test("an append racing the compaction folds in exactly once") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-cmp-race").toString
