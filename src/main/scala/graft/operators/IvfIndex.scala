@@ -1067,6 +1067,7 @@ object IvfIndex {
           "untouched")
     }
     writeSource(fs, stage, liveVecDir, snap)
+    stageTombstoneDelta(s, live, stage, tombDirAtStart)
     publishGen(s, indexPath, gen, stage)
     // post-publish sweep: an append that resolved the OLD generation
     // just before the claim landed may have written after the final
@@ -1119,11 +1120,45 @@ object IvfIndex {
           .filter(d => fs.exists(hp(d)))
           .map(d => now.except(readTombstones(s, d)))
           .getOrElse(now)
-        if (!delta.isEmpty) {
-          val cur = readTombstoneDir(fs, newRoot)
-            .map(nd => readTombstones(s, nd))
+        val cur = readTombstoneDir(fs, newRoot)
+          .map(nd => readTombstones(s, nd))
+        // events the staged pre-publish carry already moved (or a
+        // cutover-aware sync already re-published) are not pending
+        val pending = cur.map(c => delta.except(c)).getOrElse(delta)
+        if (!pending.isEmpty)
           publishTombstones(s, newRoot, cur.fold(delta)(_.union(delta)))
-        }
+      }
+    }
+  }
+
+  /** The crash-safe HALF of the mid-staging carry: just before the
+    * claim create, re-read the old root's events and write any delta
+    * (vs the set the maintainer compacted against) INTO THE STAGING
+    * DIR — the atomic rename+claim then publishes vectors and carried
+    * events together, so a maintainer crash right after the claim
+    * cannot strand the events in the dying grace root. The remaining
+    * exposure is an event landing between THIS read and the claim
+    * create (microseconds, vs the whole staging window) — covered by
+    * [[carryTombstoneDelta]] post-publish when the maintainer
+    * survives, and by the sync's own post-mark cutover check when the
+    * cutover precedes its mark; losing an event outright needs the
+    * event in that gap AND a maintainer crash before the post-publish
+    * carry AND the sync's mark written before the claim — the same
+    * three-independent-failures class as the reclamation sliver
+    * (SCALE.md round-20 residual #2). */
+  private def stageTombstoneDelta(s: SparkSession, oldRoot: String,
+      stage: org.apache.hadoop.fs.Path,
+      dirAtStart: Option[String]): Unit = {
+    val fs = fsOf(s, oldRoot)
+    readTombstoneDir(fs, oldRoot).foreach { nowDir =>
+      if (!dirAtStart.contains(nowDir)) {
+        val now = readTombstones(s, nowDir)
+        val delta = dirAtStart
+          .filter(d => fs.exists(hp(d)))
+          .map(d => now.except(readTombstones(s, d)))
+          .getOrElse(now)
+        if (!delta.isEmpty)
+          publishTombstones(s, stage.toString, delta)
       }
     }
   }
@@ -1295,6 +1330,7 @@ object IvfIndex {
           "index untouched")
     }
     writeSource(fs, stage, liveVecDir, snap)
+    stageTombstoneDelta(s, live, stage, tombDir)
     // resolve the old generation's sidecars BEFORE the cutover — they
     // carry across it (the old dir stays on disk as read grace)
     val oldPq = readPqSidecar(fs, live)

@@ -289,6 +289,17 @@ class IvfCompactionSpec extends SparkSuite {
       assert(!served.contains(1000003L),
         s"[$tag] the mid-staging delete was lost at the cutover: " +
           s"${served.toSeq}")
+      // the carry is CRASH-SAFE: the delta rode the staged dir through
+      // the atomic rename+claim (one sidecar version on the new root),
+      // so a maintainer crash right after the claim cannot strand it —
+      // and the post-publish pass found nothing pending (no version 1)
+      val newRoot = IvfIndex.layoutRoot(spark, idx)
+      val tombMarks = fsFor(idx).listStatus(
+        new org.apache.hadoop.fs.Path(s"$newRoot/_tomb"))
+        .map(_.getPath.getName).sorted
+      assert(tombMarks.toSeq == Seq("0"),
+        s"[$tag] the delta must publish atomically with the claim " +
+          s"(staged version 0 only): ${tombMarks.toSeq}")
       // and it is not re-syncable (the mark is the exactly-once pin)
       assert(IvfIndex.syncFromLake(spark, lake, idx) == 0L)
       // the next compaction makes it physical
