@@ -24,7 +24,15 @@ object VectorFunctions {
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => VecCosine(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode",
+      exprs => PqEncodeCodes(exprs(0), exprs(1)), "scala_udf")
   }
+
+  /** PQ code assignment over a packed-codebook column ([[PqEncodeCodes]])
+    * — bit-identical to the HOF argmax it replaces, one codegen'd triple
+    * loop per row. Requires [[register]] on the session. */
+  def pqEncode(u: Column, books: Column): Column =
+    call_function("pq_encode", u, books)
 
   /** Elementwise-product sum (dot product) in double precision — native
     * [[VecDot]] expression: one eval per row, tight loop, no per-element

@@ -147,16 +147,20 @@ object Components {
     // incremental-components drive: 4.3 s/sweep with a cache on a
     // 280-edge graph, 1.3 s/sweep against a flat parquet scan. The
     // snapshot pays one write job and makes every sweep's plan start
-    // from a leaf.
+    // from a leaf. The edge-count observation rides that write (r21):
+    // the empty-graph short-circuit used to be its own `isEmpty` job.
+    val edgesObs = org.apache.spark.sql.Observation("graft-cc-edges")
     val edges = snapshot(
       p.union(p.select(col("j").as("i"), col("i").as("j")))
-        .toDF("src", "dst"),
+        .toDF("src", "dst")
+        .observe(edgesObs, count(lit(1)).as("n")),
       "edges")
+    val nEdges = edgesObs.get("n").asInstanceOf[Long]
     locally {
       // sweep-0 labels = node ids; cached, not snapshotted — it is read
-      // by the sweep-0 label sum plus twice inside sweep 1's plan, and a
-      // cache serves those for one distinct's cost without the parquet
-      // write+read round-trip a snapshot would add
+      // twice inside sweep 1's plan, and a cache serves those for one
+      // distinct's cost without the parquet write+read round-trip a
+      // snapshot would add
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
         .cache()
@@ -171,8 +175,19 @@ object Components {
       // its neighbor's smaller label), so convergence can never trigger
       // before the sweep-2 vs sweep-1 comparison — the first sum rides
       // sweep 1's snapshot write like every later one.
+      //
+      // Convergence is checked on the PROP aggregate `m` (r21), one
+      // half-sweep earlier than the post-jump frame it used to wait
+      // for: m ≤ labels componentwise and sums are compared exactly, so
+      // `sum(m) == sum(labels)` ⟺ `m == labels` ⟺ the propagation is at
+      // its fixpoint ⟺ labels are constant per component (min included)
+      // — and then the pointer jump is the IDENTITY, so skipping it
+      // returns identical data while saving the final sweep's join +
+      // snapshot write+read. Sweep counts are unchanged (the old
+      // post-jump detection fired at the same sweep index: labels ≥ m ≥
+      // jumped forces m == labels whenever jumped == labels).
       var prevSum: Option[java.math.BigDecimal] = None
-      var converged = labels.isEmpty // empty graph: zero sweeps
+      var converged = nEdges == 0L // empty graph: zero sweeps
       var sweep = 0
       while (!converged && sweep < maxSweeps) {
         sweep += 1
@@ -188,26 +203,34 @@ object Components {
         // instead of two small jobs — was measured 1.3-1.6 s/query
         // SLOWER at sf0.1 and rejected: the wide job's stage barriers
         // cost more than the second job's scheduling.)
-        val m = snapshot(
+        val (m, mSum) = snapshotWithSum(
           labels.union(prop)
             .groupBy(col("node")).agg(min(col("label")).as("label")),
           s"m_$sweep")
-        // label values are always live node ids, so the lookup is total;
-        // left+coalesce only guards the empty frame
-        val jumped = m.join(
-            m.select(col("node").as("label"), col("label").as("plabel")),
-            Seq("label"), "left")
-          .select(col("node"),
-            coalesce(col("plabel"), col("label")).as("label"))
-        val (next, nextSum) = snapshotWithSum(jumped, s"sweep_$sweep")
         // no-op after sweep 1 (parquet-backed frames hold no cache);
         // releases the sweep-0 label cache once it is superseded
         labels.unpersist(blocking = false)
-        fs.delete(new Path(s"$runDir/m_$sweep"), true)
-        fs.delete(new Path(s"$runDir/sweep_${sweep - 1}"), true)
-        converged = prevSum.exists(_.compareTo(nextSum) == 0)
-        prevSum = Some(nextSum)
-        labels = next
+        if (prevSum.exists(_.compareTo(mSum) == 0)) {
+          // prop fixpoint: m == labels and the jump is the identity —
+          // m IS the final labeling; the superseded post-jump snapshot
+          // of the previous sweep is garbage
+          converged = true
+          fs.delete(new Path(s"$runDir/sweep_${sweep - 1}"), true)
+          labels = m
+        } else {
+          // label values are always live node ids, so the lookup is
+          // total; left+coalesce only guards the empty frame
+          val jumped = m.join(
+              m.select(col("node").as("label"), col("label").as("plabel")),
+              Seq("label"), "left")
+            .select(col("node"),
+              coalesce(col("plabel"), col("label")).as("label"))
+          val (next, nextSum) = snapshotWithSum(jumped, s"sweep_$sweep")
+          fs.delete(new Path(s"$runDir/m_$sweep"), true)
+          fs.delete(new Path(s"$runDir/sweep_${sweep - 1}"), true)
+          prevSum = Some(nextSum)
+          labels = next
+        }
       }
       require(converged,
         s"connectedComponents did not converge within $maxSweeps sweeps " +

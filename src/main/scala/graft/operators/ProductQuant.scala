@@ -111,10 +111,22 @@ object ProductQuant {
 
   /** All-m-subspaces assignment over the broadcast `books` column:
     * for each subspace j, argmin_c ‖x_j − c‖² ≡ argmax_c (<x_j, c> −
-    * ‖c‖²/2); half-norms ride the packed entries, the struct compare
-    * tie-breaks equal scores on the higher code index. Plan size is
-    * O(1) in m·ks. */
+    * ‖c‖²/2); half-norms ride the packed entries, ties break on the
+    * higher code index. Plan size is O(1) in m·ks.
+    *
+    * Native since round 21: one codegen'd triple loop per row
+    * ([[graft.functions.PqEncodeCodes]]) instead of m·ks interpreted
+    * HOF lambdas each slicing a fresh subvector copy — the encode pass
+    * dominated every PQ drive's wall-clock (guide §4: eliminate
+    * non-codegen expressions in the hot path). Bit-identical to
+    * [[codesColHof]] (same dot order, same Double.compare tie-break) —
+    * pinned by ProductQuantSpec's equivalence case. */
   private[graft] def codesCol(m: Int, d: Int): Column =
+    VectorFunctions.pqEncode(col("u"), col("books"))
+
+  /** The pre-r21 HOF form of [[codesCol]] — kept as the reference
+    * implementation the native expression is spec-checked against. */
+  private[graft] def codesColHof(m: Int, d: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), j =>
       array_max(transform(element_at(col("books"), j + lit(1)), en =>
         struct(

@@ -180,13 +180,15 @@ class ComponentsSpec extends SparkSuite {
     lab.collect()
     assert(sweeps > 1, "needs a multi-sweep run to observe deletion")
     // the returned frame is parquet-backed: its one live snapshot dir is
-    // the run dir's sole surviving child
+    // the run dir's sole surviving child. Since r21 convergence is
+    // detected on the prop aggregate (the final sweep skips its
+    // identity pointer jump), so the survivor is m_N, not sweep_N.
     val snapFile = lab.inputFiles.headOption.getOrElse(
       fail("components result should be parquet-backed"))
     val runDir = new java.io.File(new java.net.URI(snapFile))
       .getParentFile.getParentFile
     val children = runDir.listFiles().map(_.getName).toSet
-    assert(children == Set(s"sweep_$sweeps"),
+    assert(children == Set(s"m_$sweeps"),
       s"only the final snapshot may survive the run, found $children")
   }
 }

@@ -110,6 +110,51 @@ class LakeBloomSkipSpec extends SparkSuite {
       .filter($"id".isin(24L, 137L)).count() == 2)
   }
 
+  test("refinement skips when range pruning already won: a key-local read runs zero refinement jobs") {
+    // r21 (guide §1.2): the refinement pass costs one full scan + hash
+    // of the distinct source keys; with only a handful of
+    // range-surviving candidates it cannot save more than it costs, so
+    // it must not launch at all.
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-bloom-skip").toString + "/t"
+    // RANGE-partitioned ingest: files are key-local, so a ranged source
+    // touches 1-2 files and range pruning alone already did its job
+    val base = (0L until 4000L).map(k => (k, s"p$k")).toDF("id", "pay")
+      .repartitionByRange(8, $"id")
+    LakeLayout.commitLakeVersion(base, t, "ck", 0L,
+      statsKey = Some("id"), bloomBits = 8192)
+    val cur = LakeLayout.latestLakeCommit(spark, t).get
+    assert(cur.files.size >= 4 && cur.files.forall(_.bloom.isDefined))
+    val keys = Seq(24L, 137L).toDF("id") // adjacent keys, one range file
+    val before = LakeLayout.bloomRefineJobs.get()
+    val refined = LakeLayout.readLakeMatchingFiles(spark, t, cur,
+      keys, "id")
+    assert(refined.size <= 2,
+      s"range pruning alone must isolate the key-local files: ${refined.size}")
+    assert(LakeLayout.bloomRefineJobs.get() == before,
+      "a key-local read must not launch the bloom-refinement job")
+    val got = LakeLayout.readLakeMatching(spark, t, keys, "id")
+      .filter($"id".isin(24L, 137L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(24L, 137L), s"skip must not change the read: $got")
+
+    // the scattered shape (hash-spread files, every range survives)
+    // still pays — and profits from — the refinement job
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft-bloom-skip2").toString + "/t"
+    LakeLayout.commitLakeVersion(
+      base.repartition(8, pmod($"id", lit(8))), t2, "ck", 0L,
+      statsKey = Some("id"), bloomBits = 8192)
+    val cur2 = LakeLayout.latestLakeCommit(spark, t2).get
+    val b2 = LakeLayout.bloomRefineJobs.get()
+    val refined2 = LakeLayout.readLakeMatchingFiles(spark, t2, cur2,
+      keys, "id")
+    assert(LakeLayout.bloomRefineJobs.get() == b2 + 1,
+      "the scattered shape must still run the refinement job")
+    assert(refined2.size <= 3,
+      s"blooms must still refine the scattered shape: ${refined2.size}")
+  }
+
   test("string keys skip the same way, and bloom-less tables stay correct (all files candidates)") {
     val t = java.nio.file.Files
       .createTempDirectory("graft-bloom-str").toString + "/t"

@@ -24,6 +24,30 @@ class ProductQuantSpec extends SparkSuite {
     }, "retraining on the same corpus must yield identical codebooks")
   }
 
+  test("native pq_encode equals the HOF argmax bit-for-bit") {
+    // r21: codesCol became one codegen'd triple loop (PqEncodeCodes);
+    // this pins it to the interpreted HOF reference on the real corpus —
+    // every row, exact array equality (same dots, same Double.compare
+    // tie-break toward the higher code).
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val cb = ProductQuant.pqCodebooks(spark, sfDir)
+    val (m, d) = (cb.length, cb(0)(0).length)
+    val df = ProductQuant.withUnit(
+        graft.sources.Tables.load(spark, sfDir, "embeddings"))
+      .crossJoin(broadcast(ProductQuant.packedBooks(spark, cb)))
+      .select(col("vec_id"),
+        ProductQuant.codesCol(m, d).as("native"),
+        ProductQuant.codesColHof(m, d).as("hof"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filter(r =>
+      r.getAs[scala.collection.Seq[Int]]("native") !=
+        r.getAs[scala.collection.Seq[Int]]("hof"))
+    assert(bad.isEmpty,
+      s"${bad.length} rows with differing PQ codes, first: ${bad.headOption}")
+  }
+
   test("exact top-10 survives the ADC shortlist cut with margin") {
     for (dir <- sfs) {
       val exactIds = Similarity.sCosineTopk(spark, dir).collect()
