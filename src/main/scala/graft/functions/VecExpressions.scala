@@ -263,6 +263,81 @@ case class PqEncodeCodes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** ADC score — Σ_j lut[codes[j] + j·ks] over a flat m·ks lookup table,
+  * the per-row scoring of every PQ serving path. Bit-identical to the
+  * chain it replaces (`(0 until m).map(j => element_at(lut, codes[j] +
+  * j·ks + 1)).reduce(_ + _)` — same left-fold addition order, null when
+  * any code or LUT slot is null or out of range, exactly element_at's
+  * non-ANSI semantics). Why native: the chain references the LUT
+  * expression m times, and for single-probe queries the LUT is an m·ks
+  * LITERAL array — 16 inlined copies of 512 doubles made the PQ drives'
+  * plans ~180 KB each (slow to analyze, big task binaries). One
+  * reference + one codegen'd loop. ks derives from the data: lut length
+  * must be a multiple of m. */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_sum needs (array<int>, array<double>), got $l / $r")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val n = lut.numElements()
+    if (m == 0 || n % m != 0) return null
+    val ks = n / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val idx = codes.getInt(j) + j * ks
+      if (idx < 0 || idx >= n || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val ks = ctx.freshName("ks")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $m = $codes.numElements();
+         |int $n = $lut.numElements();
+         |if ($m == 0 || $n % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $ks = $n / $m;
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if ($codes.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    int $idx = $codes.getInt($j) + $j * $ks;
+         |    if ($idx < 0 || $idx >= $n || $lut.isNullAt($idx)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += $lut.getDouble($idx);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** One-pass cosine: dot, |a|², |b|² in a single loop, then
   * dot / (sqrt(na)·sqrt(nb)) — same combination order as the HOF form
   * `dot / (l2Norm(a) * l2Norm(b))`. */

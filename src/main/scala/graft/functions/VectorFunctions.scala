@@ -26,7 +26,15 @@ object VectorFunctions {
       exprs => VecCosine(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pq_encode",
       exprs => PqEncodeCodes(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("adc_sum",
+      exprs => AdcSum(exprs(0), exprs(1)), "scala_udf")
   }
+
+  /** ADC score Σ_j lut[codes[j] + j·ks] ([[AdcSum]]) — one codegen'd
+    * loop, one LUT reference (the element_at chain inlined an m·ks
+    * literal LUT m times). Requires [[register]] on the session. */
+  def adcSum(codes: Column, lut: Column): Column =
+    call_function("adc_sum", codes, lut)
 
   /** PQ code assignment over a packed-codebook column ([[PqEncodeCodes]])
     * — bit-identical to the HOF argmax it replaces, one codegen'd triple

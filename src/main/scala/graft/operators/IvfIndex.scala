@@ -279,12 +279,8 @@ object IvfIndex {
             readTombstoneDir(fs, s"$indexPath/$dirName").foreach { d =>
               val versioned = readTombstones(s, d)
                 .filter(col("tomb_v") =!= Long.MaxValue)
-              if (!versioned.isEmpty) {
-                val cur = readTombstoneDir(fs, newRootDir)
-                  .map(nd => readTombstones(s, nd))
-                publishTombstones(s, newRootDir,
-                  cur.fold(versioned)(_.union(versioned)))
-              }
+              if (!versioned.isEmpty)
+                unionPublishTombstones(s, newRootDir, versioned)
             }
           }
         }
@@ -706,11 +702,8 @@ object IvfIndex {
             "taken down directly (tombstoneIds) — rebuild the index " +
             "to compact its tombstones before re-inserting them")
       }
-      if (!tombs.isEmpty) {
-        val cur = readTombstoneDir(fs, root)
-          .map(d => readTombstones(s, d))
-        publishTombstones(s, root, cur.fold(tombs)(_.union(tombs)))
-      }
+      if (!tombs.isEmpty)
+        unionPublishTombstones(s, root, tombs)
       val stage = hp(s"$indexPath/.lsync-stage-$srcTag-v$v")
       fs.delete(stage, true)
       assignCells(wave, centsDf)
@@ -762,12 +755,8 @@ object IvfIndex {
         val newRoot = layoutRoot(s, indexPath)
         if (newRoot != root)
           readTombstoneDir(fs, root).foreach { d =>
-            if (fs.exists(hp(d))) {
-              val old = readTombstones(s, d)
-              val cur = readTombstoneDir(fs, newRoot)
-                .map(nd => readTombstones(s, nd))
-              publishTombstones(s, newRoot, cur.fold(old)(_.union(old)))
-            }
+            if (fs.exists(hp(d)))
+              unionPublishTombstones(s, newRoot, readTombstones(s, d))
           }
         val expected = wave.count()
         val landedDf = s.read.option("mergeSchema", "true")
@@ -797,12 +786,8 @@ object IvfIndex {
       val newRoot = layoutRoot(s, indexPath)
       if (newRoot != root)
         readTombstoneDir(fs, root).foreach { d =>
-          if (fs.exists(hp(d))) {
-            val old = readTombstones(s, d)
-            val cur = readTombstoneDir(fs, newRoot)
-              .map(nd => readTombstones(s, nd))
-            publishTombstones(s, newRoot, cur.fold(old)(_.union(old)))
-          }
+          if (fs.exists(hp(d)))
+            unionPublishTombstones(s, newRoot, readTombstones(s, d))
         }
     }
     versions.size.toLong
@@ -1126,7 +1111,7 @@ object IvfIndex {
         // cutover-aware sync already re-published) are not pending
         val pending = cur.map(c => delta.except(c)).getOrElse(delta)
         if (!pending.isEmpty)
-          publishTombstones(s, newRoot, cur.fold(delta)(_.union(delta)))
+          unionPublishTombstones(s, newRoot, delta)
       }
     }
   }
@@ -1158,7 +1143,7 @@ object IvfIndex {
           .map(d => now.except(readTombstones(s, d)))
           .getOrElse(now)
         if (!delta.isEmpty)
-          publishTombstones(s, stage.toString, delta)
+          unionPublishTombstones(s, stage.toString, delta)
       }
     }
   }
@@ -1346,8 +1331,19 @@ object IvfIndex {
     // was staging carry onto the new generation — see the doc on
     // [[carryTombstoneDelta]]
     carryTombstoneDelta(s, live, newRoot, tombDir)
-    val eventIds = readTombstones(s, tombDir.get)
-      .select($"vec_id").distinct()
+    // the start-of-compaction dir can be RECLAIMED inside the staging
+    // window (publishTombstones keeps only versions n and n−1) — the
+    // same hazard stageTombstoneDelta/carryTombstoneDelta guard with
+    // fs.exists. Fall back to the old root's CURRENT committed set: a
+    // superset of the start events, and over-dropping codes only causes
+    // extra re-encode under the frozen books — safe (r21, advisor
+    // item: the unguarded read threw after the generation had already
+    // published, shipping it without its PQ/SQ8 sidecar).
+    val eventDir = tombDir.filter(d => fs.exists(hp(d)))
+      .orElse(readTombstoneDir(fs, live))
+    val eventIds = eventDir
+      .map(d => readTombstones(s, d).select($"vec_id").distinct())
+      .getOrElse(s.range(0).select($"id".as("vec_id")))
     if (listVectorFiles(fs, s"$newRoot/vectors").nonEmpty) {
       oldPq.foreach { case (codesDir, booksDir, snapFiles) =>
         carryPqSidecar(s, newRoot, codesDir, booksDir, snapFiles, eventIds)
@@ -1362,15 +1358,25 @@ object IvfIndex {
   /** Split a compacted generation's rows into (carry, re-encode) for a
     * sidecar carry: rows of files whose RELATIVE name survived the
     * byte-copy were encoded by the old sidecar iff the old snapshot
-    * listed them — everything else (this compaction's rewrites and
-    * fold-ins, the old sidecar's raw tail) re-encodes, plus every
-    * surviving row of an event-touched id (its old codes are dropped
-    * wholesale: with no wave_v on a code row, an id's pre- and
-    * post-image codes are indistinguishable). Returns (ids whose old
+    * listed them. Re-encode work is O(events + never-encoded tail) —
+    * NOT O(rows of touched files): a surviving row of a REWRITTEN file
+    * whose id is undisturbed already holds a valid code under the
+    * frozen books, so it CARRIES; only (a) every surviving row of an
+    * event-touched id (its old codes are dropped wholesale: with no
+    * wave_v on a code row, an id's pre- and post-image codes are
+    * indistinguishable) and (b) rows the old sidecar never encoded
+    * (its raw tail, this compaction's fold-ins) re-encode. (r21,
+    * advisor item: the pre-r21 split put every id of every unmatched
+    * file into dropIds and re-encoded all their rows, so a scattered
+    * takedown with one hidden row per file re-encoded essentially the
+    * whole corpus.) The price is one narrow anti-join of the unmatched
+    * rows against the old codes' id column — id longs, never
+    * embeddings — which at 100 TB is a narrow-column shuffle vs an
+    * m·ks·d-flop re-encode per touched row. Returns (ids whose old
     * codes must be DROPPED, rows to re-encode, the new generation's
     * encoded-file snapshot for the fresh marker). */
   private def splitSidecarCarry(s: SparkSession, newRoot: String,
-      oldSnapshot: Set[String], eventIds: DataFrame)
+      oldSnapshot: Set[String], eventIds: DataFrame, oldCodesDir: String)
       : (DataFrame, DataFrame, Set[String]) = {
     import s.implicits._
     val fs = fsOf(s, newRoot)
@@ -1391,12 +1397,14 @@ object IvfIndex {
         .parquet(files.toSeq.sorted: _*)
         .select(col("vec_id"), col("embedding"), col("cell"))
     val evb = broadcast(eventIds)
+    val oldIds = s.read.parquet(oldCodesDir).select(col("vec_id"))
+    val unmatchedRows = readFiles(unmatched)
     val reencode = readFiles(matched)
       .join(evb, Seq("vec_id"), "left_semi")
-      .union(readFiles(unmatched))
-    val dropIds = eventIds.union(
-      readFiles(unmatched).select(col("vec_id"))).distinct()
-    (dropIds, reencode, newFiles)
+      .union(unmatchedRows.join(evb, Seq("vec_id"), "left_semi"))
+      .union(unmatchedRows.join(evb, Seq("vec_id"), "left_anti")
+        .join(oldIds, Seq("vec_id"), "left_anti"))
+    (eventIds, reencode, newFiles)
   }
 
   /** Carry a committed PQ sidecar across a [[compactTombstones]]
@@ -1411,7 +1419,7 @@ object IvfIndex {
     import s.implicits._
     val fs = fsOf(s, newRoot)
     val (dropIds, reencode, newFiles) =
-      splitSidecarCarry(s, newRoot, oldSnapshot, eventIds)
+      splitSidecarCarry(s, newRoot, oldSnapshot, eventIds, oldCodesDir)
     val books = s.read.parquet(oldBooksDir)
     val rows = books.collect()
     val m = rows.map(_.getAs[Int]("sub")).max + 1
@@ -1429,9 +1437,21 @@ object IvfIndex {
       .crossJoin(broadcast(ProductQuant.packedBooks(s, cb)))
       .withColumn("codes", ProductQuant.codesCol(m, d))
       .select($"vec_id", $"cell", $"codes")
-    carried.union(fresh)
+    // carry-vs-encode accounting rides the write as observed metrics
+    // (zero extra jobs) — the O(events + tail) encode-work contract is
+    // spec-checked against this, not trusted from the docstring
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-pq-carry-${java.util.UUID.randomUUID().toString.take(8)}")
+    carried.withColumn("__fresh", lit(0L))
+      .union(fresh.withColumn("__fresh", lit(1L)))
+      .observe(obs, sum($"__fresh").as("fresh"),
+        count(lit(1)).as("total"))
+      .drop("__fresh")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$newRoot/pqcodes-0")
+    val freshN = Option(obs.get("fresh")).fold(0L)(_.asInstanceOf[Long])
+    val totalN = Option(obs.get("total")).fold(0L)(_.asInstanceOf[Long])
+    lastPqCarry.set((totalN - freshN, freshN))
     books.coalesce(1).write.mode("overwrite")
       .parquet(s"$newRoot/pqbooks-0")
     writeSidecarMarker(fs, s"$newRoot/_pq", 0L,
@@ -1447,7 +1467,7 @@ object IvfIndex {
     import s.implicits._
     val fs = fsOf(s, newRoot)
     val (dropIds, reencode, newFiles) =
-      splitSidecarCarry(s, newRoot, oldSnapshot, eventIds)
+      splitSidecarCarry(s, newRoot, oldSnapshot, eventIds, oldCodesDir)
     val carried = s.read.parquet(oldCodesDir)
       .join(dropIds, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cell", $"q")
@@ -2219,15 +2239,45 @@ object IvfIndex {
     * Pre-`tomb_v` sidecars read as `tomb_v = Long.MaxValue`
     * (hide every resident row of the id — the old id-only semantics);
     * pre-`wave_v` vectors read as base rows. */
+  /** What the last [[carryPqSidecar]] did — (codes carried byte-as-is,
+    * rows freshly encoded). Observability for the O(events + tail)
+    * encode-work contract of [[splitSidecarCarry]]. */
+  private[graft] val lastPqCarry =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+
+  /** Thrown when a tombstone publish observes a marker version other
+    * than the one its union was computed from — the lost-update signal
+    * [[unionPublishTombstones]] retries on (r21, advisor item: the
+    * read-union-publish shape used to publish a union built from a
+    * stale `cur`, silently dropping a concurrent publisher's events). */
+  private final class TombstoneVersionMoved(msg: String,
+      cause: Throwable = null) extends IllegalStateException(msg, cause)
+
+  /** Publish a FULL tombstone set as marker version `observed`+1 —
+    * compare-and-swap semantics: `observed` is the max marker version
+    * the caller's set was computed FROM (None = no marker existed). A
+    * cheap pre-check aborts if the listing already moved; the exclusive
+    * marker CREATE is the true commit point — two racers targeting the
+    * same pinned version resolve to exactly one winner, and the loser
+    * throws [[TombstoneVersionMoved]] instead of silently shadowing the
+    * winner's events under a higher version (the pre-r21 behavior
+    * allocated max+1 at publish time, so a stale union could bury a
+    * concurrent publish's events). */
   private def publishTombstones(s: SparkSession, root: String,
-      tombs: DataFrame): Unit = {
+      tombs: DataFrame, observed: Option[Long]): Unit = {
     val fs = fsOf(s, root)
     val tombDir = hp(s"$root/_tomb")
     val prior =
       if (!fs.exists(tombDir)) Set.empty[Long]
       else fs.listStatus(tombDir).iterator
         .flatMap(st => claimGen(st.getPath.getName)).toSet
-    val n = prior.foldLeft(-1L)(math.max) + 1L
+    val curMax = if (prior.isEmpty) None else Some(prior.max)
+    if (curMax != observed)
+      throw new TombstoneVersionMoved(
+        s"publishTombstones under $root: marker listing moved from " +
+          s"$observed to $curMax since the union was computed — " +
+          "re-read and retry")
+    val n = observed.fold(0L)(_ + 1L)
     val rel = s"tombs-$n"
     normalizeTombs(tombs).distinct()
       .coalesce(1)
@@ -2243,10 +2293,9 @@ object IvfIndex {
       case e @ (_: java.io.IOException |
                 _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
         fs.delete(hp(s"$root/$rel"), true)
-        throw new IllegalStateException(
+        throw new TombstoneVersionMoved(
           s"publishTombstones lost the marker race for version $n under " +
-            s"$root — tombstones are single-maintainer by contract " +
-            "(the sync/rebuild maintainer); this build's dir was " +
+            s"$root — a concurrent publisher won; this build's dir was " +
             "discarded", e)
     }
     // reclaim below the grace version; markers before dirs, as always
@@ -2254,6 +2303,38 @@ object IvfIndex {
       readTombMarker(fs, root, v).foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(tombDir, v.toString), false)
         fs.delete(hp(d), true)
+      }
+    }
+  }
+
+  /** The read-union-publish shape every carry/sync site needs, with
+    * lost-update protection: read the current committed set, union the
+    * caller's events in, publish pinned to the observed version; if a
+    * concurrent publisher moved the marker between the read and the
+    * publish ([[TombstoneVersionMoved]]), re-read and retry — the loud
+    * retry the rest of the protocol promises, instead of the silent
+    * stale-union overwrite. Bounded attempts: a site that keeps losing
+    * is contending with a runaway publisher and should fail loudly. */
+  private def unionPublishTombstones(s: SparkSession, root: String,
+      extra: DataFrame, maxAttempts: Int = 5): Unit = {
+    val fs = fsOf(s, root)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val obs = readTombstoneState(fs, root)
+      val cur = obs.map { case (_, d) => readTombstones(s, d) }
+      try {
+        publishTombstones(s, root, cur.fold(extra)(_.union(extra)),
+          obs.map(_._1))
+        done = true
+      } catch {
+        case e: TombstoneVersionMoved =>
+          attempts += 1
+          if (attempts >= maxAttempts)
+            throw new IllegalStateException(
+              s"unionPublishTombstones under $root: lost the publish " +
+                s"race $attempts times — a concurrent publisher is " +
+                "runaway; giving up loudly", e)
       }
     }
   }
@@ -2276,13 +2357,20 @@ object IvfIndex {
   /** Resolve the committed tombstone set ONCE: the dir of the max
     * versioned marker, or None when the generation carries no deletes. */
   private def readTombstoneDir(fs: org.apache.hadoop.fs.FileSystem,
-      root: String): Option[String] = {
+      root: String): Option[String] =
+    readTombstoneState(fs, root).map(_._2)
+
+  /** As [[readTombstoneDir]], also returning the marker VERSION the dir
+    * was resolved from — the observed version a CAS publish pins to. */
+  private def readTombstoneState(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[(Long, String)] = {
     val tombDir = hp(s"$root/_tomb")
     val versions =
       if (!fs.exists(tombDir)) Set.empty[Long]
       else fs.listStatus(tombDir).iterator
         .flatMap(st => claimGen(st.getPath.getName)).toSet
-    if (versions.isEmpty) None else readTombMarker(fs, root, versions.max)
+    if (versions.isEmpty) None
+    else readTombMarker(fs, root, versions.max).map(versions.max -> _)
   }
 
   /** What the last filtered-compressed probe MEASURED and CHOSE —
@@ -2388,16 +2476,12 @@ object IvfIndex {
   def tombstoneIds(s: SparkSession, indexPath: String,
       ids: DataFrame): Unit = {
     val root = layoutRoot(s, indexPath)
-    val fs = fsOf(s, root)
     // a direct takedown is permanent until the compacting rebuild:
     // tomb_v = MaxValue hides every resident AND future row of the id
     // (a later lake re-insert of a directly-taken-down id is rejected
     // by [[syncFromLake]] rather than silently never served)
     val incoming = normalizeTombs(ids.select(col("vec_id")))
-    val all = readTombstoneDir(fs, root)
-      .map(d => readTombstones(s, d).union(incoming))
-      .getOrElse(incoming)
-    publishTombstones(s, root, all)
+    unionPublishTombstones(s, root, incoming)
   }
 
   /** Serving from the SQ8 tier: the shortlist stage scans only

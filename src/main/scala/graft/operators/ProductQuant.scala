@@ -233,9 +233,18 @@ object ProductQuant {
 
   /** ADC score over `codes` for a LUT that rides as a COLUMN — the
     * batch-serving form, where each probe row carries its own LUT
-    * ([[lutCol]]): m 1-based array lookups + adds, nothing per-row
-    * but integer indexing, all codegen built-ins. */
+    * ([[lutCol]]). Native since r21 ([[graft.functions.AdcSum]]): one
+    * codegen'd loop with ONE LUT reference — the previous element_at
+    * chain referenced the LUT m times, which for the single-probe
+    * callers ([[adcScore]]) inlined the m·ks-literal LUT m times and
+    * made every PQ drive's plan ~180 KB. Bit-identical fold order;
+    * pinned by ProductQuantSpec against [[adcScoreWithHof]]. */
   private[graft] def adcScoreWith(lut: Column, m: Int, ks: Int): Column =
+    VectorFunctions.adcSum(col("codes"), lut)
+
+  /** The pre-r21 element_at chain — the reference implementation the
+    * native [[graft.functions.AdcSum]] is spec-checked against. */
+  private[graft] def adcScoreWithHof(lut: Column, m: Int, ks: Int): Column =
     (0 until m).map(j =>
       element_at(lut, col("codes")(j) + j * ks + lit(1))).reduce(_ + _)
 

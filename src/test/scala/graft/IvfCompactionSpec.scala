@@ -21,6 +21,45 @@ class IvfCompactionSpec extends SparkSuite {
       .filter($"vec_id" >= lo && $"vec_id" < hi)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"label", $"embedding")
 
+  test("sidecar carry encodes O(events + tail), not O(rows of touched files)") {
+    // r21 (advisor item): a scattered takedown rewrites many files but
+    // must NOT re-encode their undisturbed rows — their codes are valid
+    // under the frozen books and carry byte-as-is. A pure takedown with
+    // a fully-covering sidecar leaves ZERO rows to freshly encode (the
+    // deleted ids have no resident rows after compaction, and there is
+    // no raw tail); the pre-r21 split re-encoded every row of every
+    // rewritten file.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cmp-carry").toString
+    val idx = s"$base/index"
+    IvfIndex.build(spark, sfDir, idx)
+    IvfIndex.buildPqSidecar(spark, idx)
+    val root0 = IvfIndex.layoutRoot(spark, idx)
+    val total = spark.read.parquet(s"$root0/pqcodes-0").count()
+    // scattered victims: low ids spread across cells, so several files
+    // rewrite while most byte-copy
+    val victims = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(20).select($"vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    IvfIndex.tombstoneIds(spark, idx, victims)
+    assert(IvfIndex.compactTombstones(spark, idx))
+    val (carried, fresh) = IvfIndex.lastPqCarry.get()
+    assert(fresh == 0L,
+      s"pure takedown + covering sidecar must encode nothing, encoded $fresh")
+    assert(carried == total - victimIds.size,
+      s"every surviving code must carry: $carried of ${total - victimIds.size}")
+    // the carried sidecar still serves: victims gone, results non-empty
+    val newRoot = IvfIndex.layoutRoot(spark, idx)
+    assert(spark.read.parquet(s"$newRoot/pqcodes-0").count() == carried)
+    val probeEmb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id".desc).limit(1).collect().head
+      .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val served = IvfIndex.probeTopKAdc(spark, idx, probeEmb, k = 5,
+      shortlist = 100000).collect().map(_.getAs[Long]("vec_id"))
+    assert(served.nonEmpty && served.forall(!victimIds.contains(_)),
+      s"compacted ADC serving must exclude the victims: ${served.toSeq}")
+  }
+
   test("compaction is serving-invariant on every path: frozen centroids, byte-copied untouched files, carried sidecars") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-cmp").toString

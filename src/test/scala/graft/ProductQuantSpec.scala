@@ -48,6 +48,37 @@ class ProductQuantSpec extends SparkSuite {
       s"${bad.length} rows with differing PQ codes, first: ${bad.headOption}")
   }
 
+  test("native adc_sum equals the element_at chain bit-for-bit") {
+    // r21: adcScoreWith became one codegen'd loop (AdcSum); pin it to
+    // the element_at-chain reference over the real encoded corpus with
+    // a real probe LUT — same left-fold addition order, exact doubles.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val cb = ProductQuant.pqCodebooks(spark, sfDir)
+    val (m, ks) = (cb.length, cb(0).length)
+    val d = cb(0)(0).length
+    val probe = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .orderBy("vec_id").limit(1).collect().head
+      .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val n = math.sqrt(probe.map(x => x * x).sum)
+    val lut = ProductQuant.lutFor(cb, probe.map(_ / n))
+    val lutCol = array(lut.map(lit): _*)
+    val df = ProductQuant.withUnit(
+        graft.sources.Tables.load(spark, sfDir, "embeddings"))
+      .crossJoin(broadcast(ProductQuant.packedBooks(spark, cb)))
+      .withColumn("codes", ProductQuant.codesCol(m, d))
+      .select(col("vec_id"),
+        ProductQuant.adcScoreWith(lutCol, m, ks).as("native"),
+        ProductQuant.adcScoreWithHof(lutCol, m, ks).as("hof"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filter(r =>
+      java.lang.Double.compare(r.getAs[Double]("native"),
+        r.getAs[Double]("hof")) != 0)
+    assert(bad.isEmpty,
+      s"${bad.length} rows with differing ADC scores, first: ${bad.headOption}")
+  }
+
   test("exact top-10 survives the ADC shortlist cut with margin") {
     for (dir <- sfs) {
       val exactIds = Similarity.sCosineTopk(spark, dir).collect()
